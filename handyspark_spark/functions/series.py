@@ -1,0 +1,129 @@
+"""Pandas-style Series accessor: ``hdf.pandas['col'].between(...)`` etc.
+
+Re-derives reference ``handyspark/sql/pandas.py``: each method returns a
+Spark ``Column`` suitable for ``assign``. The reference routed EVERY method
+through a pandas UDF; here methods with an exactly-equivalent native Spark
+expression use it (whole-stage codegen, pushdown-friendly) and only the
+genuinely pandas-semantic ones (``truncate``, ``between_time``, ``tz_*``)
+fall back to Arrow pandas UDFs — the single biggest perf rewrite vs the
+reference (SURVEY.md §4).
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _pandas_udf_method(df, colname: str, method: str, returnType,
+                       **kwargs) -> Column:
+    from .transform import HandyTransform
+    return HandyTransform.gen_pandas_udf(
+        df, lambda col: getattr(col, method)(**kwargs), args=(colname,),
+        returnType=returnType)
+
+
+class HandySeries:
+    def __init__(self, df, colname: str):
+        self._df = df
+        self._colname = colname
+        self._col = F.col(colname)
+        self._dtype = dict(df.dtypes)[colname]
+
+    # -- boolean returns (ref pandas.py:8) ----------------------------------
+    def between(self, left, right, inclusive: str = "both") -> Column:
+        if inclusive == "both":
+            return self._col.between(left, right)
+        lo = (self._col >= left) if inclusive in ("both", "left") \
+            else (self._col > left)
+        hi = (self._col <= right) if inclusive in ("both", "right") \
+            else (self._col < right)
+        return lo & hi
+
+    def isin(self, values) -> Column:
+        return self._col.isin(list(values))
+
+    def isna(self) -> Column:
+        cond = F.isnull(self._col)
+        if self._dtype in ("double", "float"):
+            cond = cond | F.isnan(self._col)
+        return cond
+
+    isnull = isna
+
+    def notna(self) -> Column:
+        return ~self.isna()
+
+    notnull = notna
+
+    def between_time(self, start_time, end_time, **kwargs) -> Column:
+        return _pandas_udf_method(
+            self._df, self._colname, "between_time", "boolean",
+            start_time=start_time, end_time=end_time, **kwargs)
+
+    # -- same-type returns (ref pandas.py:9-10) -----------------------------
+    def abs(self) -> Column:
+        return F.abs(self._col)
+
+    def clip(self, lower=None, upper=None) -> Column:
+        c = self._col
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return c
+
+    def clip_lower(self, threshold) -> Column:
+        return self.clip(lower=threshold)
+
+    def clip_upper(self, threshold) -> Column:
+        return self.clip(upper=threshold)
+
+    def replace(self, to_replace, value=None) -> Column:
+        if isinstance(to_replace, dict):
+            expr = self._col
+            for k, v in to_replace.items():
+                expr = F.when(self._col == F.lit(k), F.lit(v)).otherwise(expr)
+            return expr
+        return (F.when(self._col == F.lit(to_replace), F.lit(value))
+                .otherwise(self._col))
+
+    def round(self, decimals: int = 0) -> Column:
+        # pandas rounds half-to-even (numpy) -> F.bround, not F.round
+        return F.bround(self._col, decimals)
+
+    def truncate(self, before=None, after=None, **kwargs) -> Column:
+        return _pandas_udf_method(self._df, self._colname, "truncate",
+                                  self._dtype, before=before, after=after,
+                                  **kwargs)
+
+    def tz_convert(self, tz, **kwargs) -> Column:
+        return _pandas_udf_method(self._df, self._colname, "tz_convert",
+                                  "timestamp", tz=tz, **kwargs)
+
+    def tz_localize(self, tz, **kwargs) -> Column:
+        return _pandas_udf_method(self._df, self._colname, "tz_localize",
+                                  "timestamp", tz=tz, **kwargs)
+
+    # -- accessors ----------------------------------------------------------
+    @property
+    def str(self):
+        from .string import HandyString
+        return HandyString(self._df, self._colname)
+
+    @property
+    def dt(self):
+        from .datetime import HandyDatetime
+        return HandyDatetime(self._df, self._colname)
+
+
+class HandyPandasAccessor:
+    """``hdf.pandas['col']`` entry point (ref pandas.py:16-24)."""
+
+    def __init__(self, hdf):
+        self._hdf = hdf
+
+    def __getitem__(self, colname: str) -> HandySeries:
+        if colname not in self._hdf._df.columns:
+            raise ValueError(f"column {colname!r} not found")
+        return HandySeries(self._hdf._df, colname)

@@ -1,0 +1,194 @@
+"""Aggregation plan builders — the engine's workhorse.
+
+Every statistic is expressed as a *lazy Spark DataFrame plan* built from
+native ``pyspark.sql.functions`` (JVM-side, whole-stage-codegen, partial+final
+hash aggregation). The pandas-facing API layers call ``.toPandas()`` at the
+edge; the driver-oracle queries consume these DataFrames directly.
+
+Semantics re-derived from reference ``Handy._agg`` and friends
+(handyspark/sql/dataframe.py:315-776). Design differences vs the reference:
+
+- stratified aggregation is always ONE grouped job (a single shuffle on the
+  strata keys), never N filter-jobs — at 100 TB a re-scan per stratum is the
+  difference between one pass and |strata| passes;
+- exact/approx is a switch: approx (GK sketch / HLL) for interactive scale,
+  exact (sort-based percentile / count distinct) when an oracle needs
+  bit-reproducibility;
+- everything stays in Spark until the caller materializes.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "summary_plan", "value_counts_plan", "mode_plan", "nunique_plan",
+    "isnull_plan", "entropy_plan", "mutual_info_plan", "corr_plan",
+    "percentile_expr",
+]
+
+
+def _group(df: DataFrame, strata: list[str] | None):
+    return df.groupBy(*strata) if strata else df.groupBy()
+
+
+def percentile_expr(col: str, q, precision: float = 0.01,
+                    exact: bool = False) -> Column:
+    """approx_percentile(col, q, 1/precision) (ref dataframe.py:748-756) or
+    the exact interpolated percentile (Spark ``percentile`` = DuckDB
+    ``quantile_cont``, type-7)."""
+    if exact:
+        return F.percentile(F.col(col), F.lit(q))
+    return F.percentile_approx(F.col(col), F.lit(q), F.lit(int(1.0 / precision)))
+
+
+def summary_plan(df: DataFrame, exprs: list[Column],
+                 strata: list[str] | None = None) -> DataFrame:
+    """groupBy(strata).agg(*exprs) — single shuffle, map-side partials."""
+    out = _group(df, strata).agg(*exprs)
+    return out.orderBy(*strata) if strata else out
+
+
+def value_counts_plan(df: DataFrame, colnames: list[str],
+                      strata: list[str] | None = None,
+                      dropna: bool = True) -> DataFrame:
+    """Per-value frequencies (ref dataframe.py:225-244, 633-635)."""
+    strata = strata or []
+    if dropna:
+        df = df.dropna(subset=colnames)
+    return (df.groupBy(*(strata + colnames))
+              .agg(F.count(F.lit(1)).alias("count")))
+
+
+def mode_plan(df: DataFrame, colname: str,
+              strata: list[str] | None = None) -> DataFrame:
+    """Most frequent value, deterministic tie-break (higher count first, then
+    smaller value). Ref dataframe.py:637-656 uses orderBy+limit(1) global and
+    a row_number window when stratified; we use the window form for both —
+    one shuffle on (strata, value), one on strata for the ranking."""
+    from pyspark.sql import Window
+    strata = strata or []
+    counts = (df.dropna(subset=[colname])
+                .groupBy(*(strata + [colname]))
+                .agg(F.count(F.lit(1)).alias("_cnt")))
+    w = (Window.partitionBy(*strata)
+         .orderBy(F.desc("_cnt"), F.asc(colname)))
+    return (counts.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select(*(strata + [colname])))
+
+
+def nunique_plan(df: DataFrame, colnames: list[str],
+                 strata: list[str] | None = None,
+                 exact: bool = False, rsd: float = 0.05) -> DataFrame:
+    """Distinct counts: HLL++ by default (ref dataframe.py:536-542), exact on
+    request (oracle path)."""
+    fn = (F.count_distinct if exact
+          else (lambda c: F.approx_count_distinct(c, rsd)))
+    exprs = [fn(F.col(c)).alias(c) for c in colnames]
+    return summary_plan(df, exprs, strata)
+
+
+def isnull_plan(df: DataFrame, colnames: list[str],
+                ratio: bool = False,
+                strata: list[str] | None = None) -> DataFrame:
+    """Missing count (or ratio) per column in ONE agg over all columns
+    (ref dataframe.py:513-534). NaN counts as missing for float columns,
+    matching pandas semantics the reference tests against."""
+    dtypes = dict(df.dtypes)
+
+    def missing(c: str) -> Column:
+        cond = F.isnull(F.col(c))
+        if dtypes.get(c) in ("double", "float"):
+            cond = cond | F.isnan(F.col(c))
+        return F.sum(cond.cast("long")).alias(c)
+
+    exprs = [missing(c) for c in colnames]
+    if ratio:
+        exprs = [(missing(c) / F.count(F.lit(1))).alias(c) for c in colnames]
+    return summary_plan(df, exprs, strata)
+
+
+def entropy_plan(df: DataFrame, colnames: list[str],
+                 strata: list[str] | None = None) -> DataFrame:
+    """Shannon entropy (base 2) per categorical column
+    (ref dataframe.py:658-685): two-level aggregation —
+    groupBy(strata+[col]).count -> p = n_v / n -> sum(-p*log2(p)).
+    Two shuffles, both on low-cardinality keys."""
+    strata = strata or []
+    outs = []
+    for c in colnames:
+        counts = (df.dropna(subset=[c])
+                    .groupBy(*(strata + [c]))
+                    .agg(F.count(F.lit(1)).alias("_nv")))
+        from pyspark.sql import Window
+        w = Window.partitionBy(*strata) if strata else Window.partitionBy()
+        probs = counts.withColumn("_p", F.col("_nv") / F.sum("_nv").over(w))
+        ent = (probs.groupBy(*strata)
+                    .agg(F.sum(-F.log2("_p") * F.col("_p")).alias("entropy"))
+                    .withColumn("colname", F.lit(c)))
+        outs.append(ent.select(*(strata + ["colname", "entropy"])))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def mutual_info_plan(df: DataFrame, col_x: str, col_y: str,
+                     strata: list[str] | None = None) -> DataFrame:
+    """Mutual information (base 2) between two categorical columns
+    (ref dataframe.py:687-734): MI = sum_xy p(x,y) * log2(p(x,y)/(p(x)p(y))).
+
+    Computed as joint-distribution counts joined to each marginal. Marginals
+    are tiny (|distinct| rows) — broadcast them so the only real shuffle is
+    the joint groupBy."""
+    strata = strata or []
+    keys = strata
+    joint = (df.groupBy(*(keys + [col_x, col_y]))
+               .agg(F.count(F.lit(1)).alias("_nxy")))
+    mx = (df.groupBy(*(keys + [col_x]))
+            .agg(F.count(F.lit(1)).alias("_nx")))
+    my = (df.groupBy(*(keys + [col_y]))
+            .agg(F.count(F.lit(1)).alias("_ny")))
+    n = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    j = (joint.join(F.broadcast(mx), on=keys + [col_x])
+              .join(F.broadcast(my), on=keys + [col_y]))
+    j = j.join(F.broadcast(n), on=keys) if keys else j.crossJoin(F.broadcast(n))
+    term = (F.col("_nxy") / F.col("_n")) * F.log2(
+        (F.col("_nxy") * F.col("_n")) / (F.col("_nx") * F.col("_ny")))
+    return j.groupBy(*keys).agg(F.sum(term).alias("mutual_info"))
+
+
+def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
+              strata: list[str] | None = None) -> DataFrame:
+    """Pairwise correlation matrix as a long-form DataFrame
+    (col_x, col_y, corr). Pearson via native F.corr (one agg, all pairs at
+    once); Spearman via rank transform + Pearson (ref dataframe.py:495-505
+    used mllib RDD Statistics — replaced with pure DataFrame ops)."""
+    strata = strata or []
+    if method == "spearman":
+        from pyspark.sql import Window
+        # average ranks (pandas/scipy convention) per column
+        for c in colnames:
+            w = (Window.partitionBy(*strata) if strata else Window.partitionBy())
+            df = df.withColumn(
+                f"_rk_{c}",
+                F.avg(F.row_number().over(w.orderBy(c))).over(
+                    (Window.partitionBy(*(strata + [c])) if strata
+                     else Window.partitionBy(c))))
+        src = {c: f"_rk_{c}" for c in colnames}
+    else:
+        src = {c: c for c in colnames}
+    exprs = []
+    for i, cx in enumerate(colnames):
+        for cy in colnames[i:]:
+            exprs.append(F.corr(F.col(src[cx]).cast("double"),
+                                F.col(src[cy]).cast("double"))
+                         .alias(f"{cx}__{cy}"))
+    wide = summary_plan(df, exprs, strata)
+    # unpivot to long form
+    pairs = [(cx, cy) for i, cx in enumerate(colnames) for cy in colnames[i:]]
+    stack = F.expr("stack({}, {})".format(
+        len(pairs),
+        ", ".join(f"'{cx}', '{cy}', `{cx}__{cy}`" for cx, cy in pairs)))
+    return wide.select(*strata, stack.alias("col_x", "col_y", "corr"))

@@ -1,0 +1,62 @@
+"""Parquet source loading with schema normalization.
+
+The reference defines no sources of its own (SURVEY.md §2.1) — ingestion is
+``spark.read.*``. This module adds the one piece of plumbing real lakes
+need: transparent handling of nanosecond-precision parquet timestamps,
+which Spark 4 refuses by default ([PARQUET_TYPE_ILLEGAL] INT64
+TIMESTAMP(NANOS)). We read them as longs
+(``spark.sql.legacy.parquet.nanosAsLong``) and rebuild proper
+TimestampType columns via ``timestamp_micros`` — a map-only projection,
+no data pass beyond the footer read.
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Column names stored as timestamp[ns] (from the parquet footer only)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return []
+    f = path
+    if os.path.isdir(path):
+        parts = glob.glob(os.path.join(path, "*.parquet"))
+        if not parts:
+            return []
+        f = parts[0]
+    try:
+        schema = pq.read_schema(f)
+    except Exception:
+        return []
+    return [fld.name for fld in schema
+            if str(fld.type).startswith("timestamp[ns")]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that upgrades nano timestamps in place."""
+    nanos = _nano_ts_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(
+            (F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

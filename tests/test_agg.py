@@ -1,0 +1,132 @@
+"""Aggregation core vs pandas oracle (the reference's differential-test
+strategy, SURVEY.md §5)."""
+import numpy.testing as npt
+import pytest
+
+from handyspark_spark import toHandy
+
+
+@pytest.fixture(scope="module")
+def hdf(tables):
+    return toHandy(tables["lineitem"])
+
+
+@pytest.fixture(scope="module")
+def pdf(pdf_tables):
+    return pdf_tables["lineitem"]
+
+
+def test_mean(hdf, pdf):
+    npt.assert_almost_equal(hdf.cols["l_extendedprice"].mean(),
+                            pdf["l_extendedprice"].mean())
+
+
+def test_mean_multi(hdf, pdf):
+    res = hdf.cols[["l_extendedprice", "l_quantity"]].mean()
+    npt.assert_almost_equal(res["l_extendedprice"],
+                            pdf["l_extendedprice"].mean())
+    npt.assert_almost_equal(res["l_quantity"], pdf["l_quantity"].mean())
+
+
+def test_min_max_sum(hdf, pdf):
+    assert hdf.cols["l_quantity"].min() == pdf["l_quantity"].min()
+    assert hdf.cols["l_quantity"].max() == pdf["l_quantity"].max()
+    npt.assert_almost_equal(hdf.cols["l_quantity"].sum(),
+                            pdf["l_quantity"].sum())
+
+
+def test_stddev_var(hdf, pdf):
+    npt.assert_almost_equal(hdf.cols["l_extendedprice"].stddev(),
+                            pdf["l_extendedprice"].std(), decimal=6)
+    npt.assert_almost_equal(hdf.cols["l_extendedprice"].var(),
+                            pdf["l_extendedprice"].var(), decimal=4)
+
+
+def test_median_exact(hdf, pdf):
+    npt.assert_almost_equal(hdf.cols["l_extendedprice"].median(exact=True),
+                            pdf["l_extendedprice"].median())
+
+
+def test_median_approx_tolerance(hdf, pdf):
+    approx = hdf.cols["l_extendedprice"].median(precision=0.0001)
+    exact = pdf["l_extendedprice"].median()
+    assert abs(approx - exact) / exact < 0.01
+
+
+def test_q1_q3(hdf, pdf):
+    npt.assert_almost_equal(hdf.cols["l_quantity"].q1(exact=True),
+                            pdf["l_quantity"].quantile(0.25))
+    npt.assert_almost_equal(hdf.cols["l_quantity"].q3(exact=True),
+                            pdf["l_quantity"].quantile(0.75))
+
+
+def test_value_counts(hdf, pdf):
+    hres = hdf.cols["l_returnflag"].value_counts()
+    pres = pdf["l_returnflag"].value_counts()
+    npt.assert_array_equal(hres.sort_index().values,
+                           pres.sort_index().values)
+
+
+def test_mode(hdf, pdf):
+    assert hdf.cols["l_returnflag"].mode() == pdf["l_returnflag"].mode()[0]
+
+
+def test_nunique_exact(hdf, pdf):
+    res = hdf.cols[["l_returnflag", "l_orderkey"]].nunique(exact=True)
+    assert res["l_returnflag"] == pdf["l_returnflag"].nunique()
+    assert res["l_orderkey"] == pdf["l_orderkey"].nunique()
+
+
+def test_nunique_approx(hdf, pdf):
+    res = hdf.cols["l_orderkey"].nunique()
+    exact = pdf["l_orderkey"].nunique()
+    assert abs(res - exact) / exact < 0.1
+
+
+def test_isnull(hdf, pdf):
+    res = hdf.cols[["l_quantity", "l_returnflag"]].isnull()
+    assert res["l_quantity"] == pdf["l_quantity"].isna().sum()
+
+
+def test_entropy(hdf, pdf):
+    import numpy as np
+    p = pdf["l_returnflag"].value_counts(normalize=True)
+    expected = -(p * np.log2(p)).sum()
+    npt.assert_almost_equal(hdf.cols["l_returnflag"].entropy(), expected,
+                            decimal=6)
+
+
+def test_corr(hdf, pdf):
+    mat = hdf.cols[["l_quantity", "l_extendedprice", "l_discount"]].corr()
+    pmat = pdf[["l_quantity", "l_extendedprice", "l_discount"]].corr()
+    npt.assert_array_almost_equal(mat.values, pmat.values, decimal=6)
+
+
+def test_corr_spearman(hdf, pdf):
+    mat = hdf.cols[["l_quantity", "l_extendedprice"]].corr(method="spearman")
+    pmat = pdf[["l_quantity", "l_extendedprice"]].corr(method="spearman")
+    npt.assert_array_almost_equal(mat.values, pmat.values, decimal=4)
+
+
+def test_mutual_info(hdf, pdf):
+    import numpy as np
+    mat = hdf.cols[["l_returnflag", "l_linestatus"]].mutual_info()
+    # sklearn-free oracle: direct definition
+    joint = pdf.groupby(["l_returnflag", "l_linestatus"]).size() / len(pdf)
+    px = pdf["l_returnflag"].value_counts(normalize=True)
+    py = pdf["l_linestatus"].value_counts(normalize=True)
+    mi = sum(pxy * np.log2(pxy / (px[x] * py[y]))
+             for (x, y), pxy in joint.items())
+    npt.assert_almost_equal(mat.loc["l_returnflag", "l_linestatus"], mi,
+                            decimal=6)
+
+
+def test_head_fetch(hdf, pdf):
+    s = hdf.cols["l_quantity"][:5]
+    assert len(s) == 5
+
+
+def test_taxonomy_aliases(hdf):
+    cont = hdf.cols["continuous"]._cols()
+    assert "l_extendedprice" in cont
+    assert "l_orderkey" not in cont
