@@ -1,0 +1,229 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup strategies, each chosen for a different scale/fidelity point:
+
+- ``exact_duplicates``: md5-keyed hash groupBy — one shuffle on a 128-bit
+  key, the 100 TB workhorse for byte-identical dedup.
+- ``fingerprint_duplicates``: same shuffle on the canonical token-set
+  fingerprint (catches reordered/whitespace-variant docs).
+- ``ngram_jaccard_pairs``: exact Jaccard over token sets via a
+  token-inverted-index self-join — quadratic in docs-per-token, intended
+  for verification at small scale and as the oracle for MinHash.
+- ``minhash_signatures`` / ``minhash_lsh_pairs``: MinHash + banded LSH —
+  the scale path. Hashes are md5-derived (first 8 hex chars as uint), so
+  signatures are engine-reproducible (DuckDB computes identical values).
+- ``simhash_fingerprints``: 64-bit SimHash via an Arrow pandas UDF
+  (vectorized numpy bit-twiddling; a pure projection, no shuffle).
+- ``embedding_neardup_pairs``: cosine-over-threshold pairs on an embedding
+  column; exact self-join here, LSH-bucketed variant in
+  ``pipeline.similarity``.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_docs, doc_ids).
+    One shuffle on the hash; ids aggregated sorted for determinism."""
+    return (df.select(F.md5(F.col(text_col)).alias("content_hash"),
+                      F.col(id_col))
+              .groupBy("content_hash")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+              .filter(F.col("n_docs") > 1))
+
+
+def fingerprint_duplicates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Same shape keyed on the sorted-token-set fingerprint."""
+    from .text import fingerprint
+    return (df.select(fingerprint(text_col).alias("fingerprint"),
+                      F.col(id_col))
+              .groupBy("fingerprint")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+              .filter(F.col("n_docs") > 1))
+
+
+def _token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("_id"),
+                     F.array_distinct(tokens(text_col)).alias("_toks"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.8,
+                        max_token_df: int | None = None) -> DataFrame:
+    """Exact pairwise Jaccard >= threshold via inverted-index self-join:
+    explode distinct tokens -> join on token -> |intersection| per pair ->
+    |union| = |A|+|B|-|inter|.
+
+    ``max_token_df`` drops tokens appearing in more than that many docs
+    (stop-token blowup guard — at scale you ALWAYS set this; the joint
+    blowup is quadratic in document frequency)."""
+    ts = _token_sets(df, text_col, id_col)
+    sizes = ts.select("_id", F.size("_toks").alias("_n"))
+    inv = ts.select("_id", F.explode("_toks").alias("_tok"))
+    if max_token_df is not None:
+        df_counts = (inv.groupBy("_tok")
+                     .agg(F.count(F.lit(1)).alias("_df"))
+                     .filter(F.col("_df") <= max_token_df))
+        inv = inv.join(F.broadcast(df_counts.select("_tok")), "_tok")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (a.join(b, (F.col("a._tok") == F.col("b._tok")) &
+                       (F.col("a._id") < F.col("b._id")))
+              .groupBy(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("_inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("_id", "id_a")
+                      .withColumnRenamed("_n", "_na"), "id_a")
+           .join(sizes.withColumnRenamed("_id", "id_b")
+                      .withColumnRenamed("_n", "_nb"), "id_b"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (out.select("id_a", "id_b", jac.alias("jaccard"))
+               .filter(F.col("jaccard") >= threshold))
+
+
+def _minhash_value(tok_col, seed_col):
+    """Engine-reproducible 32-bit hash: first 8 hex chars of
+    md5(token || '#' || seed) as a bigint (DuckDB computes the identical
+    value — the cross-engine contract for the oracle)."""
+    return F.conv(F.substring(
+        F.md5(F.concat_ws("#", tok_col, seed_col.cast("string"))),
+        1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_hashes: int = 16) -> DataFrame:
+    """(id, seed, minhash) long-form signatures. Min-per-seed is computed
+    INSIDE the token array (F.transform + array_min — no token explode at
+    all), so the only shuffle-free projection emits |docs| × num_hashes
+    rows, independent of document length."""
+    ts = _token_sets(df, text_col, id_col)
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    per_seed = ts.select(
+        F.col("_id").alias(id_col),
+        F.explode(seeds).alias("seed"),
+        F.col("_toks"))
+    return per_seed.select(
+        id_col, "seed",
+        F.array_min(F.transform(
+            F.col("_toks"),
+            lambda t: _minhash_value(t, F.col("seed")))).alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """Banded-LSH candidate pairs: signature -> band hashes -> groupBy
+    (band, band_hash) bucket join. Recall/precision tuned by
+    (bands, rows-per-band); candidates should be verified with
+    ``ngram_jaccard_pairs`` on the candidate subset."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = (sigs.withColumn("band", (F.col("seed") / rows_per_band)
+                              .cast("int"))
+              .groupBy(id_col, "band")
+              .agg(F.md5(F.concat_ws(",", F.array_sort(
+                  F.collect_list(F.concat_ws(":", "seed", "minhash")))))
+                  .alias("band_hash")))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.band_hash") == F.col("b.band_hash")) &
+                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via an Arrow pandas UDF (numpy
+    bit-count over token-hash sign vectors). Pure projection — the UDF is
+    the right tool here because 64 per-bit aggregations as native exprs
+    would bloat codegen far past the Arrow transfer cost."""
+    import hashlib
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(t.split(" ")):
+                digest = hashlib.md5(tok.encode()).digest()[:8]
+                bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+                acc += bits.astype(np.int64) * 2 - 1
+            fp_bytes = np.packbits((acc > 0).astype(np.uint8)).tobytes()
+            out[i] = int.from_bytes(fp_bytes, "big", signed=True)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col))
+                     .alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= k, using the standard
+    block-permutation trick: split 64 bits into (k+1) blocks — any pair
+    within distance k agrees on >=1 whole block -> join per block, then
+    verify exact Hamming via bit_count(xor)."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    fps = simhash_fingerprints(df, text_col, id_col)
+    blocks = []
+    for i in range(n_blocks):
+        blocks.append(fps.select(
+            id_col, "simhash", F.lit(i).alias("block"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+             .bitwiseAND(F.lit((1 << width) - 1)).alias("block_val")))
+    cand = blocks[0]
+    for b in blocks[1:]:
+        cand = cand.unionByName(b)
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (a.join(b, (F.col("a.block") == F.col("b.block")) &
+                       (F.col("a.block_val") == F.col("b.block_val")) &
+                       (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.col("a.simhash").alias("sh_a"),
+                      F.col("b.simhash").alias("sh_b"))
+              .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
+                 .filter(F.col("hamming") <= max_hamming))
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95,
+                            block_col: str | None = None) -> DataFrame:
+    """Cosine >= threshold pairs. Exact self-join (optionally blocked on
+    ``block_col`` to cut the pair space); the approximate scale path is
+    ``similarity.lsh_neardup_pairs``."""
+    from .similarity import cosine_expr
+    v = df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("_v"),
+                  *([F.col(block_col).alias("_blk")] if block_col else []))
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    cos = cosine_expr(F.col("a._v"), F.col("b._v"))
+    return (a.join(b, cond)
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.round(cos, 6).alias("cosine"))
+             .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the standard ANN playbook:
+
+- ``brute_force_topk``: exact cosine top-k via a broadcast join of the
+  (small) query set against the corpus — the correctness baseline. The
+  dot product is a native ``F.zip_with`` + ``F.aggregate`` expression
+  (JVM-side, no Python). Per-query top-k via window ``row_number``.
+- ``lsh_topk`` / ``lsh_neardup_pairs``: random-hyperplane (signed random
+  projection) LSH — bucket vectors by sign bits, search only within
+  matching buckets. The scale path: shuffle is one groupBy on bucket ids,
+  and the pair space shrinks exponentially with bits.
+- ``ivf_topk``: IVF-style variant — k-means-ish coarse centroids (sampled
+  deterministically), vectors assigned to nearest centroid, queries probe
+  ``nprobe`` nearest centroids only.
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                     vec_col: str = "embedding", id_col: str = "vec_id") \
+        -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+    queries: DataFrame with (id_col, vec_col). Broadcast the query side —
+    the corpus is scanned once, no shuffle of the corpus itself; the only
+    shuffle is the per-query top-k (rows = |queries| × |corpus| reduced by
+    the window to |queries| × k)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_qv"))
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).cast("array<double>").alias("_cv"))
+    cos = cosine_expr(F.col("_qv"), F.col("_cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+               .filter(F.col("query_id") != F.col("neighbor_id"))
+               .select("query_id", "neighbor_id",
+                       F.round(cos, 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim)
+
+
+def srp_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Signed-random-projection bucket id: sign bit per hyperplane packed
+    into an int — a native expression per plane (no UDF)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]),
+                       lambda v, w: v * w),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id", threshold: float = 0.9,
+                      bits: int = 8, tables: int = 2,
+                      dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Approximate cosine-near-dup pairs: join only within matching SRP
+    buckets (union over ``tables`` independent hash tables), verify exact
+    cosine on candidates."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    v = df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("_v"))
+    cands = None
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + t)
+        bucketed = v.withColumn("_b", srp_bucket_expr(F.col("_v"), planes)) \
+                    .withColumn("_t", F.lit(t))
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        p = (a.join(b, (F.col("a._b") == F.col("b._b")) &
+                       (F.col("a._t") == F.col("b._t")) &
+                       (F.col("a._id") < F.col("b._id")))
+              .select(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"),
+                      F.col("a._v").alias("_va"), F.col("b._v").alias("_vb")))
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    return (cands.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+                 .filter(F.col("cosine") >= threshold))
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 42) -> DataFrame:
+    """IVF-flat ANN: deterministic sampled centroids -> assign corpus rows
+    to nearest centroid (one projection) -> each query probes its
+    ``nprobe`` nearest centroids -> exact cosine within probed cells.
+    At 100 TB the cell assignment is written once (partitioned by cell) and
+    queries touch nprobe/n_centroids of the data."""
+    cents = (df.orderBy(F.md5(F.col(id_col).cast("string")))
+               .limit(n_centroids)
+               .select(F.col(vec_col).cast("array<double>").alias("_cent"))
+               .collect())
+    cent_arrays = [np.array(r["_cent"]) for r in cents]
+
+    def nearest_expr(vec: Column, topn: int) -> Column:
+        """Array of the ``topn`` nearest centroid ids (by cosine)."""
+        scored = F.array(*[
+            F.struct(
+                cosine_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
+                .alias("cos"),
+                F.lit(i).alias("cid"))
+            for i, c in enumerate(cent_arrays)])
+        ordered = F.reverse(F.array_sort(scored))
+        return F.transform(F.slice(ordered, 1, topn), lambda s: s["cid"])
+
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).cast("array<double>").alias("_cv"))
+    c = c.withColumn("_cell", nearest_expr(F.col("_cv"), 1)[0])
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_qv"))
+    q = q.withColumn("_cells", nearest_expr(F.col("_qv"), nprobe))
+    joined = (c.join(F.broadcast(q),
+                     F.array_contains(F.col("_cells"), F.col("_cell")))
+               .filter(F.col("query_id") != F.col("neighbor_id")))
+    cos = cosine_expr(F.col("_qv"), F.col("_cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (joined.select("query_id", "neighbor_id",
+                          F.round(cos, 6).alias("cosine"))
+                  .withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))

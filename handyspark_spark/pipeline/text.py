@@ -1,0 +1,142 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (SURVEY.md §7 / BASELINE north star): language ID,
+quality scoring, token counting, document fingerprinting — all expressed as
+NATIVE Spark column expressions (split/filter/aggregate/md5), so they run
+inside whole-stage codegen with zero shuffles (pure map-side projections).
+At 100 TB these are scan-bound, which is exactly what you want.
+
+Tokenization convention: split on a single space — deliberately the same
+operation as ANSI ``string_split(text, ' ')`` so every operator here is
+oracle-checkable against DuckDB bit-for-bit.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language-ID. Real pipelines plug in fastText/CLD3; the Spark-side shape
+# (argmax over per-language hit counts, one projection) is what matters.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den"],
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"] + ["a", "an", "for", "on", "with", "as"]
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens (single-space split; see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ", -1)
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("int")
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Sub-word-ish token estimate: word-boundary pieces of <=4 chars —
+    a cheap deterministic proxy for BPE token counts (regexp-based,
+    still a pure projection)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"), F.lit(0))).cast("int")
+
+
+def char_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("int")
+
+
+def stopword_ratio(col, stopwords: list[str] | None = None) -> Column:
+    """Fraction of token OCCURRENCES that are stopwords (array filter —
+    no explode, no shuffle)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.size(toks)
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.length(c)
+
+
+def mean_word_length(col) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0),
+                        lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def quality_score(col, stopwords: list[str] | None = None) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    low punctuation + sane word length. Deterministic, oracle-expressible."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    len_ok = (n >= 64) & (n <= 20000)
+    sw = stopword_ratio(c, stopwords)
+    mwl = mean_word_length(c)
+    score = (len_ok.cast("double") * 0.25
+             + ((sw >= 0.05) & (sw <= 0.6)).cast("double") * 0.25
+             + (punct_ratio(c) <= 0.2).cast("double") * 0.25
+             + ((mwl >= 2.0) & (mwl <= 12.0)).cast("double") * 0.25)
+    return score
+
+
+def lang_id(col, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    'und' when nothing matches. One projection, deterministic tie-break by
+    language code order."""
+    profiles = profiles or LANG_PROFILES
+    toks = tokens(col)
+    best_score, best_lang = None, None
+    for code in sorted(profiles):
+        words = F.array(*[F.lit(w) for w in profiles[code]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+        if best_score is None:
+            best_score, best_lang = score, F.lit(code)
+        else:
+            gt = score > best_score
+            best_lang = F.when(gt, F.lit(code)).otherwise(best_lang)
+            best_score = F.when(gt, score).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint(col) -> Column:
+    """Canonical document fingerprint: md5 of the sorted distinct lowercase
+    token set (the classic 'fingerprint clustering' key). A pure projection;
+    dedup on it is one hash-groupBy."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(
+        F.col(col) if isinstance(col, str) else col))))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def rolling_hashes(col, k: int = 5) -> Column:
+    """k-token shingle hashes (rolling window over the token array) —
+    the shingle set used by MinHash. Array expression, no explode."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text stats in one map-only projection."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_computed"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        mean_word_length(text_col).alias("mean_word_len"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -398,3 +398,232 @@ def q_tpch_q1(spark, sf_dir):
          F.round(F.mean("l_discount"), 6).alias("avg_disc"),
          F.count(F.lit(1)).alias("count_order")],
         ["l_returnflag", "l_linestatus"])
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis (pipeline/text.py)
+# ---------------------------------------------------------------------------
+
+@query("text_stats", """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(LENGTH(text) AS INT)                 AS n_chars_c,
+       ROUND(len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','and','of','to','in','is','it','that',
+                                 'a','an','for','on','with','as'], t)))
+             * 1.0 / len(string_split(text, ' ')), 6) AS sw_ratio,
+       md5(array_to_string(list_sort(list_distinct(
+             string_split(LOWER(text), ' '))), ' ')) AS fingerprint
+FROM documents
+""")
+def q_text_stats(spark, sf_dir):
+    from .pipeline import text as TX
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars_c"),
+        F.round(TX.stopword_ratio("text"), 6).alias("sw_ratio"),
+        TX.fingerprint("text").alias("fingerprint"))
+
+
+@query("lang_id", """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sc AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> list_contains(['der','die','und','das','von','zu','mit','den'], t))) AS s_de,
+    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','it','that'], t)))   AS s_en,
+    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','se'], t)))      AS s_es,
+    len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des','en','un'], t)))     AS s_fr
+  FROM s
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM sc
+""")
+def q_lang_id(spark, sf_dir):
+    from .pipeline import text as TX
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@query("quality_score", """
+WITH s AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+    LENGTH(text) AS n,
+    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','it','that',
+                                              'a','an','for','on','with','as'], t)))
+      * 1.0 / len(toks) AS sw,
+    (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+      * 1.0 / LENGTH(text) AS pr,
+    list_sum(list_transform(toks, t -> LENGTH(t))) * 1.0 / len(toks) AS mwl
+  FROM s
+)
+SELECT doc_id,
+  ROUND(CASE WHEN n BETWEEN 64 AND 20000 THEN 0.25 ELSE 0 END
+      + CASE WHEN sw BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0 END
+      + CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0 END
+      + CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END, 2)
+    AS quality
+FROM m
+""")
+def q_quality_score(spark, sf_dir):
+    from .pipeline import text as TX
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id",
+                     F.round(TX.quality_score("text"), 2).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup (pipeline/dedup.py)
+# ---------------------------------------------------------------------------
+
+@query("dedup_fingerprint", """
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+           string_split(LOWER(text), ' '))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+""")
+def q_dedup_fingerprint(spark, sf_dir):
+    from .pipeline.dedup import fingerprint_duplicates
+    df = _t(spark, sf_dir, "documents")
+    out = fingerprint_duplicates(df)
+    return out.select("fingerprint", "n_docs",
+                      F.array_min("doc_ids").alias("min_id"),
+                      F.array_max("doc_ids").alias("max_id"))
+
+
+@query("dedup_exact", """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    from .pipeline.dedup import exact_duplicates
+    df = _t(spark, sf_dir, "documents")
+    out = exact_duplicates(df)
+    return out.select("content_hash", "n_docs",
+                      F.array_min("doc_ids").alias("min_id"),
+                      F.array_max("doc_ids").alias("max_id"))
+
+
+@query("jaccard_pairs", """
+WITH ts AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.t, b.t)) * 1.0
+             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
+         AS jaccard
+FROM ts a, ts b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.t, b.t)) * 1.0
+      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.95
+""")
+def q_jaccard_pairs(spark, sf_dir):
+    from .pipeline.dedup import ngram_jaccard_pairs
+    df = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(df, threshold=0.95)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("minhash_signatures", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), seeds AS (SELECT unnest(range(8)) AS seed)
+SELECT doc_id, CAST(seed AS INT) AS seed,
+       MIN(CAST(('0x' || substr(md5(tok || '#' || seed::VARCHAR), 1, 8))
+                AS BIGINT)) AS minhash
+FROM toks CROSS JOIN seeds
+GROUP BY doc_id, seed
+""")
+def q_minhash_signatures(spark, sf_dir):
+    from .pipeline.dedup import minhash_signatures
+    df = _t(spark, sf_dir, "documents")
+    return minhash_signatures(df, num_hashes=8) \
+        .withColumn("seed", F.col("seed").cast("int"))
+
+
+@query("simhash")
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (pandas-UDF path) — no SQL oracle (bit-level
+    numpy logic); correctness covered by tests/test_pipeline.py which
+    checks Hamming(simhash) correlates with Jaccard similarity."""
+    from .pipeline.dedup import simhash_fingerprints
+    df = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(df)
+
+
+@query("minhash_lsh_pairs")
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs — rows-only check (banding is
+    collect_list-order-free but the band-hash construction is not
+    practical in ANSI SQL); recall-vs-exact-Jaccard is pinned in
+    tests/test_pipeline.py."""
+    from .pipeline.dedup import minhash_lsh_pairs
+    df = _t(spark, sf_dir, "documents")
+    # r=8 rows/band -> LSH s-curve threshold ~0.92, tuned for >=0.95 dedup
+    return minhash_lsh_pairs(df, num_hashes=16, bands=2)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: similarity search (pipeline/similarity.py)
+# ---------------------------------------------------------------------------
+
+@query("ann_topk", """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8)
+SELECT * FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                          c.embedding::DOUBLE[]), 6) DESC, c.vec_id ASC)
+           AS INT) AS rank
+  FROM embeddings c CROSS JOIN q
+  WHERE q.vec_id != c.vec_id
+) WHERE rank <= 5
+""")
+def q_ann_topk(spark, sf_dir):
+    from .pipeline.similarity import brute_force_topk
+    df = _t(spark, sf_dir, "embeddings")
+    queries_df = df.filter(F.col("vec_id") < 8)
+    return brute_force_topk(df, queries_df, k=5) \
+        .withColumn("rank", F.col("rank").cast("int"))
+
+
+@query("embedding_neardup", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.4
+""")
+def q_embedding_neardup(spark, sf_dir):
+    from .pipeline.dedup import embedding_neardup_pairs
+    df = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(df, threshold=0.4)
+
+
+@query("ann_ivf")
+def q_ann_ivf(spark, sf_dir):
+    """IVF-probed approximate top-k — rows-only check (approximation);
+    recall vs brute force is pinned in tests/test_pipeline.py."""
+    from .pipeline.similarity import ivf_topk
+    df = _t(spark, sf_dir, "embeddings")
+    queries_df = df.filter(F.col("vec_id") < 8)
+    return ivf_topk(df, queries_df, k=5)

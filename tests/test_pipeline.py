@@ -1,0 +1,104 @@
+"""Training-data pipeline operators: recall/quality pins for the
+approximate paths (MinHash-LSH, SimHash, IVF) against their exact
+counterparts, plus plumbing checks."""
+import numpy.testing as npt
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+def test_token_count_matches_python(docs, pdf_tables):
+    from handyspark_spark.pipeline import text as TX
+    got = (docs.select("doc_id", TX.token_count("text").alias("n"))
+           .toPandas().set_index("doc_id")["n"])
+    exp = pdf_tables["documents"].set_index("doc_id")["text"] \
+        .map(lambda t: len(t.split(" ")))
+    npt.assert_array_equal(got.sort_index().values, exp.sort_index().values)
+
+
+def test_fingerprint_dedup_groups_are_token_set_equal(docs, pdf_tables):
+    from handyspark_spark.pipeline.dedup import fingerprint_duplicates
+    groups = fingerprint_duplicates(docs).collect()
+    assert len(groups) > 0
+    texts = pdf_tables["documents"].set_index("doc_id")["text"]
+    for g in groups[:5]:
+        sets = {frozenset(texts[i].lower().split(" ")) for i in g.doc_ids}
+        assert len(sets) == 1
+
+
+def test_minhash_lsh_recall(docs):
+    """LSH candidates must contain (almost) all truly-similar pairs."""
+    from handyspark_spark.pipeline.dedup import (minhash_lsh_pairs,
+                                                 ngram_jaccard_pairs)
+    truth = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(docs, threshold=0.98).collect()}
+    cand = {(r.id_a, r.id_b) for r in
+            minhash_lsh_pairs(docs, num_hashes=16, bands=2).collect()}
+    assert truth, "fixture should contain near-dup docs"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} too low"
+
+
+def test_simhash_separates_similar_from_dissimilar(docs):
+    from handyspark_spark.pipeline.dedup import (ngram_jaccard_pairs,
+                                                 simhash_fingerprints)
+    fps = {r.doc_id: r.simhash for r in
+           simhash_fingerprints(docs).collect()}
+    sim_pairs = [(r.id_a, r.id_b) for r in
+                 ngram_jaccard_pairs(docs, threshold=1.0).collect()]
+    assert sim_pairs
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    same = [ham(fps[a], fps[b]) for a, b in sim_pairs[:50]]
+    ids = sorted(fps)[:30]
+    allp = [ham(fps[a], fps[b]) for i, a in enumerate(ids)
+            for b in ids[i + 1:]]
+    assert sum(same) / len(same) < sum(allp) / len(allp)
+    # identical token sets -> identical simhash
+    assert max(same) == 0
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    from handyspark_spark.pipeline.similarity import (brute_force_topk,
+                                                      ivf_topk)
+    q = emb.filter(F.col("vec_id") < 16)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low for nprobe=half"
+
+
+def test_srp_lsh_neardup_finds_top_pairs(emb):
+    from handyspark_spark.pipeline.dedup import embedding_neardup_pairs
+    from handyspark_spark.pipeline.similarity import lsh_neardup_pairs
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_neardup_pairs(emb, threshold=0.45).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              lsh_neardup_pairs(emb, threshold=0.45, bits=4,
+                                tables=4).collect()}
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5
+    # no false positives below threshold by construction (exact verify step)
+    assert approx <= exact or not exact
+
+
+def test_lang_id_runs_and_is_deterministic(docs):
+    from handyspark_spark.pipeline import text as TX
+    a = docs.select("doc_id", TX.lang_id("text").alias("l")).collect()
+    b = docs.select("doc_id", TX.lang_id("text").alias("l")).collect()
+    assert a == b
+    assert all(r.l in ("de", "en", "es", "fr", "und") for r in a)

@@ -1,0 +1,165 @@
+"""Stratification engine + fitted transforms vs pandas oracles."""
+import numpy.testing as npt
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from handyspark_spark import Bucket, Quantile, toHandy
+
+
+@pytest.fixture(scope="module")
+def hdf(tables):
+    return toHandy(tables["lineitem"])
+
+
+@pytest.fixture(scope="module")
+def pdf(pdf_tables):
+    return pdf_tables["lineitem"]
+
+
+def test_stratified_mean(hdf, pdf):
+    res = hdf.stratify(["l_returnflag"]).cols["l_extendedprice"].mean()
+    exp = pdf.groupby("l_returnflag")["l_extendedprice"].mean()
+    npt.assert_array_almost_equal(res.sort_index().values,
+                                  exp.sort_index().values)
+
+
+def test_stratified_two_level_value_counts(hdf, pdf):
+    res = (hdf.stratify(["l_returnflag", "l_linestatus"])
+           .cols["l_shipdate"].value_counts())
+    assert res.sum() == len(pdf.dropna(subset=["l_shipdate"]))
+
+
+def test_stratified_mode(hdf, pdf):
+    res = hdf.stratify(["l_linestatus"]).cols["l_returnflag"].mode()
+    exp = pdf.groupby("l_linestatus")["l_returnflag"] \
+        .agg(lambda s: s.mode().min())
+    npt.assert_array_equal(res.sort_index().values, exp.sort_index().values)
+
+
+def test_bucket_strata_mean(hdf, pdf):
+    import numpy as np
+    res = (hdf.stratify([Bucket("l_extendedprice", 3)])
+           .cols["l_quantity"].mean())
+    lo, hi = pdf["l_extendedprice"].min(), pdf["l_extendedprice"].max()
+    edges = np.linspace(lo, hi, 4)
+    w = (hi - lo) / 3
+    ids = np.minimum(np.floor((pdf["l_extendedprice"] - lo) / w), 2)
+    exp = pdf.groupby(ids)["l_quantity"].mean()
+    npt.assert_array_almost_equal(np.sort(res.values), np.sort(exp.values))
+    # clause-string labels on the index
+    assert all("l_extendedprice >=" in str(i) for i in res.index)
+
+
+def test_quantile_strata_counts_roughly_equal(hdf):
+    res = (hdf.stratify([Quantile("l_extendedprice", 4)])
+           .cols["l_returnflag"].value_counts())
+    per_bucket = res.groupby(level=0).sum()
+    assert len(per_bucket) == 4
+    assert per_bucket.max() / per_bucket.min() < 1.3
+
+
+def test_fill_mean_global(tables, spark):
+    df = tables["lineitem"].withColumn(
+        "d", F.when(F.col("l_discount") == 0.0, None)
+             .otherwise(F.col("l_discount")))
+    hdf = toHandy(df)
+    filled = hdf.fill(continuous=["d"], strategy="mean")
+    assert filled._df.filter(F.isnull("d")).count() == 0
+    assert "d" in filled.statistics_
+    mu = df.agg(F.mean("d")).collect()[0][0]
+    npt.assert_almost_equal(filled.statistics_["d"], mu)
+
+
+def test_fill_categorical_mode(tables):
+    df = tables["lineitem"].withColumn(
+        "f", F.when(F.col("l_linenumber") == 1, None)
+             .otherwise(F.col("l_returnflag")))
+    hdf = toHandy(df)
+    filled = hdf.fill(categorical=["f"])
+    assert filled._df.filter(F.isnull("f")).count() == 0
+
+
+def test_stratified_fill_clause_keys(tables):
+    df = tables["lineitem"].withColumn(
+        "d", F.when(F.col("l_discount") == 0.0, None)
+             .otherwise(F.col("l_discount")))
+    hdf = toHandy(df)
+    filled = hdf.stratify(["l_returnflag"]).fill(continuous=["d"],
+                                                 strategy="mean")
+    keys = list(filled.statistics_.keys())
+    assert any('l_returnflag == "' in k for k in keys)
+    assert filled._df.filter(F.isnull("d")).count() == 0
+
+
+def test_fence_winsorizes(hdf, pdf):
+    fenced = hdf.fence(["l_extendedprice"], exact=True)
+    q1, q3 = pdf["l_extendedprice"].quantile([0.25, 0.75])
+    lf, uf = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    got_min, got_max = fenced._df.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    assert got_min >= lf - 1e-9 and got_max <= uf + 1e-9
+    npt.assert_almost_equal(fenced.fences_["l_extendedprice"], [lf, uf])
+
+
+def test_imputer_transformer_roundtrip(tables, spark, tmp_path):
+    from handyspark_spark.ml.base import HandyImputer
+    df = tables["lineitem"].withColumn(
+        "d", F.when(F.col("l_discount") == 0.0, None)
+             .otherwise(F.col("l_discount")))
+    hdf = toHandy(df)
+    filled = hdf.stratify(["l_returnflag"]).fill(continuous=["d"],
+                                                 strategy="mean")
+    imp = filled.transformers.imputer()
+    path = str(tmp_path / "imputer")
+    imp.write().overwrite().save(path)
+    imp2 = HandyImputer.load(path)
+    out = imp2.transform(df)
+    assert out.filter(F.isnull("d")).count() == 0
+    # same result as the fitted frame
+    a = filled._df.agg(F.round(F.sum("d"), 6)).collect()[0][0]
+    b = out.agg(F.round(F.sum("d"), 6)).collect()[0][0]
+    assert a == b
+
+
+def test_fencer_transformer_roundtrip(tables, tmp_path):
+    from handyspark_spark.ml.base import HandyFencer
+    hdf = toHandy(tables["lineitem"])
+    fenced = hdf.fence(["l_extendedprice"], exact=True)
+    f = fenced.transformers.fencer()
+    path = str(tmp_path / "fencer")
+    f.write().overwrite().save(path)
+    f2 = HandyFencer.load(path)
+    out = f2.transform(tables["lineitem"])
+    a = fenced._df.agg(F.round(F.sum("l_extendedprice"), 4)).collect()[0][0]
+    b = out.agg(F.round(F.sum("l_extendedprice"), 4)).collect()[0][0]
+    assert a == b
+
+
+def test_tukey_outliers(hdf, pdf):
+    res = hdf.outliers(exact=True)
+    q1, q3 = pdf["l_extendedprice"].quantile([0.25, 0.75])
+    iqr = q3 - q1
+    exp = ((pdf["l_extendedprice"] < q1 - 1.5 * iqr) |
+           (pdf["l_extendedprice"] > q3 + 1.5 * iqr)).sum()
+    assert res["l_extendedprice"] == exp
+
+
+def test_mahalanobis_outliers(hdf, pdf):
+    import numpy as np
+
+    from handyspark_spark.operators.special import chi2_ppf
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    out = hdf.get_outliers(cols, critical_value=0.5)
+    n_out = out._df.count()
+    # numpy oracle: standardized cols, correlation inverse, chi2 threshold
+    X = pdf[cols].to_numpy(dtype=float)
+    Z = (X - X.mean(0)) / X.std(0, ddof=1)
+    inv = np.linalg.inv(np.corrcoef(Z, rowvar=False))
+    d2 = np.einsum("ij,jk,ik->i", Z, inv, Z)
+    exp = (np.sqrt(d2) > np.sqrt(chi2_ppf(0.5, 3))).sum()
+    assert abs(n_out - exp) <= max(2, 0.01 * exp)
+    # distances ordered desc
+    d = [r["__mahalanobis"] for r in out._df.select("__mahalanobis")
+         .limit(100).collect()]
+    assert d == sorted(d, reverse=True)
