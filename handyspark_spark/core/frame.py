@@ -185,6 +185,21 @@ class HandyFrame:
         from ..operators.strata import HandyStrata
         return HandyStrata(self, strata)
 
+    def ordered(self, by, partition=None):
+        """Ordered-window Series ops (cumsum/diff/shift/rank/...) — the
+        upgrade over the reference's order-dependent-method blacklist
+        (sql/pandas.py:11-12). Requires an explicit ordering column."""
+        from ..functions.window import OrderedAccessor
+        return OrderedAccessor(self, by, partition)
+
+    def metrics(self, score_col: str = "probability",
+                label_col: str = "label", **kwargs):
+        """DataFrame-native BinaryClassificationMetrics
+        (replaces the reference's mllib/JVM bridge)."""
+        from ..ml.evaluation import BinaryClassificationMetrics
+        return BinaryClassificationMetrics(self._df, score_col, label_col,
+                                           **kwargs)
+
     # -- missing data / outliers (operators) --------------------------------
     def isnull(self, ratio: bool = False) -> pd.Series:
         from ..operators import agg as A

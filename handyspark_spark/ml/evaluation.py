@@ -1,0 +1,165 @@
+"""DataFrame-native binary classification metrics.
+
+Re-derives reference ``handyspark/extensions/evaluation.py`` WITHOUT the
+JVM bridge (``call``/``call2`` Tuple2-RDD deserialization into mllib): the
+entire threshold-metric family is ONE Spark plan — group scores, cumulative
+sums over a score-descending window — and every curve is a projection of
+that plan. mllib endpoint conventions preserved (evaluation.py:14-34):
+roc prepends (0,0) and appends (1,1); pr prepends (0, p@lowest-recall);
+getMetricsByThreshold appends the (0, 1, 1, 0) sentinel row.
+
+Scale note: the window is keyed on nothing (global cumulative over
+distinct scores) — fine when distinct scores ≪ rows (typical for model
+outputs); for fully-continuous scores at 100 TB, pre-bin scores to a
+fixed precision first (``score_bins`` argument).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class BinaryClassificationMetrics:
+    """Constructed from a DataFrame with a score (double or probability
+    vector/array — element [1] taken as P(class 1), ref evaluation.py:
+    138-152) and a binary label column."""
+
+    def __init__(self, scoreAndLabels: DataFrame, scoreCol: str = "score",
+                 labelCol: str = "label", score_bins: int | None = None):
+        df = scoreAndLabels
+        dtype = dict(df.dtypes)[scoreCol]
+        score = F.col(scoreCol)
+        if dtype.startswith(("array", "vector")):
+            score = score[1]
+        score = score.cast("double")
+        if score_bins:
+            score = F.round(score, score_bins)
+        self._scores = df.select(score.alias("score"),
+                                 F.col(labelCol).cast("double")
+                                 .alias("label"))
+        self._cum = None
+
+    # -- the single shared plan --------------------------------------------
+    def _curve(self) -> DataFrame:
+        """Per distinct score (desc): cumulative tp/fp + totals."""
+        if self._cum is None:
+            g = (self._scores.groupBy("score")
+                 .agg(F.sum("label").alias("_pos"),
+                      F.sum(F.lit(1.0) - F.col("label")).alias("_neg")))
+            w = (Window.orderBy(F.desc("score"))
+                 .rowsBetween(Window.unboundedPreceding, 0))
+            cum = (g.withColumn("tp", F.sum("_pos").over(w))
+                    .withColumn("fp", F.sum("_neg").over(w)))
+            tot = self._scores.agg(
+                F.sum("label").alias("P"),
+                F.sum(F.lit(1.0) - F.col("label")).alias("N")).collect()[0]
+            self._cum = cum.withColumn("P", F.lit(float(tot.P))) \
+                           .withColumn("N", F.lit(float(tot.N)))
+        return self._cum
+
+    def thresholds(self) -> DataFrame:
+        return self._curve().select(F.col("score").alias("threshold")) \
+                            .orderBy(F.desc("threshold"))
+
+    def roc(self) -> DataFrame:
+        """(fpr, tpr) with (0,0) prepended and (1,1) appended."""
+        c = self._curve().select(
+            (F.col("fp") / F.col("N")).alias("fpr"),
+            (F.col("tp") / F.col("P")).alias("tpr"),
+            "score")
+        spark = c.sparkSession
+        ends = spark.createDataFrame(
+            [(0.0, 0.0, float("inf")), (1.0, 1.0, float("-inf"))],
+            "fpr double, tpr double, score double")
+        return (c.unionByName(ends).orderBy(F.desc("score"))
+                 .select("fpr", "tpr"))
+
+    def pr(self) -> DataFrame:
+        """(recall, precision) with (0, p@lowest-recall) prepended."""
+        c = self._curve().select(
+            (F.col("tp") / F.col("P")).alias("recall"),
+            (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+            "score")
+        first = c.orderBy(F.desc("score")).first()
+        spark = c.sparkSession
+        head = spark.createDataFrame(
+            [(0.0, float(first.precision), float("inf"))],
+            "recall double, precision double, score double")
+        return (head.unionByName(c).orderBy(F.desc("score"))
+                    .select("recall", "precision"))
+
+    def precisionByThreshold(self) -> DataFrame:
+        return self._curve().select(
+            F.col("score").alias("threshold"),
+            (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"))
+
+    def recallByThreshold(self) -> DataFrame:
+        return self._curve().select(
+            F.col("score").alias("threshold"),
+            (F.col("tp") / F.col("P")).alias("recall"))
+
+    def fMeasureByThreshold(self, beta: float = 1.0) -> DataFrame:
+        b2 = beta * beta
+        p = F.col("tp") / (F.col("tp") + F.col("fp"))
+        r = F.col("tp") / F.col("P")
+        fm = (1 + b2) * p * r / (b2 * p + r)
+        return self._curve().select(F.col("score").alias("threshold"),
+                                    fm.alias("f_measure"))
+
+    def getMetricsByThreshold(self) -> DataFrame:
+        """DataFrame(threshold, fpr, recall, precision) + the reference's
+        trailing (0., 1., 1., 0.) row (ref evaluation.py:60-75)."""
+        c = self._curve().select(
+            F.col("score").alias("threshold"),
+            (F.col("fp") / F.col("N")).alias("fpr"),
+            (F.col("tp") / F.col("P")).alias("recall"),
+            (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"))
+        spark = c.sparkSession
+        tail = spark.createDataFrame([(0.0, 1.0, 1.0, 0.0)],
+                                     "threshold double, fpr double, "
+                                     "recall double, precision double")
+        return c.unionByName(tail)
+
+    @property
+    def areaUnderROC(self) -> float:
+        """Trapezoid integration of the ROC curve, computed as one window
+        plan (lag) + agg — no driver-side curve materialization."""
+        c = self._curve().select(
+            (F.col("fp") / F.col("N")).alias("fpr"),
+            (F.col("tp") / F.col("P")).alias("tpr"), "score")
+        w = Window.orderBy(F.desc("score"))
+        with_prev = c.select(
+            "fpr", "tpr",
+            F.lag("fpr", 1, 0.0).over(w).alias("pfpr"),
+            F.lag("tpr", 1, 0.0).over(w).alias("ptpr"))
+        area = with_prev.agg(F.sum(
+            (F.col("fpr") - F.col("pfpr")) *
+            (F.col("tpr") + F.col("ptpr")) / 2)).collect()[0][0]
+        # close the curve to (1,1)
+        last = c.orderBy(F.asc("score")).first()
+        return float(area + (1.0 - last.fpr) * (1.0 + last.tpr) / 2)
+
+    @property
+    def areaUnderPR(self) -> float:
+        pr = self.pr().toPandas()
+        import numpy as np
+        return float(np.trapz(pr["precision"], pr["recall"]))
+
+    def confusionMatrix(self, threshold: float = 0.5):
+        """2×2 pandas DataFrame, predicted classes in columns ordered by
+        label ascending (ref evaluation.py:77-116)."""
+        import pandas as pd
+        cm = (self._scores
+              .groupBy(F.col("label").cast("int").alias("actual"),
+                       (F.col("score") > F.lit(threshold)).cast("int")
+                       .alias("predicted"))
+              .agg(F.count(F.lit(1)).alias("n")).toPandas())
+        mat = (cm.pivot(index="actual", columns="predicted", values="n")
+               .reindex(index=[0, 1], columns=[0, 1]).fillna(0).astype(int))
+        mat.index.name = "actual"
+        mat.columns = pd.Index([0, 1], name="predicted")
+        return mat
+
+    def print_confusion_matrix(self, threshold: float = 0.5):
+        print(self.confusionMatrix(threshold))
+        return self.confusionMatrix(threshold)

@@ -627,3 +627,295 @@ def q_ann_ivf(spark, sf_dir):
     df = _t(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 8)
     return ivf_topk(df, queries_df, k=5)
+
+# ---------------------------------------------------------------------------
+# Classification metrics (ml/evaluation.py) — JVM-free threshold curves
+# ---------------------------------------------------------------------------
+
+def _metrics(spark, sf_dir):
+    from .ml.evaluation import BinaryClassificationMetrics
+    df = _t(spark, sf_dir, "embeddings").select(
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+        (F.col("label") >= 5).cast("double").alias("label"))
+    return BinaryClassificationMetrics(df, "score", "label")
+
+
+_METRICS_BASE_SQL = """
+  s AS (SELECT ROUND(embedding[1]::DOUBLE, 6) AS score,
+               CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS lab
+        FROM embeddings),
+  g AS (SELECT score, SUM(lab) AS pos, SUM(1 - lab) AS neg
+        FROM s GROUP BY score),
+  c AS (SELECT score,
+               SUM(pos) OVER (ORDER BY score DESC) AS tp,
+               SUM(neg) OVER (ORDER BY score DESC) AS fp
+        FROM g),
+  t AS (SELECT SUM(lab) AS P, SUM(1 - lab) AS N FROM s)
+"""
+
+
+@query("roc_curve", f"""
+WITH {_METRICS_BASE_SQL}
+SELECT ROUND(fp / N, 6) AS fpr, ROUND(tp / P, 6) AS tpr FROM c, t
+UNION ALL SELECT 0.0, 0.0
+UNION ALL SELECT 1.0, 1.0
+""")
+def q_roc_curve(spark, sf_dir):
+    m = _metrics(spark, sf_dir)
+    return m.roc().select(F.round("fpr", 6).alias("fpr"),
+                          F.round("tpr", 6).alias("tpr"))
+
+
+@query("pr_curve", f"""
+WITH {_METRICS_BASE_SQL}
+SELECT ROUND(tp / P, 6) AS recall,
+       ROUND(tp / (tp + fp), 6) AS precision FROM c, t
+UNION ALL
+SELECT 0.0, ROUND(tp / (tp + fp), 6) FROM c, t
+WHERE score = (SELECT MAX(score) FROM c)
+""")
+def q_pr_curve(spark, sf_dir):
+    m = _metrics(spark, sf_dir)
+    return m.pr().select(F.round("recall", 6).alias("recall"),
+                         F.round("precision", 6).alias("precision"))
+
+
+@query("auc_roc", f"""
+WITH {_METRICS_BASE_SQL},
+curve AS (
+  SELECT ROUND(fp / N, 6) AS fpr, ROUND(tp / P, 6) AS tpr FROM c, t
+  UNION ALL SELECT 0.0, 0.0
+  UNION ALL SELECT 1.0, 1.0
+), lagged AS (
+  SELECT fpr, tpr,
+         LAG(fpr) OVER (ORDER BY fpr, tpr) AS pfpr,
+         LAG(tpr) OVER (ORDER BY fpr, tpr) AS ptpr
+  FROM curve
+)
+SELECT ROUND(SUM((fpr - pfpr) * (tpr + ptpr) / 2), 6) AS auc
+FROM lagged WHERE pfpr IS NOT NULL
+""")
+def q_auc_roc(spark, sf_dir):
+    m = _metrics(spark, sf_dir)
+    # integrate over the rounded curve so the oracle trapezoids match
+    curve = m.roc().select(F.round("fpr", 6).alias("fpr"),
+                           F.round("tpr", 6).alias("tpr"))
+    from pyspark.sql import Window
+    w = Window.orderBy("fpr", "tpr")
+    lagged = curve.select(
+        "fpr", "tpr",
+        F.lag("fpr").over(w).alias("pfpr"),
+        F.lag("tpr").over(w).alias("ptpr"))
+    return (lagged.filter(F.col("pfpr").isNotNull())
+            .agg(F.round(F.sum((F.col("fpr") - F.col("pfpr")) *
+                               (F.col("tpr") + F.col("ptpr")) / 2), 6)
+                 .alias("auc")))
+
+
+@query("confusion_matrix", """
+SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS actual,
+       CASE WHEN ROUND(embedding[1]::DOUBLE, 6) > 0.0 THEN 1 ELSE 0 END
+         AS predicted,
+       COUNT(*) AS n
+FROM embeddings GROUP BY 1, 2
+""")
+def q_confusion_matrix(spark, sf_dir):
+    m = _metrics(spark, sf_dir)
+    return (m._scores
+            .groupBy(F.col("label").cast("int").alias("actual"),
+                     (F.col("score") > 0.0).cast("int").alias("predicted"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Statistical tests (operators/stats.py) — JVM-free
+# ---------------------------------------------------------------------------
+
+@query("ttest_welch", """
+WITH g AS (
+  SELECT c_mktsegment, AVG(c_acctbal) AS m, VAR_SAMP(c_acctbal) AS v,
+         COUNT(*) AS n
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT a.c_mktsegment AS group_1, b.c_mktsegment AS group_2,
+       ROUND((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n), 6) AS t_stat,
+       ROUND(POW(a.v / a.n + b.v / b.n, 2)
+             / (POW(a.v / a.n, 2) / (a.n - 1)
+                + POW(b.v / b.n, 2) / (b.n - 1)), 4) AS dof
+FROM g a JOIN g b ON a.c_mktsegment < b.c_mktsegment
+""")
+def q_ttest_welch(spark, sf_dir):
+    from .operators.stats import ttest
+    df = _t(spark, sf_dir, "customer")
+    pdf = ttest(df, "c_acctbal", "c_mktsegment")
+    pdf = pdf.assign(t_stat=pdf.t_stat.round(6), dof=pdf.dof.round(4))
+    return spark.createDataFrame(
+        pdf[["group_1", "group_2", "t_stat", "dof"]])
+
+
+@query("ks_uniform", """
+WITH v AS (
+  SELECT value AS v, COUNT(*) AS c FROM events GROUP BY value
+), mm AS (SELECT MIN(value) lo, MAX(value) hi, COUNT(*) n FROM events),
+e AS (
+  SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM v
+)
+SELECT ROUND(MAX(GREATEST(
+         ABS(cum * 1.0 / n - (v - lo) / (hi - lo)),
+         ABS((cum - c) * 1.0 / n - (v - lo) / (hi - lo)))), 6) AS ks_stat
+FROM e, mm
+""")
+def q_ks_uniform(spark, sf_dir):
+    from .operators.stats import ks_test
+    df = _t(spark, sf_dir, "events")
+    res = ks_test(df, "value", dist="uniform")
+    return spark.createDataFrame([(round(res["statistic"], 6),)],
+                                 "ks_stat double")
+
+
+# ---------------------------------------------------------------------------
+# Ordered-window surface (functions/window.py) — reference-blacklist upgrade
+# ---------------------------------------------------------------------------
+
+@query("window_ops", """
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER w_cum, 2)       AS cum_spend,
+       ROUND(o_totalprice - LAG(o_totalprice) OVER w, 2) AS delta,
+       CAST(ROW_NUMBER() OVER w AS INT)             AS order_seq,
+       ROUND(AVG(o_totalprice) OVER
+             (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS rolling3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def q_window_ops(spark, sf_dir):
+    hdf = toHandy(_t(spark, sf_dir, "orders"))
+    s = hdf.ordered(by=["o_orderdate", "o_orderkey"],
+                    partition="o_custkey")["o_totalprice"]
+    out = hdf.assign(
+        cum_spend=F.round(s.cumsum(), 2),
+        delta=F.round(s.diff(), 2),
+        order_seq=s.cumcount().cast("int"),
+        rolling3=F.round(s.rolling_mean(3), 4))
+    return out.select("o_orderkey", "cum_spend", "delta", "order_seq",
+                      "rolling3")._df
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+@query("asof_join", """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS ref_order
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, r.ref_order
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+""")
+def q_asof_join(spark, sf_dir):
+    from .operators.asof import asof_join
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    right = (orders.groupBy("o_custkey", "o_orderdate")
+             .agg(F.max("o_orderkey").alias("ref_order")))
+    out = asof_join(events, right, on="ts", by="user_id",
+                    right_on="o_orderdate", right_by="o_custkey")
+    return out.select("event_id", "user_id", "ref_order")
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (streaming/windows.py) — batch == streaming plan
+# ---------------------------------------------------------------------------
+
+@query("tumbling_window", """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def q_tumbling_window(spark, sf_dir):
+    from .streaming.windows import tumbling
+    df = _t(spark, sf_dir, "events")
+    out = tumbling(df, "ts", "1 hour", group_cols=["event_type"],
+                   aggs=[F.count(F.lit(1)).alias("cnt"),
+                         F.round(F.sum("value"), 2).alias("sum_value")])
+    return out.drop("window_end")
+
+
+@query("session_counts", """
+WITH o AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev IS NULL
+                       OR epoch(ts) - epoch(prev) > 1800
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM o GROUP BY user_id
+""")
+def q_session_counts(spark, sf_dir):
+    from .streaming.windows import session_counts
+    df = _t(spark, sf_dir, "events")
+    return session_counts(df, "ts", "user_id", 1800)
+
+
+@query("session_window")
+def q_session_window(spark, sf_dir):
+    """Native F.session_window sessionization — rows-only check (session
+    bounds equivalence vs the gaps-and-islands form is pinned in
+    tests/test_streaming.py)."""
+    from .streaming.windows import session
+    df = _t(spark, sf_dir, "events")
+    return session(df, "ts", "30 minutes", group_cols=["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (pipeline/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@query("media_pipeline", """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+""")
+def q_media_pipeline(spark, sf_dir):
+    from .pipeline.multimodal import attach_fake_media, media_features
+    df = _t(spark, sf_dir, "documents")
+    media = attach_fake_media(df, "doc_id", "text")
+    return media_features(media).select("media_id", "byte_len", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# Relational extensions beyond the reference: rollup, top-k
+# ---------------------------------------------------------------------------
+
+@query("rollup_sales", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_rollup_sales(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    return (df.rollup("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                   F.count(F.lit(1)).alias("cnt")))
+
+
+@query("topk_orders", """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""")
+def q_topk_orders(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    return (df.select("o_orderkey", "o_totalprice")
+              .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+              .limit(10))

@@ -1,0 +1,105 @@
+"""Structured-Streaming-ready event-time windowing.
+
+The reference has NO streaming surface (SURVEY.md §2.11); this module is
+the forward-looking extension over the driver's ``events`` table. Every
+builder here works identically on a batch DataFrame and a streaming
+DataFrame (``readStream``) — that symmetry is the point: the batch run IS
+the correctness oracle for the streaming plan.
+
+- ``tumbling`` / ``sliding``: ``F.window`` aggregations.
+- ``session``: ``F.session_window`` (gap-based).
+- ``with_watermark``: late-data bound for streaming mode.
+- ``sessionize``: explicit gaps-and-islands sessionization (lag + cumsum
+  windows) — same result as ``session`` in batch, and the form an ANSI
+  oracle can replicate.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling(df: DataFrame, ts_col: str, duration: str,
+             group_cols: list[str] | None = None,
+             aggs: list[Column] | None = None) -> DataFrame:
+    """Non-overlapping event-time windows; epoch-aligned (same alignment
+    as DuckDB time_bucket for whole-hour/day durations)."""
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    keys = [F.window(F.col(ts_col), duration)] + [
+        F.col(c) for c in (group_cols or [])]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *(group_cols or []),
+        *[c for c in out.columns if c not in ("window",) + tuple(
+            group_cols or [])])
+
+
+def sliding(df: DataFrame, ts_col: str, duration: str, slide: str,
+            group_cols: list[str] | None = None,
+            aggs: list[Column] | None = None) -> DataFrame:
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    keys = [F.window(F.col(ts_col), duration, slide)] + [
+        F.col(c) for c in (group_cols or [])]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *(group_cols or []),
+        *[c for c in out.columns if c not in ("window",) + tuple(
+            group_cols or [])])
+
+
+def session(df: DataFrame, ts_col: str, gap: str,
+            group_cols: list[str] | None = None,
+            aggs: list[Column] | None = None) -> DataFrame:
+    """Gap-based session windows via native ``F.session_window`` —
+    streaming-capable (with watermark) stateful sessionization."""
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    keys = [F.session_window(F.col(ts_col), gap)] + [
+        F.col(c) for c in (group_cols or [])]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *(group_cols or []),
+        *[c for c in out.columns if c not in ("session_window",) + tuple(
+            group_cols or [])])
+
+
+def sessionize(df: DataFrame, ts_col: str, key_col: str,
+               gap_seconds: int) -> DataFrame:
+    """Explicit batch sessionization (gaps-and-islands): session id =
+    cumulative count of gap-breaks per key. One shuffle on the key."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    # fractional-second epoch diff (cast-to-double), not unix_timestamp
+    # (which truncates to whole seconds and shifts gap boundaries)
+    is_new = (prev.isNull() |
+              (F.col(ts_col).cast("double") - prev.cast("double")
+               > gap_seconds)).cast("long")
+    return df.withColumn("session_id",
+                         F.sum(is_new).over(
+                             w.rowsBetween(Window.unboundedPreceding, 0)))
+
+
+def session_counts(df: DataFrame, ts_col: str, key_col: str,
+                   gap_seconds: int) -> DataFrame:
+    """Per-key session count — ANSI-oracle-friendly projection of
+    ``sessionize``."""
+    s = sessionize(df, ts_col, key_col, gap_seconds)
+    return (s.groupBy(key_col)
+             .agg(F.count_distinct("session_id").alias("n_sessions"),
+                  F.count(F.lit(1)).alias("n_events")))
+
+
+def stream_from_events_dir(spark, path: str, schema) -> DataFrame:
+    """``readStream`` entry for a parquet events directory — the streaming
+    twin of ``sources.loader.load_table``."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(path))

@@ -1,0 +1,132 @@
+"""DataFrame-native metrics + stats vs numpy/pandas oracles (mirrors
+reference tests/handyspark/extensions/test_evaluation.py and
+test_stats.py strategy, sklearn-free)."""
+import numpy as np
+import numpy.testing as npt
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def scored(tables):
+    return tables["embeddings"].select(
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+        (F.col("label") >= 5).cast("double").alias("label"))
+
+
+@pytest.fixture(scope="module")
+def scored_pd(scored):
+    return scored.toPandas()
+
+
+def _roc_oracle(pdf):
+    """Pure-numpy ROC points at every distinct score threshold desc."""
+    s = pdf.sort_values("score", ascending=False)
+    P, N = pdf.label.sum(), (1 - pdf.label).sum()
+    pts = []
+    for thr in sorted(pdf.score.unique(), reverse=True):
+        sel = pdf.score >= thr
+        pts.append((pdf.label[sel].eq(0).sum() / N,
+                    pdf.label[sel].eq(1).sum() / P))
+    return pts
+
+
+def test_roc_matches_numpy(scored, scored_pd):
+    from handyspark_spark.ml.evaluation import BinaryClassificationMetrics
+    m = BinaryClassificationMetrics(scored, "score", "label")
+    got = [(r.fpr, r.tpr) for r in m.roc().collect()]
+    exp = [(0.0, 0.0)] + _roc_oracle(scored_pd) + [(1.0, 1.0)]
+    npt.assert_array_almost_equal(np.array(got), np.array(exp))
+
+
+def test_auc_against_trapz(scored, scored_pd):
+    from handyspark_spark.ml.evaluation import BinaryClassificationMetrics
+    m = BinaryClassificationMetrics(scored, "score", "label")
+    pts = np.array([(0.0, 0.0)] + _roc_oracle(scored_pd) + [(1.0, 1.0)])
+    exp = np.trapz(pts[:, 1], pts[:, 0])
+    npt.assert_almost_equal(m.areaUnderROC, exp, decimal=9)
+
+
+def test_confusion_matrix(scored, scored_pd):
+    from handyspark_spark.ml.evaluation import BinaryClassificationMetrics
+    m = BinaryClassificationMetrics(scored, "score", "label")
+    cm = m.confusionMatrix(0.0)
+    pred = scored_pd.score > 0.0
+    assert cm.loc[0, 0] == ((scored_pd.label == 0) & ~pred).sum()
+    assert cm.loc[1, 1] == ((scored_pd.label == 1) & pred).sum()
+    assert cm.values.sum() == len(scored_pd)
+
+
+def test_fmeasure_precision_recall(scored, scored_pd):
+    from handyspark_spark.ml.evaluation import BinaryClassificationMetrics
+    m = BinaryClassificationMetrics(scored, "score", "label")
+    pr = m.precisionByThreshold().orderBy(F.desc("threshold")).first()
+    top_score = scored_pd.score.max()
+    sel = scored_pd.score >= top_score
+    npt.assert_almost_equal(pr.precision, scored_pd.label[sel].mean())
+
+
+def test_array_score_column(tables):
+    """probability array column: element [1] used as P(class 1)."""
+    from handyspark_spark.ml.evaluation import BinaryClassificationMetrics
+    df = tables["embeddings"].select(
+        F.array(F.lit(0.0), F.col("embedding")[1].cast("double"))
+        .alias("probability"),
+        (F.col("label") >= 5).cast("double").alias("label"))
+    m = BinaryClassificationMetrics(df, "probability", "label")
+    assert 0.0 <= m.areaUnderROC <= 1.0
+
+
+def test_welch_ttest_vs_numpy(tables, pdf_tables):
+    from handyspark_spark.operators.stats import ttest
+    res = ttest(tables["customer"], "c_acctbal", "c_mktsegment")
+    pdf = pdf_tables["customer"]
+    g = pdf.groupby("c_mktsegment")["c_acctbal"]
+    for _, row in res.iterrows():
+        a = g.get_group(row.group_1)
+        b = g.get_group(row.group_2)
+        v1, v2 = a.var() / len(a), b.var() / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(v1 + v2)
+        npt.assert_almost_equal(row.t_stat, t, decimal=9)
+        assert 0 <= row.p_value <= 1
+
+
+def test_ttest_pvalue_special_function():
+    """betainc-based t p-value vs known table values."""
+    from handyspark_spark.operators.special import t_sf
+    npt.assert_almost_equal(t_sf(1.96, 1e9), 0.05, decimal=3)
+    npt.assert_almost_equal(t_sf(2.776, 4), 0.05, decimal=3)
+    npt.assert_almost_equal(t_sf(12.706, 1), 0.05, decimal=3)
+
+
+def test_chi2_ppf_table():
+    from handyspark_spark.operators.special import chi2_cdf, chi2_ppf
+    npt.assert_almost_equal(chi2_ppf(0.95, 2), 5.991, decimal=3)
+    npt.assert_almost_equal(chi2_ppf(0.999, 3), 16.266, decimal=3)
+    npt.assert_almost_equal(chi2_cdf(3.841, 1), 0.95, decimal=4)
+
+
+def test_ks_accept_reject(spark):
+    """F.rand column accepted as uniform, rejected as standard normal
+    (mirrors reference tests/handyspark/test_stats.py:5-22)."""
+    from handyspark_spark.operators.stats import ks_test
+    df = spark.range(2000).select(F.rand(42).alias("u"),
+                                  F.randn(42).alias("g"))
+    assert not ks_test(df, "u", dist="uniform",
+                       params=(0.0, 1.0))["reject_at_05"]
+    assert ks_test(df, "u", dist="normal",
+                   params=(0.0, 1.0))["reject_at_05"]
+    assert not ks_test(df, "g", dist="normal",
+                       params=(0.0, 1.0))["reject_at_05"]
+
+
+def test_ks_statistic_vs_numpy(tables, pdf_tables):
+    from handyspark_spark.operators.stats import ks_test
+    vals = np.sort(pdf_tables["events"]["value"].to_numpy(dtype=float))
+    n = len(vals)
+    lo, hi = vals.min(), vals.max()
+    cdf = (vals - lo) / (hi - lo)
+    d = max(np.abs(np.arange(1, n + 1) / n - cdf).max(),
+            np.abs(np.arange(0, n) / n - cdf).max())
+    res = ks_test(tables["events"], "value", dist="uniform")
+    npt.assert_almost_equal(res["statistic"], d, decimal=9)

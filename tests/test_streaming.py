@@ -1,0 +1,161 @@
+"""Event-time windowing: batch == streaming plan symmetry, session
+equivalence, as-of join, multimodal plumbing."""
+import numpy.testing as npt
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_tumbling_totals(tables, pdf_tables):
+    from handyspark_spark.streaming.windows import tumbling
+    out = tumbling(tables["events"], "ts", "1 hour").toPandas()
+    assert out["cnt"].sum() == len(pdf_tables["events"])
+    # epoch-aligned hour boundaries
+    assert (out["window_start"].dt.minute == 0).all()
+
+
+def test_sliding_covers_each_event_twice(tables, pdf_tables):
+    from handyspark_spark.streaming.windows import sliding
+    out = sliding(tables["events"], "ts", "2 hours", "1 hour").toPandas()
+    assert out["cnt"].sum() == 2 * len(pdf_tables["events"])
+
+
+def test_session_window_equals_gaps_and_islands(tables):
+    """Native F.session_window must produce the same number of sessions
+    per user as the explicit lag+cumsum sessionization."""
+    from handyspark_spark.streaming.windows import session, session_counts
+    a = (session(tables["events"], "ts", "30 minutes",
+                 group_cols=["user_id"])
+         .groupBy("user_id").count().toPandas()
+         .set_index("user_id")["count"].sort_index())
+    b = (session_counts(tables["events"], "ts", "user_id", 1800)
+         .toPandas().set_index("user_id")["n_sessions"].sort_index())
+    npt.assert_array_equal(a.values, b.values)
+
+
+def test_streaming_plan_runs(tables, spark, tmp_path):
+    """The SAME tumbling builder must run as a real Structured Streaming
+    query (memory sink) — batch/stream symmetry is the design contract."""
+    import os
+    import shutil
+
+    from handyspark_spark.streaming.windows import (tumbling,
+                                                    with_watermark)
+    src_dir = str(tmp_path / "events_stream")
+    os.makedirs(src_dir)
+    # stage the batch parquet as a streaming source dir
+    tables["events"].limit(2000).write.mode("overwrite").parquet(src_dir)
+    schema = tables["events"].schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src_dir))
+    agg = tumbling(with_watermark(stream, "ts", "2 hours"), "ts", "1 hour",
+                   group_cols=["event_type"])
+    q = (agg.writeStream.format("memory").queryName("t_sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # append-mode emits only watermark-closed windows; plan ran end-to-end
+    assert spark.sql("SELECT count(*) FROM t_sessions").collect()[0][0] >= 0
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_asof_join_backward(tables, ddb):
+    from handyspark_spark.operators.asof import asof_join
+    events = tables["events"].select("event_id", "user_id", "ts")
+    right = (tables["orders"].groupBy("o_custkey", "o_orderdate")
+             .agg(F.max("o_orderkey").alias("ref_order")))
+    got = (asof_join(events, right, on="ts", by="user_id",
+                     right_on="o_orderdate", right_by="o_custkey")
+           .select("event_id", "ref_order").toPandas()
+           .set_index("event_id")["ref_order"].sort_index())
+    exp = ddb.sql("""
+        WITH r AS (SELECT o_custkey, o_orderdate,
+                          MAX(o_orderkey) AS ref_order
+                   FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, r.ref_order
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """).df().set_index("event_id")["ref_order"].sort_index()
+    npt.assert_array_equal(got.fillna(-1).values, exp.fillna(-1).values)
+
+
+def test_asof_join_forward(spark):
+    from handyspark_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 5.0), (1, 11.0), (2, 3.0)], "k int, t double")
+    right = spark.createDataFrame(
+        [(1, 6.0, "a"), (1, 10.0, "b"), (2, 1.0, "c")],
+        "k int, t double, v string")
+    out = {(r.k, r.t): r.v for r in
+           asof_join(left, right, on="t", by="k",
+                     direction="forward").collect()}
+    assert out[(1, 5.0)] == "a"
+    assert out[(1, 11.0)] is None
+    assert out[(2, 3.0)] is None
+
+
+def test_media_features_batch_shape(tables):
+    from handyspark_spark.pipeline.multimodal import (attach_fake_media,
+                                                      media_features)
+    media = attach_fake_media(tables["documents"], "doc_id", "text")
+    out = media_features(media, n_features=8).toPandas()
+    assert len(out) == tables["documents"].count()
+    assert out["features"].map(len).eq(8).all()
+    # deterministic: same bytes -> same features
+    out2 = media_features(media, n_features=8).toPandas()
+    npt.assert_array_equal(
+        out.sort_values("media_id")["sha256"].values,
+        out2.sort_values("media_id")["sha256"].values)
+
+
+def test_media_decode_stub_raises(tables):
+    from handyspark_spark.pipeline.multimodal import (attach_fake_media,
+                                                      media_features)
+    media = attach_fake_media(tables["documents"], "doc_id", "text")
+    with pytest.raises(Exception):
+        media_features(media, fake=False).collect()
+
+
+def test_frame_sampling(tables):
+    from handyspark_spark.pipeline.multimodal import (attach_fake_media,
+                                                      sample_frames)
+    media = attach_fake_media(tables["documents"].limit(10), "doc_id",
+                              "text", kind="video")
+    out = sample_frames(media, every_n=1).toPandas()
+    assert set(out.columns) == {"media_id", "frame_idx", "frame_bytes"}
+    assert len(out) == 10  # n_frames=1 in fake meta
+
+
+def test_ordered_series_vs_pandas(tables, pdf_tables):
+    from handyspark_spark import toHandy
+    hdf = toHandy(tables["orders"])
+    s = hdf.ordered(by=["o_orderdate", "o_orderkey"],
+                    partition="o_custkey")["o_totalprice"]
+    got = (hdf.assign(cs=s.cumsum(), d=s.diff(), ff=s.shift(1))
+           .select("o_orderkey", "cs", "d", "ff").toPandas()
+           .set_index("o_orderkey").sort_index())
+    pdf = (pdf_tables["orders"]
+           .sort_values(["o_orderdate", "o_orderkey"]))
+    g = pdf.groupby("o_custkey")["o_totalprice"]
+    exp = pdf.assign(cs=g.cumsum(), d=g.diff(),
+                     ff=g.shift(1)).set_index("o_orderkey").sort_index()
+    npt.assert_array_almost_equal(got["cs"], exp["cs"])
+    npt.assert_array_almost_equal(got["d"].fillna(-1), exp["d"].fillna(-1))
+    npt.assert_array_almost_equal(got["ff"].fillna(-1),
+                                  exp["ff"].fillna(-1))
+
+
+def test_ordered_rank_and_ffill(spark):
+    from handyspark_spark import toHandy
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, 30.0), (1, 4, None),
+         (2, 1, 5.0), (2, 2, 5.0)],
+        "k int, seq int, v double")
+    hdf = toHandy(df)
+    s = hdf.ordered(by="seq", partition="k")["v"]
+    out = (hdf.assign(ff=s.ffill(), bf=s.bfill(),
+                      rk=s.rank("average"))
+           .orderBy("k", "seq").collect())
+    assert [r.ff for r in out] == [10.0, 10.0, 30.0, 30.0, 5.0, 5.0]
+    assert [r.bf for r in out] == [10.0, 30.0, 30.0, None, 5.0, 5.0]
+    assert [r.rk for r in out[-2:]] == [1.5, 1.5]  # pandas average rank
