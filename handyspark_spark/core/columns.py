@@ -101,7 +101,7 @@ class HandyColumns:
         """One-row wide agg result -> scalar (single col) or named Series."""
         nstrata = len(self._strata)
         if nstrata:
-            pdf = pdf.set_index(self._strata)
+            pdf = pdf.set_index(self._strata).sort_index()
             if self._single:
                 s = pdf[self._cols()[0]]
                 s.name = self._cols()[0]

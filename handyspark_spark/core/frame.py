@@ -167,8 +167,26 @@ class HandyFrame:
         """Number of shuffle stages = exchanges in the executed plan + 1
         (reimplementation of ref dataframe.py:112-116 on the SQL plan rather
         than RDD debug strings)."""
-        plan = self._df._jdf.queryExecution().executedPlan().toString()
-        return plan.count("Exchange") + 1
+        from .util import exchange_count
+        return exchange_count(self._df) + 1
+
+    # -- experimental row addressing (ref dataframe.py:973-985) -------------
+    def _gen_row_ids(self, *sort_cols) -> "HandyFrame":
+        """Absolute 0-based row ids over an explicit total order
+        (EXPERIMENTAL in the reference; global window = one-partition sort,
+        use only on small/driver-bound frames)."""
+        from pyspark.sql import Window
+        w = Window.orderBy(*[F.col(c) for c in sort_cols])
+        out = self._df.withColumn("_row_id",
+                                  F.row_number().over(w) - F.lit(1))
+        return HandyFrame(out, self._handy.copy())
+
+    def _loc(self, lower: int, upper: int) -> "HandyFrame":
+        if "_row_id" not in self._df.columns:
+            raise ValueError("call _gen_row_ids(*sort_cols) first")
+        return HandyFrame(
+            self._df.filter(F.col("_row_id").between(lower, upper)),
+            self._handy.copy())
 
     # -- accessors ----------------------------------------------------------
     @property

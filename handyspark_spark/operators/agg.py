@@ -36,17 +36,25 @@ def percentile_expr(col: str, q, precision: float = 0.01,
                     exact: bool = False) -> Column:
     """approx_percentile(col, q, 1/precision) (ref dataframe.py:748-756) or
     the exact interpolated percentile (Spark ``percentile`` = DuckDB
-    ``quantile_cont``, type-7)."""
+    ``quantile_cont``, type-7). ``q`` may be a list — ONE sketch/sort pass
+    returning an array (always fuse multiple quantiles of a column this
+    way; N separate percentile aggs cost N data passes)."""
+    if isinstance(q, (list, tuple)):
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+    else:
+        qcol = F.lit(q)
     if exact:
-        return F.percentile(F.col(col), F.lit(q))
-    return F.percentile_approx(F.col(col), F.lit(q), F.lit(int(1.0 / precision)))
+        return F.percentile(F.col(col), qcol)
+    return F.percentile_approx(F.col(col), qcol, F.lit(int(1.0 / precision)))
 
 
 def summary_plan(df: DataFrame, exprs: list[Column],
                  strata: list[str] | None = None) -> DataFrame:
-    """groupBy(strata).agg(*exprs) — single shuffle, map-side partials."""
-    out = _group(df, strata).agg(*exprs)
-    return out.orderBy(*strata) if strata else out
+    """groupBy(strata).agg(*exprs) — single shuffle, map-side partials.
+    NO orderBy here: a sort after the agg would add a range-exchange
+    (global sort) for purely cosmetic ordering; callers sort tiny results
+    on the pandas edge instead."""
+    return _group(df, strata).agg(*exprs)
 
 
 def value_counts_plan(df: DataFrame, colnames: list[str],

@@ -135,18 +135,14 @@ def fit_fence_values(df: DataFrame, colnames: list[str], k: float = 1.5,
                      precision: float = 0.01, exact: bool = False):
     """Tukey fences per column in ONE wide agg (q1, q3 for every column at
     once — ref ``_calc_fences`` dataframe.py:332-351)."""
-    exprs = []
-    for c in colnames:
-        exprs.append(A.percentile_expr(c, 0.25, precision, exact)
-                     .alias(f"_q1_{c}"))
-        exprs.append(A.percentile_expr(c, 0.75, precision, exact)
-                     .alias(f"_q3_{c}"))
+    exprs = [A.percentile_expr(c, [0.25, 0.75], precision, exact)
+             .alias(f"_qq_{c}") for c in colnames]   # fused: one pass/col
     stats = A.summary_plan(df, exprs, strata).toPandas()
     rows = []
     for r in stats.to_dict("records"):
         row = {s: r[s] for s in (strata or [])}
         for c in colnames:
-            q1, q3 = r[f"_q1_{c}"], r[f"_q3_{c}"]
+            q1, q3 = r[f"_qq_{c}"]
             iqr = q3 - q1
             row[c] = (q1 - k * iqr, q3 + k * iqr)
         rows.append(row)

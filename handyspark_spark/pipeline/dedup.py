@@ -60,15 +60,30 @@ def _token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: float = 0.8,
-                        max_token_df: int | None = None) -> DataFrame:
-    """Exact pairwise Jaccard >= threshold via inverted-index self-join:
-    explode distinct tokens -> join on token -> |intersection| per pair ->
-    |union| = |A|+|B|-|inter|.
+                        max_token_df: int | None = None,
+                        strategy: str = "auto") -> DataFrame:
+    """Exact pairwise Jaccard >= threshold. Two physical strategies,
+    picked adaptively:
 
-    ``max_token_df`` drops tokens appearing in more than that many docs
-    (stop-token blowup guard — at scale you ALWAYS set this; the joint
-    blowup is quadratic in document frequency)."""
+    - ``bitmask`` (vocab <= 64 distinct tokens): token set encoded as a
+      64-bit mask via a broadcast token dictionary; Jaccard =
+      bit_count(a&b)/bit_count(a|b) over a broadcast self-join — integer
+      bit ops, no exploded shuffle. The win on stop-word-dense corpora
+      where every token appears in most documents.
+    - ``inverted`` (general): explode distinct tokens -> join on token ->
+      |intersection| per pair -> |union| = |A|+|B|-|inter|.
+      ``max_token_df`` drops tokens appearing in more than that many docs
+      (stop-token blowup guard — at 100 TB you ALWAYS set this, or LSH
+      first and use this only to verify candidates).
+    """
     ts = _token_sets(df, text_col, id_col)
+    if strategy == "auto":
+        vocab = (ts.select(F.explode("_toks").alias("t"))
+                 .agg(F.approx_count_distinct("t").alias("n"))
+                 .collect()[0]["n"])
+        strategy = "bitmask" if vocab <= 58 else "inverted"
+    if strategy == "bitmask":
+        return _jaccard_bitmask(ts, id_col, threshold)
     sizes = ts.select("_id", F.size("_toks").alias("_n"))
     inv = ts.select("_id", F.explode("_toks").alias("_tok"))
     if max_token_df is not None:
@@ -91,6 +106,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (out.select("id_a", "id_b", jac.alias("jaccard"))
                .filter(F.col("jaccard") >= threshold))
+
+
+def _jaccard_bitmask(ts: DataFrame, id_col: str,
+                     threshold: float) -> DataFrame:
+    """Small-vocabulary fast path: exact token-id dictionary (collected —
+    <= 64 entries), token set -> packed bigint, pairwise bit_count."""
+    vocab = sorted(r["t"] for r in
+                   ts.select(F.explode("_toks").alias("t"))
+                     .distinct().collect())
+    if len(vocab) > 64:   # approx_count_distinct under-estimated; fall back
+        raise ValueError("vocabulary exceeds 64 tokens; use inverted")
+    tok_bit = F.create_map(*[x for t, i in
+                             ((t, i) for i, t in enumerate(vocab))
+                             for x in (F.lit(t), F.lit(1 << i))])
+    mask = F.aggregate(
+        F.transform(F.col("_toks"), lambda t: tok_bit[t]),
+        F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b))
+    m = ts.select(F.col("_id"), mask.alias("_m"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = F.bit_count(F.col("a._m").bitwiseAND(F.col("b._m")))
+    union = F.bit_count(F.col("a._m").bitwiseOR(F.col("b._m")))
+    jac = inter.cast("double") / union
+    return (a.join(F.broadcast(b), F.col("a._id") < F.col("b._id"))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"), jac.alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold))
 
 
 def _minhash_value(tok_col, seed_col):
@@ -213,16 +254,17 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     """Cosine >= threshold pairs. Exact self-join (optionally blocked on
     ``block_col`` to cut the pair space); the approximate scale path is
     ``similarity.lsh_neardup_pairs``."""
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, normalized_expr
     v = df.select(F.col(id_col).alias("_id"),
-                  F.col(vec_col).cast("array<double>").alias("_v"),
+                  normalized_expr(F.col(vec_col).cast("array<double>"))
+                  .alias("_v"),
                   *([F.col(block_col).alias("_blk")] if block_col else []))
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     if block_col:
         cond = cond & (F.col("a._blk") == F.col("b._blk"))
-    cos = cosine_expr(F.col("a._v"), F.col("b._v"))
-    return (a.join(b, cond)
+    cos = dot_expr(F.col("a._v"), F.col("b._v"))
+    return (a.join(F.broadcast(b), cond)
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),
                      F.round(cos, 6).alias("cosine"))

@@ -77,11 +77,13 @@ def boxplot_stats(hdf, colnames: list[str], k: float = 1.5,
         colnames = [colnames]
     exprs = []
     for c in colnames:
-        exprs += [A.percentile_expr(c, q, precision, exact)
-                  .alias(f"_{n}_{c}")
-                  for q, n in ((0.25, "q1"), (0.5, "med"), (0.75, "q3"))]
+        exprs.append(A.percentile_expr(c, [0.25, 0.5, 0.75], precision,
+                                       exact).alias(f"_qq_{c}"))
         exprs.append(F.mean(F.col(c).cast("double")).alias(f"_mean_{c}"))
     stats = A.summary_plan(df, exprs, strata).toPandas()
+    for c in colnames:   # unpack the fused quantile arrays
+        stats[[f"_q1_{c}", f"_med_{c}", f"_q3_{c}"]] = pd.DataFrame(
+            stats[f"_qq_{c}"].tolist(), index=stats.index)
 
     out = []
     for _, row in stats.iterrows():

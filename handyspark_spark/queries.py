@@ -80,16 +80,17 @@ FROM lineitem
 """)
 def q_percentiles_exact(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
-    return A.summary_plan(df, [
-        F.round(A.percentile_expr("l_extendedprice", 0.25, exact=True), 4)
-         .alias("q1_price"),
-        F.round(A.percentile_expr("l_extendedprice", 0.50, exact=True), 4)
-         .alias("med_price"),
-        F.round(A.percentile_expr("l_extendedprice", 0.75, exact=True), 4)
-         .alias("q3_price"),
-        F.round(A.percentile_expr("l_quantity", 0.50, exact=True), 4)
-         .alias("med_qty"),
-    ])
+    # fused: ONE sort-collection pass per column for all three quantiles
+    qq = A.percentile_expr("l_extendedprice", [0.25, 0.50, 0.75],
+                           exact=True)
+    wide = A.summary_plan(df, [
+        qq.alias("_qq"),
+        A.percentile_expr("l_quantity", 0.50, exact=True).alias("_mq")])
+    return wide.select(
+        F.round(F.col("_qq")[0], 4).alias("q1_price"),
+        F.round(F.col("_qq")[1], 4).alias("med_price"),
+        F.round(F.col("_qq")[2], 4).alias("q3_price"),
+        F.round(F.col("_mq"), 4).alias("med_qty"))
 
 
 @query("nunique_exact", """
@@ -614,9 +615,9 @@ WHERE a.vec_id < b.vec_id
                                    b.embedding::DOUBLE[]), 6) >= 0.4
 """)
 def q_embedding_neardup(spark, sf_dir):
-    from .pipeline.dedup import embedding_neardup_pairs
+    from .pipeline.similarity import neardup_pairs_blas
     df = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(df, threshold=0.4)
+    return neardup_pairs_blas(df, threshold=0.4)
 
 
 @query("ann_ivf")

@@ -1,0 +1,106 @@
+"""Physical-plan budgets (BASELINE.md): exchange counts per operator
+class, mirroring the reference's `stages` tests
+(tests/handyspark/sql/test_dataframe.py:70-74), plus plan-shape
+assertions (pushdown, broadcast) the 100 TB design depends on."""
+import pytest
+from pyspark.sql import functions as F
+
+from handyspark_spark import toHandy
+from handyspark_spark.core.util import exchange_count, explain_str
+from handyspark_spark.operators import agg as A
+
+
+def test_stages_mirror_reference_counts(tables):
+    hdf = toHandy(tables["lineitem"])
+    assert hdf.stages == 1                                    # plain scan
+    g = toHandy(tables["lineitem"].groupBy("l_returnflag")
+                .agg(F.mean("l_extendedprice")))
+    assert g.stages == 2                                      # one shuffle
+    r = toHandy(tables["lineitem"].repartition(2)
+                .groupBy("l_returnflag").agg(F.mean("l_extendedprice")))
+    assert r.stages == 3                                      # repart + agg
+
+
+def test_global_agg_single_exchange(tables):
+    df = A.summary_plan(tables["lineitem"],
+                        [F.mean("l_extendedprice").alias("m"),
+                         F.stddev("l_quantity").alias("s")])
+    assert exchange_count(df) <= 1
+
+
+def test_stratified_agg_single_exchange(tables):
+    """BASELINE.md: stratified @agg ops <= 1 exchange TOTAL (one grouped
+    job, not per-stratum jobs)."""
+    df = A.summary_plan(tables["lineitem"],
+                        [F.mean("l_extendedprice").alias("m")],
+                        ["l_returnflag", "l_linestatus"])
+    assert exchange_count(df) <= 1
+
+
+def test_value_counts_budget(tables):
+    df = A.value_counts_plan(tables["lineitem"], ["l_returnflag"])
+    assert exchange_count(df) <= 2
+
+
+def test_mode_budget(tables):
+    df = A.mode_plan(tables["lineitem"], "l_returnflag")
+    assert exchange_count(df) <= 2
+
+
+def test_fill_is_map_only_after_fit(tables):
+    """The apply phase of fill/fence must add ZERO exchanges — fitted
+    values are compiled into the projection."""
+    hdf = toHandy(tables["lineitem"].withColumn(
+        "d", F.when(F.col("l_discount") == 0.0, None)
+             .otherwise(F.col("l_discount"))))
+    filled = hdf.fill(continuous=["d"], strategy="mean")
+    assert exchange_count(filled._df) == 0
+
+
+def test_projection_pushdown_reaches_scan(tables, spark):
+    """Column pruning: a 2-column projection must not read all 11 cols."""
+    import os
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf}/lineitem.parquet") \
+        .select("l_returnflag", "l_quantity") \
+        .filter(F.col("l_quantity") > 10)
+    plan = explain_str(df)
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+
+
+def test_mutual_info_broadcasts_marginals(tables):
+    df = A.mutual_info_plan(tables["lineitem"], "l_returnflag",
+                            "l_linestatus")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_agg_has_map_side_partials_and_codegen(tables):
+    df = A.summary_plan(tables["lineitem"],
+                        [F.mean("l_extendedprice").alias("m")])
+    plan = explain_str(df, "simple")
+    assert "partial_avg" in plan          # map-side combine before shuffle
+    df.collect()                          # AQE finalizes plan on execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in executed             # whole-stage-codegen span markers
+
+
+def test_exception_summary():
+    from handyspark_spark.core.util import summarize_spark_error
+    txt = ("long java stuff\n"
+           "pyspark.errors.exceptions.captured.AnalysisException: "
+           "[UNRESOLVED_COLUMN] bad col\n  at org.apache...")
+    assert summarize_spark_error(txt).startswith(
+        "pyspark.errors.exceptions.captured.AnalysisException")
+
+
+def test_row_ids_and_loc(tables):
+    hdf = toHandy(tables["orders"])._gen_row_ids("o_orderkey")
+    got = hdf._loc(5, 9)._df.select("_row_id", "o_orderkey").collect()
+    assert [r._row_id for r in got] == [5, 6, 7, 8, 9]
+    keys = [r.o_orderkey for r in got]
+    assert keys == sorted(keys)
