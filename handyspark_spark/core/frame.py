@@ -295,6 +295,14 @@ class HandyFrame:
         return HandyFrame(HandyTransform.assign(self._df, **kwargs),
                           self._handy.copy())
 
+    def apply_grouped(self, f, by, schema) -> "HandyFrame":
+        """Grouped-map pandas transform — the modern form of the
+        reference's experimental ``gen_grouped_pandas_udf``
+        (transform.py:74-94): ``groupBy(by).applyInPandas(f, schema)``."""
+        by = [by] if isinstance(by, str) else list(by)
+        return HandyFrame(self._df.groupBy(*by).applyInPandas(f, schema),
+                          self._handy.copy())
+
 
 def toHandy(df: DataFrame) -> HandyFrame:
     """Enter the wrapper (ref dataframe.py:25-30)."""

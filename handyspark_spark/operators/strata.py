@@ -66,15 +66,25 @@ class Bucket:
 
 class Quantile(Bucket):
     """Equal-frequency discretizer (ref dataframe.py:1455-1462):
-    ``approxQuantile(relativeError=0.01)`` edges, same clause format."""
+    ``approxQuantile(relativeError=0.01)`` edges by default; ``exact=True``
+    computes edges with the exact interpolated percentile (one fused
+    sort pass) for oracle-grade reproducibility."""
 
-    def __init__(self, colname: str, bins: int = 5, relative_error: float = 0.01):
+    def __init__(self, colname: str, bins: int = 5,
+                 relative_error: float = 0.01, exact: bool = False):
         super().__init__(colname, bins)
         self.relative_error = relative_error
+        self.exact = exact
 
     def _fit(self, df):
         probs = list(np.linspace(0, 1, self.bins + 1))
-        edges = df.approxQuantile(self.colname, probs, self.relative_error)
+        if self.exact:
+            from . import agg as A
+            edges = df.agg(A.percentile_expr(self.colname, probs,
+                                             exact=True)).collect()[0][0]
+        else:
+            edges = df.approxQuantile(self.colname, probs,
+                                      self.relative_error)
         self.edges = np.array(edges)
         return self
 
@@ -111,6 +121,20 @@ class HandyStrata:
     @property
     def cols(self) -> "StrataColumns":
         return StrataColumns(self)
+
+    def take(self, n: int) -> HandyFrame:
+        """First n rows PER STRATUM — as one windowed job (row_number over
+        the strata partition), not the reference's N filter-jobs
+        (dataframe.py:1926-1929)."""
+        from pyspark.sql import Window
+        w = Window.partitionBy(*self._colnames).orderBy(
+            F.monotonically_increasing_id())
+        out = (self._aug._df
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= n)
+               .drop("_rn", *[c for c in self._colnames
+                              if c.startswith("_bkt_")]))
+        return HandyFrame(out, self._hdf._handy.copy())
 
     # -- per-stratum escape hatch ------------------------------------------
     def apply_in_pandas(self, fn, schema):

@@ -920,3 +920,100 @@ def q_topk_orders(spark, sf_dir):
     return (df.select("o_orderkey", "o_totalprice")
               .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
               .limit(10))
+
+# ---------------------------------------------------------------------------
+# Multi-table relational: joins with broadcast dims (TPC-H Q3/Q5 flavor)
+# ---------------------------------------------------------------------------
+
+@query("join_revenue", """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS cnt
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def q_join_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    # dims broadcast (nation/region always; customer at these SFs);
+    # the only real shuffle is lineitem <-> orders on the orderkey
+    dim = (F.broadcast(c)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                 n.n_regionkey == F.col("r_regionkey")))
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(dim), o.o_custkey == c.c_custkey))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.groupBy("n_name")
+             .agg(F.round(F.sum(rev), 2).alias("revenue"),
+                  F.count(F.lit(1)).alias("cnt")))
+
+
+@query("disassemble", """
+SELECT ROUND(AVG(embedding[1]::DOUBLE), 6) AS m0,
+       ROUND(AVG(embedding[2]::DOUBLE), 6) AS m1,
+       ROUND(AVG(embedding[3]::DOUBLE), 6) AS m2
+FROM embeddings
+""")
+def q_disassemble(spark, sf_dir):
+    hdf = toHandy(_t(spark, sf_dir, "embeddings"))
+    d = hdf.disassemble("embedding")
+    return d._df.agg(
+        F.round(F.avg(F.col("embedding_0").cast("double")), 6).alias("m0"),
+        F.round(F.avg(F.col("embedding_1").cast("double")), 6).alias("m1"),
+        F.round(F.avg(F.col("embedding_2").cast("double")), 6).alias("m2"))
+
+
+@query("mahalanobis_count", """
+WITH s AS (
+  SELECT AVG(l_quantity) mu1, STDDEV_SAMP(l_quantity) sd1,
+         AVG(l_extendedprice) mu2, STDDEV_SAMP(l_extendedprice) sd2,
+         CORR(l_quantity, l_extendedprice) rho
+  FROM lineitem
+)
+SELECT CAST(SUM(CASE WHEN
+        ((l_quantity - mu1) / sd1 * (l_quantity - mu1) / sd1
+         + (l_extendedprice - mu2) / sd2 * (l_extendedprice - mu2) / sd2
+         - 2 * rho * (l_quantity - mu1) / sd1 * (l_extendedprice - mu2) / sd2)
+        / (1 - rho * rho) > 13.815510557964274 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM lineitem, s
+""")
+def q_mahalanobis_count(spark, sf_dir):
+    """2-D Mahalanobis outlier count at chi2(0.999, k=2); the closed-form
+    2-D inverse makes this oracle-expressible."""
+    from .operators.outliers import mahalanobis_outliers
+    hdf = toHandy(_t(spark, sf_dir, "lineitem"))
+    out = mahalanobis_outliers(hdf, ["l_quantity", "l_extendedprice"],
+                               critical_value=0.999, keep=True)
+    return out._df.agg(F.count(F.lit(1)).alias("n_outliers"))
+
+
+@query("quantile_bucket_counts", """
+WITH e AS (
+  SELECT quantile_cont(o_totalprice, 0.25) e1,
+         quantile_cont(o_totalprice, 0.50) e2,
+         quantile_cont(o_totalprice, 0.75) e3
+  FROM orders
+)
+SELECT CAST(LEAST(CAST(o_totalprice >= e1 AS INT)
+                  + CAST(o_totalprice >= e2 AS INT)
+                  + CAST(o_totalprice >= e3 AS INT), 3) AS INT) AS bucket,
+       COUNT(*) AS cnt
+FROM orders, e GROUP BY 1
+""")
+def q_quantile_bucket_counts(spark, sf_dir):
+    from .operators.strata import Quantile
+    df = _t(spark, sf_dir, "orders")
+    qt = Quantile("o_totalprice", 4, exact=True)
+    qt._fit(df)
+    return (df.withColumn("bucket", qt._col())
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))

@@ -163,3 +163,32 @@ def test_mahalanobis_outliers(hdf, pdf):
     d = [r["__mahalanobis"] for r in out._df.select("__mahalanobis")
          .limit(100).collect()]
     assert d == sorted(d, reverse=True)
+
+
+def test_strata_take_per_group(hdf):
+    out = hdf.stratify(["l_returnflag"]).take(3)
+    counts = (out._df.groupBy("l_returnflag").count().collect())
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_quantile_exact_edges(hdf, pdf):
+    import numpy.testing as npt
+    from handyspark_spark.operators.strata import Quantile
+    q = Quantile("l_extendedprice", 4, exact=True)
+    q._fit(hdf._df)
+    exp = pdf["l_extendedprice"].quantile([0, 0.25, 0.5, 0.75, 1.0]).values
+    npt.assert_array_almost_equal(q.edges, exp)
+
+
+def test_apply_grouped(hdf):
+    import pandas as pd
+
+    def top1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.nlargest(1, "l_extendedprice")[
+            ["l_returnflag", "l_extendedprice"]]
+
+    out = hdf.apply_grouped(
+        top1, by="l_returnflag",
+        schema="l_returnflag string, l_extendedprice double")
+    rows = out._df.collect()
+    assert len(rows) == 3
