@@ -187,6 +187,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
              .distinct())
 
 
+def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       bands: int = 4) -> DataFrame:
+    """Scale-path LSH dedup output: (doc_id, cluster_id) with cluster_id =
+    the smallest doc id sharing any LSH bucket — LINEAR output size,
+    unlike the pair list which is quadratic inside each duplicate group.
+    (One min-propagation round: exact for transitive-via-shared-bucket
+    clusters, which covers identical and near-identical documents; chains
+    longer than one hop need iterating.)"""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = (sigs.withColumn("band", (F.col("seed") / rows_per_band)
+                              .cast("int"))
+              .groupBy(id_col, "band")
+              .agg(F.md5(F.concat_ws(",", F.array_sort(
+                  F.collect_list(F.concat_ws(":", "seed", "minhash")))))
+                  .alias("band_hash")))
+    bucket_min = (banded.groupBy("band", "band_hash")
+                  .agg(F.min(id_col).alias("_bucket_min")))
+    return (banded.join(bucket_min, ["band", "band_hash"])
+            .groupBy(id_col)
+            .agg(F.min("_bucket_min").alias("cluster_id")))
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document via an Arrow pandas UDF (numpy

@@ -1017,3 +1017,31 @@ def q_quantile_bucket_counts(spark, sf_dir):
     qt._fit(df)
     return (df.withColumn("bucket", qt._col())
               .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+# ---------------------------------------------------------------------------
+# JSON + semi-structured (upgrade: reference has no JSON functions, §2.7)
+# ---------------------------------------------------------------------------
+
+@query("json_extract", """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       COUNT(*) AS cnt
+FROM events GROUP BY event_type
+""")
+def q_json_extract(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    return (df.groupBy("event_type")
+            .agg(F.sum(F.get_json_object("props", "$.k").cast("int"))
+                 .cast("bigint").alias("sum_k"),
+                 F.count(F.lit(1)).alias("cnt")))
+
+
+@query("minhash_lsh_groups")
+def q_minhash_lsh_groups(spark, sf_dir):
+    """Linear-output LSH dedup clusters — rows-only check; cluster
+    validity (same cluster => shared band bucket) pinned in
+    tests/test_pipeline.py."""
+    from .pipeline.dedup import minhash_lsh_groups
+    df = _t(spark, sf_dir, "documents")
+    return minhash_lsh_groups(df, num_hashes=16, bands=2)

@@ -102,3 +102,16 @@ def test_lang_id_runs_and_is_deterministic(docs):
     b = docs.select("doc_id", TX.lang_id("text").alias("l")).collect()
     assert a == b
     assert all(r.l in ("de", "en", "es", "fr", "und") for r in a)
+
+
+def test_minhash_lsh_groups_cover_exact_dups(docs):
+    """Docs with identical token sets must land in the same cluster."""
+    from handyspark_spark.pipeline.dedup import (fingerprint_duplicates,
+                                                 minhash_lsh_groups)
+    clusters = {r.doc_id: r.cluster_id for r in
+                minhash_lsh_groups(docs, num_hashes=16, bands=2).collect()}
+    for g in fingerprint_duplicates(docs).collect():
+        cl = {clusters[i] for i in g.doc_ids}
+        assert len(cl) == 1
+    # linear output: one row per doc
+    assert len(clusters) == docs.count()
