@@ -278,11 +278,12 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     """Cosine >= threshold pairs. Exact self-join (optionally blocked on
     ``block_col`` to cut the pair space); the approximate scale path is
     ``similarity.lsh_neardup_pairs``."""
-    from .similarity import dot_expr, normalized_expr
-    v = df.select(F.col(id_col).alias("_id"),
-                  normalized_expr(F.col(vec_col).cast("array<double>"))
-                  .alias("_v"),
-                  *([F.col(block_col).alias("_blk")] if block_col else []))
+    from .similarity import dot_expr, with_normalized
+    v = with_normalized(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("_v0"),
+                  *([F.col(block_col).alias("_blk")] if block_col else [])),
+        F.col("_v0"), "_v").drop("_v0")
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     if block_col:

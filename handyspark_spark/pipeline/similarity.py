@@ -37,9 +37,21 @@ def cosine_expr(a: Column, b: Column) -> Column:
 def normalized_expr(a: Column) -> Column:
     """Unit-normalize once in a projection so every subsequent pair
     comparison is a bare dot product — at P pairs over N vectors this
-    moves 2/3 of the array arithmetic from O(P) to O(N)."""
+    moves 2/3 of the array arithmetic from O(P) to O(N).
+
+    NOTE: prefer ``with_normalized`` — inlining the norm aggregate inside
+    ``transform`` lets Catalyst re-evaluate it per element (O(dim²)/row)."""
     n = norm_expr(a)
     return F.transform(a, lambda x: x / n)
+
+
+def with_normalized(df: DataFrame, src: Column, out_name: str) -> DataFrame:
+    """Add a unit-normalized copy of an array column, materializing the
+    norm in its own projection first so it is computed once per row."""
+    df = df.withColumn("_nrm", norm_expr(src))
+    return (df.withColumn(out_name,
+                          F.transform(src, lambda x: x / F.col("_nrm")))
+              .drop("_nrm"))
 
 
 def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
@@ -50,12 +62,14 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     the corpus is scanned once, no shuffle of the corpus itself; the only
     shuffle is the per-query top-k (rows = |queries| × |corpus| reduced by
     the window to |queries| × k)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        normalized_expr(F.col(vec_col).cast("array<double>")).alias("_qv"))
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        normalized_expr(F.col(vec_col).cast("array<double>")).alias("_cv"))
+    q = with_normalized(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_q0")),
+        F.col("_q0"), "_qv").drop("_q0")
+    c = with_normalized(
+        df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).cast("array<double>").alias("_c0")),
+        F.col("_c0"), "_cv").drop("_c0")
     cos = dot_expr(F.col("_qv"), F.col("_cv"))
     scored = (c.crossJoin(F.broadcast(q))
                .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -168,33 +182,47 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     ``nprobe`` nearest centroids -> exact cosine within probed cells.
     At 100 TB the cell assignment is written once (partitioned by cell) and
     queries touch nprobe/n_centroids of the data."""
+    import pandas as pd
+
     cents = (df.orderBy(F.md5(F.col(id_col).cast("string")))
                .limit(n_centroids)
                .select(F.col(vec_col).cast("array<double>").alias("_cent"))
                .collect())
-    cent_arrays = [np.array(r["_cent"]) for r in cents]
+    C = np.array([r["_cent"] for r in cents], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    b_C = df.sparkSession.sparkContext.broadcast(C)
 
-    def nearest_expr(vec: Column, topn: int) -> Column:
-        """Array of the ``topn`` nearest centroid ids (by cosine)."""
-        scored = F.array(*[
-            F.struct(
-                cosine_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
-                .alias("cos"),
-                F.lit(i).alias("cid"))
-            for i, c in enumerate(cent_arrays)])
-        ordered = F.reverse(F.array_sort(scored))
-        return F.transform(F.slice(ordered, 1, topn), lambda s: s["cid"])
+    # centroid assignment as one BLAS matmul per Arrow batch — a literal
+    # centroid expression tree (n_centroids × dim constants) blows past
+    # codegen limits and is ~10× slower
+    def _cell_fn(vs):
+        X = np.array(vs.tolist(), dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series(np.argmax(X @ b_C.value.T, axis=1).astype("int32"))
 
-    c = df.select(F.col(id_col).alias("neighbor_id"),
-                  F.col(vec_col).cast("array<double>").alias("_cv"))
-    c = c.withColumn("_cell", nearest_expr(F.col("_cv"), 1)[0])
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("_qv"))
-    q = q.withColumn("_cells", nearest_expr(F.col("_qv"), nprobe))
+    def _cells_fn(vs):
+        X = np.array(vs.tolist(), dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        order = np.argsort(-(X @ b_C.value.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    _cell = F.pandas_udf(_cell_fn, "int")
+    _cells = F.pandas_udf(_cells_fn, "array<int>")
+
+    c = with_normalized(
+        df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).cast("array<double>").alias("_c0")),
+        F.col("_c0"), "_cv").drop("_c0")
+    c = c.withColumn("_cell", _cell(F.col("_cv")))
+    q = with_normalized(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_q0")),
+        F.col("_q0"), "_qv").drop("_q0")
+    q = q.withColumn("_cells", _cells(F.col("_qv")))
     joined = (c.join(F.broadcast(q),
                      F.array_contains(F.col("_cells"), F.col("_cell")))
                .filter(F.col("query_id") != F.col("neighbor_id")))
-    cos = cosine_expr(F.col("_qv"), F.col("_cv"))
+    cos = dot_expr(F.col("_qv"), F.col("_cv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
     return (joined.select("query_id", "neighbor_id",

@@ -1045,3 +1045,18 @@ def q_minhash_lsh_groups(spark, sf_dir):
     from .pipeline.dedup import minhash_lsh_groups
     df = _t(spark, sf_dir, "documents")
     return minhash_lsh_groups(df, num_hashes=16, bands=2)
+
+@query("running_user_stats", """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id
+""")
+def q_running_user_stats(spark, sf_dir):
+    """Batch contract of the applyInPandasWithState running aggregate
+    (stream-mode equality pinned in tests/test_streaming.py)."""
+    from .streaming.stateful import running_user_stats
+    df = _t(spark, sf_dir, "events")
+    out = running_user_stats(df)
+    return out.withColumn("sum_value", F.round("sum_value", 2))

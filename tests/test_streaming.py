@@ -159,3 +159,34 @@ def test_ordered_rank_and_ffill(spark):
     assert [r.ff for r in out] == [10.0, 10.0, 30.0, 30.0, 5.0, 5.0]
     assert [r.bf for r in out] == [10.0, 30.0, 30.0, None, 5.0, 5.0]
     assert [r.rk for r in out[-2:]] == [1.5, 1.5]  # pandas average rank
+
+
+def test_stateful_streaming_matches_batch(tables, spark, tmp_path):
+    """applyInPandasWithState running aggregate: the LAST update emitted
+    per key must equal the batch groupBy over the same rows."""
+    import os
+
+    from handyspark_spark.streaming.stateful import running_user_stats
+    src_dir = str(tmp_path / "ev")
+    os.makedirs(src_dir)
+    sample = tables["events"].limit(3000)
+    sample.write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema(tables["events"].schema)
+              .option("maxFilesPerTrigger", 2).parquet(src_dir))
+    q = (running_user_stats(stream).writeStream.format("memory")
+         .queryName("t_state").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = (spark.sql("""
+        SELECT user_id, n_events, sum_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) rn
+          FROM t_state) WHERE rn = 1
+    """).toPandas().set_index("user_id").sort_index())
+    exp = (running_user_stats(sample).toPandas()
+           .set_index("user_id").sort_index())
+    import numpy.testing as npt
+    npt.assert_array_equal(got["n_events"].values, exp["n_events"].values)
+    npt.assert_array_almost_equal(got["sum_value"].values,
+                                  exp["sum_value"].values)
