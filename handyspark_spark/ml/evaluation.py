@@ -102,7 +102,9 @@ class BinaryClassificationMetrics:
         b2 = beta * beta
         p = F.col("tp") / (F.col("tp") + F.col("fp"))
         r = F.col("tp") / F.col("P")
-        fm = (1 + b2) * p * r / (b2 * p + r)
+        # mllib convention: F = 0 when precision + recall == 0 (tp == 0)
+        fm = F.when(b2 * p + r > 0,
+                    (1 + b2) * p * r / (b2 * p + r)).otherwise(F.lit(0.0))
         return self._curve().select(F.col("score").alias("threshold"),
                                     fm.alias("f_measure"))
 

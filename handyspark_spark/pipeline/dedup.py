@@ -143,41 +143,58 @@ def _minhash_value(tok_col, seed_col):
         1, 8), 16, 10).cast("bigint")
 
 
+def minhash_signature_arrays(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             num_hashes: int = 16) -> DataFrame:
+    """(id, sig: array<bigint>) — the whole signature built inside ONE
+    map-only projection: sig[i] = min over tokens of hash(token, seed=i),
+    via nested F.transform + array_min. ZERO shuffles, independent of
+    document length; this is the form every minhash consumer composes
+    from."""
+    ts = _token_sets(df, text_col, id_col)
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(
+            F.col("_toks"), lambda t: _minhash_value(t, s))))
+    return ts.select(F.col("_id").alias(id_col), sig.alias("sig"))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        num_hashes: int = 16) -> DataFrame:
-    """(id, seed, minhash) long-form signatures. Min-per-seed is computed
-    INSIDE the token array (F.transform + array_min — no token explode at
-    all), so the only shuffle-free projection emits |docs| × num_hashes
-    rows, independent of document length."""
-    ts = _token_sets(df, text_col, id_col)
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    per_seed = ts.select(
-        F.col("_id").alias(id_col),
-        F.explode(seeds).alias("seed"),
-        F.col("_toks"))
-    return per_seed.select(
-        id_col, "seed",
-        F.array_min(F.transform(
-            F.col("_toks"),
-            lambda t: _minhash_value(t, F.col("seed")))).alias("minhash"))
+    """(id, seed, minhash) long form — a posexplode of the array form;
+    still map-only (the reference point for the DuckDB oracle)."""
+    arr = minhash_signature_arrays(df, text_col, id_col, num_hashes)
+    return arr.select(
+        id_col,
+        F.posexplode("sig").alias("seed", "minhash"))
+
+
+def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
+            bands: int) -> DataFrame:
+    """(id, band, band_hash) via array slicing of the one-projection
+    signature — map-only (the reference formulation needed an explode +
+    groupBy shuffle to reassemble bands)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature_arrays(df, text_col, id_col, num_hashes)
+    band_ids = F.array(*[F.lit(i) for i in range(bands)])
+    return (sigs.select(
+        id_col, F.explode(band_ids).alias("band"), F.col("sig"))
+        .withColumn("band_hash", F.md5(F.concat_ws(",", F.slice(
+            F.col("sig"), F.col("band") * rows_per_band + 1,
+            rows_per_band))))
+        .drop("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4) -> DataFrame:
-    """Banded-LSH candidate pairs: signature -> band hashes -> groupBy
-    (band, band_hash) bucket join. Recall/precision tuned by
+    """Banded-LSH candidate pairs: signature -> band hashes -> bucket
+    self-join on (band, band_hash). Recall/precision tuned by
     (bands, rows-per-band); candidates should be verified with
     ``ngram_jaccard_pairs`` on the candidate subset."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
-    banded = (sigs.withColumn("band", (F.col("seed") / rows_per_band)
-                              .cast("int"))
-              .groupBy(id_col, "band")
-              .agg(F.md5(F.concat_ws(",", F.array_sort(
-                  F.collect_list(F.concat_ws(":", "seed", "minhash")))))
-                  .alias("band_hash")))
+    banded = _banded(df, text_col, id_col, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
                       (F.col("a.band_hash") == F.col("b.band_hash")) &
@@ -196,14 +213,7 @@ def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
     (One min-propagation round: exact for transitive-via-shared-bucket
     clusters, which covers identical and near-identical documents; chains
     longer than one hop need iterating.)"""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
-    banded = (sigs.withColumn("band", (F.col("seed") / rows_per_band)
-                              .cast("int"))
-              .groupBy(id_col, "band")
-              .agg(F.md5(F.concat_ws(",", F.array_sort(
-                  F.collect_list(F.concat_ws(":", "seed", "minhash")))))
-                  .alias("band_hash")))
+    banded = _banded(df, text_col, id_col, num_hashes, bands)
     bucket_min = (banded.groupBy("band", "band_hash")
                   .agg(F.min(id_col).alias("_bucket_min")))
     return (banded.join(bucket_min, ["band", "band_hash"])

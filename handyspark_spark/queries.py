@@ -1060,3 +1060,53 @@ def q_running_user_stats(spark, sf_dir):
     df = _t(spark, sf_dir, "events")
     out = running_user_stats(df)
     return out.withColumn("sum_value", F.round("sum_value", 2))
+
+@query("spearman_corr", """
+WITH r AS (
+  SELECT (RANK() OVER (ORDER BY l_quantity)
+          + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0) AS rx,
+         (RANK() OVER (ORDER BY l_extendedprice)
+          + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0) AS ry
+  FROM lineitem
+)
+SELECT ROUND(CORR(rx, ry), 6) AS spearman FROM r
+""")
+def q_spearman_corr(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    out = A.corr_plan(df, ["l_quantity", "l_extendedprice"],
+                      method="spearman")
+    return (out.filter(F.col("col_x") != F.col("col_y"))
+            .select(F.round("corr", 6).alias("spearman")))
+
+
+@query("fmeasure_by_threshold", f"""
+WITH {_METRICS_BASE_SQL}
+SELECT score AS threshold,
+       ROUND(CASE WHEN (tp / (tp + fp)) + (tp / P) > 0
+                  THEN 2 * (tp / (tp + fp)) * (tp / P)
+                       / ((tp / (tp + fp)) + (tp / P))
+                  ELSE 0 END, 6) AS f_measure
+FROM c, t
+""")
+def q_fmeasure_by_threshold(spark, sf_dir):
+    m = _metrics(spark, sf_dir)
+    out = m.fMeasureByThreshold(beta=1.0)
+    return out.select("threshold",
+                      F.round("f_measure", 6).alias("f_measure"))
+
+
+@query("sliding_window", """
+SELECT ws AS window_start, COUNT(*) AS cnt
+FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' FROM events
+)
+GROUP BY ws
+""")
+def q_sliding_window(spark, sf_dir):
+    """2h window / 1h slide: each event lands in exactly two windows."""
+    from .streaming.windows import sliding
+    df = _t(spark, sf_dir, "events")
+    out = sliding(df, "ts", "2 hours", "1 hour")
+    return out.select("window_start", "cnt")

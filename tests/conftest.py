@@ -12,8 +12,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
     spark = (SparkSession.builder
              .master("local[8]")
+             .config("spark.sql.warehouse.dir",
+                     tempfile.mkdtemp(prefix="hs_wh_"))
              .appName("handyspark_spark-tests")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.adaptive.enabled", "true")

@@ -104,3 +104,40 @@ def test_row_ids_and_loc(tables):
     assert [r._row_id for r in got] == [5, 6, 7, 8, 9]
     keys = [r.o_orderkey for r in got]
     assert keys == sorted(keys)
+
+
+def test_partitioned_write_prunes(tables, spark, tmp_path):
+    from handyspark_spark.sources.writer import write_partitioned
+    path = str(tmp_path / "li_part")
+    write_partitioned(tables["lineitem"], path, ["l_returnflag"])
+    df = spark.read.parquet(path).filter(F.col("l_returnflag") == "A")
+    plan = explain_str(df)
+    # partition filter present; only one partition dir scanned
+    assert "PartitionFilters" in plan
+    assert "l_returnflag" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_has_no_exchange(tables, spark, tmp_path):
+    """Co-located bucketed join: ZERO exchanges — the layout-level
+    optimization the 100 TB design leans on."""
+    from handyspark_spark.sources.writer import write_bucketed
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(tables["lineitem"], "li_b", ["l_orderkey"], 8)
+        write_bucketed(tables["orders"], "ord_b", ["o_orderkey"], 8)
+        li, od = spark.table("li_b"), spark.table("ord_b")
+        j = li.join(od, li.l_orderkey == od.o_orderkey) \
+              .groupBy("l_returnflag") \
+              .agg(F.sum("o_totalprice").alias("s"))
+        n_exchanges = exchange_count(j.filter(F.col("s") > 0))
+        # join itself shuffle-free; only the final 3-group agg may exchange
+        plan = explain_str(j, "simple")
+        assert "SortMergeJoin" in plan
+        assert n_exchanges <= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
