@@ -1110,3 +1110,21 @@ def q_sliding_window(spark, sf_dir):
     df = _t(spark, sf_dir, "events")
     out = sliding(df, "ts", "2 hours", "1 hour")
     return out.select("window_start", "cnt")
+
+@query("salted_agg", """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS cnt,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation — result must be identical to the
+    plain groupBy (the salt only reshapes the first shuffle)."""
+    from .operators.skew import salted_agg
+    df = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(df, ["l_returnflag"],
+                     {"sum_price": ("sum", "l_extendedprice"),
+                      "cnt": ("count", None),
+                      "max_price": ("max", "l_extendedprice")})
+    return out.withColumn("sum_price", F.round("sum_price", 2))

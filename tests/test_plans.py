@@ -141,3 +141,29 @@ def test_bucketed_join_has_no_exchange(tables, spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_salted_agg_equals_plain(tables):
+    from handyspark_spark.operators.skew import salted_agg
+    plain = (tables["lineitem"].groupBy("l_returnflag")
+             .agg(F.sum("l_extendedprice").alias("s"),
+                  F.count(F.lit(1)).alias("c"))
+             .toPandas().set_index("l_returnflag").sort_index())
+    salted = (salted_agg(tables["lineitem"], ["l_returnflag"],
+                         {"s": ("sum", "l_extendedprice"),
+                          "c": ("count", None)})
+              .toPandas().set_index("l_returnflag").sort_index())
+    import numpy.testing as npt
+    npt.assert_array_almost_equal(plain["s"], salted["s"], decimal=4)
+    npt.assert_array_equal(plain["c"], salted["c"])
+
+
+def test_salted_join_equals_plain(tables):
+    from handyspark_spark.operators.skew import salted_join
+    plain = (tables["lineitem"].join(
+        tables["orders"],
+        tables["lineitem"].l_orderkey == tables["orders"].o_orderkey)
+        .count())
+    salted = salted_join(tables["lineitem"], tables["orders"],
+                         "l_orderkey", "o_orderkey").count()
+    assert plain == salted

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): operator invariants on random
+frames — a layer the reference's fixed-fixture strategy lacks."""
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from handyspark_spark import toHandy
+
+SETTINGS = dict(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _frame(spark, values):
+    pdf = pd.DataFrame({
+        "k": [v % 3 for v in range(len(values))],
+        "v": values})
+    return spark.createDataFrame(pdf.astype({"k": "int64", "v": "float64"}))
+
+
+@given(values=st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=5,
+    max_size=60))
+@settings(**SETTINGS)
+def test_fence_never_widens_range(spark, values):
+    df = _frame(spark, values)
+    fenced = toHandy(df).fence(["v"], exact=True)
+    lo, hi = fenced._df.agg({"v": "min"}).collect()[0][0], \
+        fenced._df.agg({"v": "max"}).collect()[0][0]
+    assert lo >= min(values) - 1e-9
+    assert hi <= max(values) + 1e-9
+    # row count preserved (winsorize, not filter)
+    assert fenced._df.count() == len(values)
+
+
+@given(values=st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=5,
+    max_size=60))
+@settings(**SETTINGS)
+def test_exact_median_matches_numpy(spark, values):
+    df = _frame(spark, values)
+    got = toHandy(df).cols["v"].median(exact=True)
+    assert abs(got - np.median(values)) < 1e-9
+
+
+@given(values=st.lists(st.integers(min_value=0, max_value=5), min_size=3,
+                       max_size=60))
+@settings(**SETTINGS)
+def test_value_counts_total_and_mode(spark, values):
+    df = _frame(spark, [float(v) for v in values])
+    h = toHandy(df)
+    vc = h.cols["v"].value_counts()
+    assert vc.sum() == len(values)
+    mode = h.cols["v"].mode()
+    pd_modes = pd.Series(values).mode()
+    assert mode in set(pd_modes.astype(float))
+
+
+@given(values=st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=6,
+    max_size=50))
+@settings(**SETTINGS)
+def test_cumsum_last_equals_sum(spark, values):
+    from pyspark.sql import functions as F
+    df = _frame(spark, values).withColumn(
+        "seq", F.monotonically_increasing_id())
+    h = toHandy(df)
+    s = h.ordered(by="seq", partition="k")["v"]
+    out = h.assign(cs=s.cumsum())
+    per_key_last = (out._df.groupBy("k").agg(F.max("seq").alias("seq"))
+                    .join(out._df, ["k", "seq"]).select("k", "cs")
+                    .toPandas().set_index("k")["cs"].sort_index())
+    exp = (pd.DataFrame({"k": [i % 3 for i in range(len(values))],
+                         "v": values})
+           .groupby("k")["v"].sum().sort_index())
+    np.testing.assert_allclose(per_key_last.values, exp.values,
+                               rtol=1e-9, atol=1e-6)
+
+
+@given(texts=st.lists(st.text(
+    alphabet=st.sampled_from("ab cd"), min_size=1, max_size=30),
+    min_size=2, max_size=20))
+@settings(**SETTINGS)
+def test_jaccard_strategies_agree(spark, texts):
+    """bitmask and inverted-index Jaccard must produce identical pairs."""
+    from handyspark_spark.pipeline.dedup import ngram_jaccard_pairs
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    a = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+         ngram_jaccard_pairs(df, threshold=0.3,
+                             strategy="bitmask").collect()}
+    b = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+         ngram_jaccard_pairs(df, threshold=0.3,
+                             strategy="inverted").collect()}
+    assert a == b
