@@ -33,6 +33,12 @@ def main():
     import __spark_entry__ as E
     qs = E.queries()
 
+    # warmup: file listing + JIT + python-worker spin-up paid once, so
+    # per-query timings reflect steady-state operator cost
+    from handyspark_spark.sources.loader import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():

@@ -1,0 +1,104 @@
+"""Runnable tour of handyspark_spark — every major surface in one script.
+
+    python examples/demo.py [sf_dir]     (default /root/testdata/sf0.001)
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import handyspark_spark  # noqa: F401  (installs DataFrame.toHandy)
+from handyspark_spark import Bucket, Quantile
+from handyspark_spark.sources.loader import load_table
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("handyspark_spark-demo")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hdf = li.toHandy()
+
+    print("== EDA core ==")
+    print("median price:", hdf.cols["l_extendedprice"].median())
+    print("nunique:\n", hdf.cols[["l_orderkey", "l_returnflag"]].nunique())
+    print("value_counts:\n", hdf.cols["l_returnflag"].value_counts())
+    print("corr:\n", hdf.cols[["l_quantity", "l_extendedprice"]].corr())
+
+    print("\n== Stratification (one grouped job) ==")
+    print(hdf.stratify(["l_returnflag", Bucket("l_extendedprice", 3)])
+          .cols["l_quantity"].mean())
+
+    print("\n== Fitted transforms -> serializable Transformer ==")
+    with_nulls = hdf.assign(
+        d=F.when(F.col("l_discount") == 0.0, None)
+           .otherwise(F.col("l_discount")))
+    filled = with_nulls.stratify(["l_returnflag"]).fill(
+        continuous=["d"], strategy="mean")
+    print("fitted stats:", filled.statistics_)
+    imputer = filled.transformers.imputer()   # save()/load()-able
+    print("imputer params:", imputer.getStatsDict())
+
+    print("\n== UDF surface + accessors ==")
+    from handyspark_spark.functions.transform import ret
+    part = load_table(spark, sf_dir, "part").toHandy()
+    out = part.assign(
+        up=part.pandas["p_name"].str.upper(),
+        # p_partkey is bigint; without the annotation the inferred return
+        # type would be bigint too (reference rule: first arg's dtype)
+        logkey=ret("double")(lambda p_partkey: np.log1p(p_partkey)))
+    print(out.cols[["up", "logkey"]][:3])
+
+    print("\n== Ordered windows (reference blacklist, done right) ==")
+    orders = load_table(spark, sf_dir, "orders").toHandy()
+    s = orders.ordered(by=["o_orderdate", "o_orderkey"],
+                       partition="o_custkey")["o_totalprice"]
+    print(orders.assign(cum=s.cumsum(), d=s.diff())
+          .cols[["o_custkey", "cum", "d"]][:5])
+
+    print("\n== Metrics (no JVM bridge) ==")
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        (F.col("label") >= 5).cast("double").alias("label"))
+    m = scored.toHandy().metrics("score", "label")
+    print("AUC:", round(m.areaUnderROC, 4))
+    print(m.confusionMatrix(0.0))
+
+    print("\n== Training-data pipeline ==")
+    docs = load_table(spark, sf_dir, "documents")
+    from handyspark_spark.pipeline import text as TX
+    from handyspark_spark.pipeline.dedup import (fingerprint_duplicates,
+                                                 minhash_lsh_groups)
+    from handyspark_spark.pipeline.similarity import brute_force_topk
+    print("text stats:", TX.analyze(docs).select(
+        "doc_id", "n_tokens", "quality", "lang_pred").limit(3).collect())
+    print("dup groups:", fingerprint_duplicates(docs).count())
+    print("lsh clusters:",
+          minhash_lsh_groups(docs).filter("doc_id != cluster_id").count(),
+          "docs clustered into earlier ids")
+    print("ann:", brute_force_topk(
+        emb, emb.filter("vec_id < 2"), k=3).collect())
+
+    print("\n== Event-time windows ==")
+    from handyspark_spark.streaming.windows import session_counts, tumbling
+    ev = load_table(spark, sf_dir, "events")
+    print(tumbling(ev, "ts", "1 hour").limit(3).collect())
+    print(session_counts(ev, "ts", "user_id", 1800).limit(3).collect())
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

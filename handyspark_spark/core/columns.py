@@ -233,13 +233,19 @@ class HandyColumns:
 
 
 class HandyGrouped:
-    """Wrap GroupedData.agg so results remember their group columns
-    (ref dataframe.py:841-855)."""
+    """Wrap GroupedData.agg so the result remembers its group columns
+    (ref dataframe.py:841-855): the returned HandyFrame carries
+    ``_group_cols`` so `cols[...]` consumers can index by them."""
 
     def __init__(self, gdata, cols):
         self._gdata = gdata
-        self._cols = cols
+        self._group_cols = list(cols)
 
     def agg(self, *exprs):
         from .frame import HandyFrame
-        return HandyFrame(self._gdata.agg(*exprs))
+        out = HandyFrame(self._gdata.agg(*exprs))
+        out._group_cols = self._group_cols
+        return out
+
+    def __getattr__(self, name):
+        return getattr(self._gdata, name)

@@ -203,6 +203,13 @@ class HandyFrame:
         from ..operators.strata import HandyStrata
         return HandyStrata(self, strata)
 
+    def groupby(self, cols):
+        """Group-aware wrapper (ref dataframe.py:1194-1202 + 841-855):
+        the result of ``.agg`` remembers its group columns."""
+        from .columns import HandyGrouped
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        return HandyGrouped(self._df.groupBy(*cols), cols)
+
     def ordered(self, by, partition=None):
         """Ordered-window Series ops (cumsum/diff/shift/rank/...) — the
         upgrade over the reference's order-dependent-method blacklist

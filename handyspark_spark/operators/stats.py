@@ -110,3 +110,8 @@ def ks_test(df: DataFrame, colname: str, dist: str = "normal",
     crit = 1.358 / math.sqrt(n) if n else float("nan")
     return {"statistic": d, "n": n, "critical_05": crit,
             "reject_at_05": d > crit}
+
+
+# reference-facing aliases (handyspark.stats drop-in names)
+tTest = ttest
+KolmogorovSmirnovTest = ks_test

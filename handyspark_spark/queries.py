@@ -317,7 +317,7 @@ def q_outliers_tukey(spark, sf_dir):
 @query("str_ops", """
 SELECT p_partkey,
        UPPER(p_name)  AS up_name,
-       LENGTH(p_name) AS name_len,
+       CAST(LENGTH(p_name) AS INT) AS name_len,
        CONTAINS(p_name, 'a') AS has_a,
        SUBSTRING(p_name, 1, 5) AS name5
 FROM part

@@ -43,6 +43,13 @@ def _nano_ts_columns(path: str) -> list[str]:
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` that upgrades nano timestamps in place."""
+    # pin timestamp semantics: parquet micros are wall-clock values; a
+    # non-UTC session TZ would shift year()/hour() extractions relative
+    # to engines that read timestamps as naive (DuckDB, pandas)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - locked conf in exotic setups
+        pass
     nanos = _nano_ts_columns(path)
     if not nanos:
         return spark.read.parquet(path)

@@ -130,3 +130,11 @@ def test_taxonomy_aliases(hdf):
     cont = hdf.cols["continuous"]._cols()
     assert "l_extendedprice" in cont
     assert "l_orderkey" not in cont
+
+
+def test_handy_grouped_remembers_groups(hdf):
+    from pyspark.sql import functions as F
+    g = hdf.groupby("l_returnflag").agg(
+        F.mean("l_extendedprice").alias("m"))
+    assert g._group_cols == ["l_returnflag"]
+    assert g._df.count() == 3
