@@ -175,26 +175,44 @@ def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
             bands: int) -> DataFrame:
     """(id, band, band_hash) via array slicing of the one-projection
     signature — map-only (the reference formulation needed an explode +
-    groupBy shuffle to reassemble bands)."""
+    groupBy shuffle to reassemble bands). ``band_hash`` is a single
+    xxhash64 bigint over (band, slice) — an 8-byte join key instead of a
+    32-char md5 string (string-compare joins were the LSH hot spot)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signature_arrays(df, text_col, id_col, num_hashes)
     band_ids = F.array(*[F.lit(i) for i in range(bands)])
     return (sigs.select(
         id_col, F.explode(band_ids).alias("band"), F.col("sig"))
-        .withColumn("band_hash", F.md5(F.concat_ws(",", F.slice(
-            F.col("sig"), F.col("band") * rows_per_band + 1,
-            rows_per_band))))
+        .withColumn("band_hash", F.xxhash64(
+            F.col("band"),
+            F.concat_ws(",", F.slice(
+                F.col("sig"), F.col("band") * rows_per_band + 1,
+                rows_per_band))))
         .drop("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
-                      bands: int = 4) -> DataFrame:
+                      bands: int = 4,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Banded-LSH candidate pairs: signature -> band hashes -> bucket
     self-join on (band, band_hash). Recall/precision tuned by
     (bands, rows-per-band); candidates should be verified with
-    ``ngram_jaccard_pairs`` on the candidate subset."""
+    ``ngram_jaccard_pairs`` on the candidate subset.
+
+    ``max_bucket_size``: skip buckets larger than this — the hot-bucket
+    guard. A bucket with k docs emits k² pairs; one degenerate bucket
+    (boilerplate, empty docs) can dominate the whole job. Oversized
+    buckets ARE near-duplicate clusters — enumerate them linearly with
+    ``minhash_lsh_groups`` instead of quadratically here. At 100 TB you
+    always set this."""
     banded = _banded(df, text_col, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        ok = (banded.groupBy("band", "band_hash")
+              .agg(F.count(F.lit(1)).alias("_k"))
+              .filter(F.col("_k") <= max_bucket_size)
+              .drop("_k"))
+        banded = banded.join(F.broadcast(ok), ["band", "band_hash"])
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
                       (F.col("a.band_hash") == F.col("b.band_hash")) &

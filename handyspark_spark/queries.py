@@ -574,8 +574,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     tests/test_pipeline.py."""
     from .pipeline.dedup import minhash_lsh_pairs
     df = _t(spark, sf_dir, "documents")
-    # r=8 rows/band -> LSH s-curve threshold ~0.92, tuned for >=0.95 dedup
-    return minhash_lsh_pairs(df, num_hashes=16, bands=2)
+    # r=8 rows/band -> LSH s-curve threshold ~0.92, tuned for >=0.95 dedup;
+    # hot-bucket guard on: giant buckets are enumerated linearly by the
+    # minhash_lsh_groups query instead of quadratically here
+    return minhash_lsh_pairs(df, num_hashes=16, bands=2,
+                             max_bucket_size=500)
 
 
 # ---------------------------------------------------------------------------
