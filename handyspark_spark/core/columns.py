@@ -237,13 +237,15 @@ class HandyGrouped:
     (ref dataframe.py:841-855): the returned HandyFrame carries
     ``_group_cols`` so `cols[...]` consumers can index by them."""
 
-    def __init__(self, gdata, cols):
+    def __init__(self, gdata, cols, handy=None):
         self._gdata = gdata
         self._group_cols = list(cols)
+        self._handy = handy
 
     def agg(self, *exprs):
         from .frame import HandyFrame
-        out = HandyFrame(self._gdata.agg(*exprs))
+        out = HandyFrame(self._gdata.agg(*exprs),
+                         self._handy.copy() if self._handy else None)
         out._group_cols = self._group_cols
         return out
 

@@ -208,7 +208,8 @@ class HandyFrame:
         the result of ``.agg`` remembers its group columns."""
         from .columns import HandyGrouped
         cols = [cols] if isinstance(cols, str) else list(cols)
-        return HandyGrouped(self._df.groupBy(*cols), cols)
+        return HandyGrouped(self._df.groupBy(*cols), cols,
+                            handy=self._handy)
 
     def ordered(self, by, partition=None):
         """Ordered-window Series ops (cumsum/diff/shift/rank/...) — the

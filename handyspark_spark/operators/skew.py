@@ -56,7 +56,16 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
                 small_key: str, salt_buckets: int = 8,
                 how: str = "inner") -> DataFrame:
     """Salt the big side, replicate the small side ``salt_buckets``× —
-    every hot key's rows land in distinct shuffle partitions."""
+    every hot key's rows land in distinct shuffle partitions.
+
+    Only big-side-preserving join types are valid: with the small side
+    replicated, right/full outer joins would emit one (possibly
+    null-padded) row per surviving replica."""
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, not {how!r} "
+            "(small-side replication breaks right/full outer semantics)")
     b = big.withColumn("_salt", (F.rand(42) * salt_buckets).cast("int"))
     s = (small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i)

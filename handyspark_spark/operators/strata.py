@@ -234,4 +234,5 @@ class StrataColumns(HandyColumns):
         long = A.corr_plan(self._df, cols, method,
                            self._strata).toPandas()
         return self._strata_obj._relabel(
-            long.set_index(self._strata + ["col_x", "col_y"])["corr"])
+            long.set_index(self._strata + ["col_x", "col_y"])["corr"]
+            .sort_index())

@@ -65,8 +65,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """Exact pairwise Jaccard >= threshold. Two physical strategies,
     picked adaptively:
 
-    - ``bitmask`` (vocab <= 64 distinct tokens): token set encoded as a
-      64-bit mask via a broadcast token dictionary; Jaccard =
+    - ``bitmask`` (vocab <= 63 distinct tokens): token set encoded as a
+      63-bit mask via a broadcast token dictionary; Jaccard =
       bit_count(a&b)/bit_count(a|b) over a broadcast self-join — integer
       bit ops, no exploded shuffle. The win on stop-word-dense corpora
       where every token appears in most documents.
@@ -78,10 +78,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     ts = _token_sets(df, text_col, id_col)
     if strategy == "auto":
-        vocab = (ts.select(F.explode("_toks").alias("t"))
-                 .agg(F.approx_count_distinct("t").alias("n"))
-                 .collect()[0]["n"])
-        strategy = "bitmask" if vocab <= 58 else "inverted"
+        # bitmask changes semantics under max_token_df (it never prunes
+        # high-DF tokens) — only the inverted path honors that knob
+        if max_token_df is not None:
+            strategy = "inverted"
+        else:
+            vocab = (ts.select(F.explode("_toks").alias("t"))
+                     .agg(F.approx_count_distinct("t").alias("n"))
+                     .collect()[0]["n"])
+            strategy = "bitmask" if vocab <= 58 else "inverted"
+            if strategy == "bitmask":
+                try:
+                    return _jaccard_bitmask(ts, id_col, threshold)
+                except ValueError:
+                    # approx_count_distinct under-estimated; true vocab
+                    # exceeds the 63-bit budget — use the general path
+                    strategy = "inverted"
     if strategy == "bitmask":
         return _jaccard_bitmask(ts, id_col, threshold)
     sizes = ts.select("_id", F.size("_toks").alias("_n"))
@@ -111,12 +123,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def _jaccard_bitmask(ts: DataFrame, id_col: str,
                      threshold: float) -> DataFrame:
     """Small-vocabulary fast path: exact token-id dictionary (collected —
-    <= 64 entries), token set -> packed bigint, pairwise bit_count."""
+    <= 63 entries so every bit literal stays inside a signed 64-bit long;
+    bit 63 would overflow Java long), token set -> packed bigint,
+    pairwise bit_count."""
     vocab = sorted(r["t"] for r in
                    ts.select(F.explode("_toks").alias("t"))
                      .distinct().collect())
-    if len(vocab) > 64:   # approx_count_distinct under-estimated; fall back
-        raise ValueError("vocabulary exceeds 64 tokens; use inverted")
+    if len(vocab) > 63:
+        raise ValueError("vocabulary exceeds 63 tokens; use inverted")
     tok_bit = F.create_map(*[x for t, i in
                              ((t, i) for i, t in enumerate(vocab))
                              for x in (F.lit(t), F.lit(1 << i))])
@@ -208,11 +222,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     always set this."""
     banded = _banded(df, text_col, id_col, num_hashes, bands)
     if max_bucket_size is not None:
-        ok = (banded.groupBy("band", "band_hash")
-              .agg(F.count(F.lit(1)).alias("_k"))
-              .filter(F.col("_k") <= max_bucket_size)
-              .drop("_k"))
-        banded = banded.join(F.broadcast(ok), ["band", "band_hash"])
+        # anti-join against the (tiny) oversized-bucket set — broadcasting
+        # the keep-list would ship O(docs × bands) rows to every executor
+        too_big = (banded.groupBy("band", "band_hash")
+                   .agg(F.count(F.lit(1)).alias("_k"))
+                   .filter(F.col("_k") > max_bucket_size)
+                   .drop("_k"))
+        banded = banded.join(F.broadcast(too_big), ["band", "band_hash"],
+                             "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
                       (F.col("a.band_hash") == F.col("b.band_hash")) &
@@ -306,17 +323,18 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     """Cosine >= threshold pairs. Exact self-join (optionally blocked on
     ``block_col`` to cut the pair space); the approximate scale path is
     ``similarity.lsh_neardup_pairs``."""
-    from .similarity import dot_expr, with_normalized
-    v = with_normalized(
+    from .similarity import dot_expr, with_norm
+    v = with_norm(
         df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("_v0"),
                   *([F.col(block_col).alias("_blk")] if block_col else [])),
-        F.col("_v0"), "_v").drop("_v0")
+        F.col("_v0"), "_v", "_n").drop("_v0")
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     if block_col:
         cond = cond & (F.col("a._blk") == F.col("b._blk"))
-    cos = dot_expr(F.col("a._v"), F.col("b._v"))
+    cos = dot_expr(F.col("a._v"), F.col("b._v")) / (F.col("a._n") *
+                                                    F.col("b._n"))
     return (a.join(F.broadcast(b), cond)
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),

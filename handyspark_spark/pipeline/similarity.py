@@ -35,23 +35,22 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 
 def normalized_expr(a: Column) -> Column:
-    """Unit-normalize once in a projection so every subsequent pair
-    comparison is a bare dot product — at P pairs over N vectors this
-    moves 2/3 of the array arithmetic from O(P) to O(N).
-
-    NOTE: prefer ``with_normalized`` — inlining the norm aggregate inside
-    ``transform`` lets Catalyst re-evaluate it per element (O(dim²)/row)."""
+    """Unit-normalize inside one expression. AVOID in hot paths: Catalyst's
+    CollapseProject inlines the norm aggregate into the transform lambda
+    and re-evaluates it per element — O(dim²)/row. Hot paths instead carry
+    the scalar norm alongside the raw vector (``with_norm``) and divide
+    once per PAIR: cosine = dot(a,b)/(na*nb)."""
     n = norm_expr(a)
     return F.transform(a, lambda x: x / n)
 
 
-def with_normalized(df: DataFrame, src: Column, out_name: str) -> DataFrame:
-    """Add a unit-normalized copy of an array column, materializing the
-    norm in its own projection first so it is computed once per row."""
-    df = df.withColumn("_nrm", norm_expr(src))
-    return (df.withColumn(out_name,
-                          F.transform(src, lambda x: x / F.col("_nrm")))
-              .drop("_nrm"))
+def with_norm(df: DataFrame, src: Column, vec_name: str,
+              norm_name: str) -> DataFrame:
+    """Project the raw vector plus its scalar L2 norm — O(dim) once per
+    row, immune to projection collapse (the norm lives in its own column,
+    never inside an array lambda)."""
+    return df.withColumn(vec_name, src).withColumn(norm_name,
+                                                   norm_expr(F.col(vec_name)))
 
 
 def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
@@ -62,15 +61,15 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     the corpus is scanned once, no shuffle of the corpus itself; the only
     shuffle is the per-query top-k (rows = |queries| × |corpus| reduced by
     the window to |queries| × k)."""
-    q = with_normalized(
+    q = with_norm(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("_q0")),
-        F.col("_q0"), "_qv").drop("_q0")
-    c = with_normalized(
+        F.col("_q0"), "_qv", "_qn").drop("_q0")
+    c = with_norm(
         df.select(F.col(id_col).alias("neighbor_id"),
                   F.col(vec_col).cast("array<double>").alias("_c0")),
-        F.col("_c0"), "_cv").drop("_c0")
-    cos = dot_expr(F.col("_qv"), F.col("_cv"))
+        F.col("_c0"), "_cv", "_cn").drop("_c0")
+    cos = dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     scored = (c.crossJoin(F.broadcast(q))
                .filter(F.col("query_id") != F.col("neighbor_id"))
                .select("query_id", "neighbor_id",
@@ -97,10 +96,14 @@ def neardup_pairs_blas(df: DataFrame, vec_col: str = "embedding",
 
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("_v"))
-    rows = v.collect()
-    ids = np.array([r["_id"] for r in rows])
-    M = np.array([r["_v"] for r in rows], dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    # Arrow transfer, not Row objects — collect() would materialize every
+    # vector as python lists (several x the raw bytes) on the driver
+    pdf_all = v.toPandas()
+    ids = pdf_all["_id"].to_numpy()
+    M = np.array(pdf_all["_v"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0          # zero vectors: cosine treated as 0
+    M /= norms
     sc = df.sparkSession.sparkContext
     b_ids, b_M = sc.broadcast(ids), sc.broadcast(M)
 
@@ -113,7 +116,9 @@ def neardup_pairs_blas(df: DataFrame, vec_col: str = "embedding",
         all_ids, all_M = b_ids.value, b_M.value
         for pdf in it:
             X = np.array(pdf["_v"].tolist(), dtype=np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            xn[xn == 0] = 1.0
+            X /= xn
             xid = pdf["_id"].to_numpy()
             cos = np.round(X @ all_M.T, round_to)
             ii, jj = np.where(cos >= threshold)
@@ -209,20 +214,20 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     _cell = F.pandas_udf(_cell_fn, "int")
     _cells = F.pandas_udf(_cells_fn, "array<int>")
 
-    c = with_normalized(
+    c = with_norm(
         df.select(F.col(id_col).alias("neighbor_id"),
                   F.col(vec_col).cast("array<double>").alias("_c0")),
-        F.col("_c0"), "_cv").drop("_c0")
+        F.col("_c0"), "_cv", "_cn").drop("_c0")
     c = c.withColumn("_cell", _cell(F.col("_cv")))
-    q = with_normalized(
+    q = with_norm(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("_q0")),
-        F.col("_q0"), "_qv").drop("_q0")
+        F.col("_q0"), "_qv", "_qn").drop("_q0")
     q = q.withColumn("_cells", _cells(F.col("_qv")))
     joined = (c.join(F.broadcast(q),
                      F.array_contains(F.col("_cells"), F.col("_cell")))
                .filter(F.col("query_id") != F.col("neighbor_id")))
-    cos = dot_expr(F.col("_qv"), F.col("_cv"))
+    cos = dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
     return (joined.select("query_id", "neighbor_id",

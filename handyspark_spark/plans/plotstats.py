@@ -81,6 +81,8 @@ def boxplot_stats(hdf, colnames: list[str], k: float = 1.5,
                                        exact).alias(f"_qq_{c}"))
         exprs.append(F.mean(F.col(c).cast("double")).alias(f"_mean_{c}"))
     stats = A.summary_plan(df, exprs, strata).toPandas()
+    if strata:   # deterministic box order (plans no longer orderBy)
+        stats = stats.sort_values(strata).reset_index(drop=True)
     for c in colnames:   # unpack the fused quantile arrays
         stats[[f"_q1_{c}", f"_med_{c}", f"_q3_{c}"]] = pd.DataFrame(
             stats[f"_qq_{c}"].tolist(), index=stats.index)

@@ -45,11 +45,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` that upgrades nano timestamps in place."""
     # pin timestamp semantics: parquet micros are wall-clock values; a
     # non-UTC session TZ would shift year()/hour() extractions relative
-    # to engines that read timestamps as naive (DuckDB, pandas)
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:  # pragma: no cover - locked conf in exotic setups
-        pass
+    # to engines that read timestamps as naive (DuckDB, pandas). This IS
+    # a session-level side effect — opt out by setting
+    # HANDYSPARK_KEEP_SESSION_TZ if your app manages its own timezone.
+    if not os.environ.get("HANDYSPARK_KEEP_SESSION_TZ"):
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:  # pragma: no cover - locked conf
+            pass
     nanos = _nano_ts_columns(path)
     if not nanos:
         return spark.read.parquet(path)
