@@ -1,0 +1,73 @@
+"""Deterministic sampling and split assignment for training-data
+pipelines.
+
+Random sampling (``df.sample``) is partition-order dependent — rerun the
+pipeline after a repartition and you get a different sample. Training
+pipelines need DETERMINISTIC membership: the same row lands in the same
+split on every run, on any cluster layout. Standard trick: hash a stable
+key to [0,1) and threshold — reproducible across engines (the DuckDB
+oracle computes the identical hashes), mergeable across incremental runs,
+and a pure projection (no shuffle, no state).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_unit(key: Column, salt: str = "") -> Column:
+    """Stable uniform-ish [0,1) value: first 8 md5 hex chars / 2^32.
+    Engine-reproducible (md5 is md5 everywhere)."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("#", key.cast("string"),
+                                             F.lit(salt))), 1, 8),
+               16, 10).cast("double")
+    return h / F.lit(float(1 << 32))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: str = "") -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on ``key_col`` — pure
+    filter projection (pushdown-friendly, zero shuffle)."""
+    return df.filter(hash_unit(F.col(key_col), salt) < fraction)
+
+
+def split_assign(df: DataFrame, key_col: str,
+                 splits: dict[str, float] | None = None,
+                 salt: str = "", out_col: str = "split") -> DataFrame:
+    """Assign each row to a named split by hash range, e.g.
+    ``{"train": 0.9, "val": 0.05, "test": 0.05}`` — disjoint, exhaustive,
+    stable under reruns and data growth (a row's split never changes when
+    other rows are added)."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = hash_unit(F.col(key_col), salt)
+    expr = None
+    lo = 0.0
+    items = list(splits.items())
+    for name, frac in items[:-1]:
+        hi = lo + frac
+        cond = u < F.lit(hi) if expr is None else (u >= F.lit(lo)) & \
+            (u < F.lit(hi))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+        lo = hi
+    expr = expr.otherwise(F.lit(items[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed: int = 42) -> DataFrame:
+    """Per-stratum sampling via native ``sampleBy`` (Bernoulli per key) —
+    NOT deterministic across layouts; use ``hash_sample`` + per-stratum
+    thresholds when reproducibility matters."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def balanced_sample(df: DataFrame, strata_col: str, key_col: str,
+                    per_stratum: int) -> DataFrame:
+    """Deterministic 'take ~n per stratum' via hash-ranked window — one
+    shuffle on the stratum key; stable under reruns."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_unit(F.col(key_col)), F.col(key_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= per_stratum).drop("_rn"))

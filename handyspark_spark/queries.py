@@ -1131,3 +1131,38 @@ def q_salted_agg(spark, sf_dir):
                       "cnt": ("count", None),
                       "max_price": ("max", "l_extendedprice")})
     return out.withColumn("sum_price", F.round("sum_price", 2))
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / split assignment (pipeline/sample.py)
+# ---------------------------------------------------------------------------
+
+@query("hash_sample", """
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#'), 1, 8))::BIGINT
+      / 4294967296.0 < 0.1
+""")
+def q_hash_sample(spark, sf_dir):
+    from .pipeline.sample import hash_sample
+    df = _t(spark, sf_dir, "documents")
+    return hash_sample(df, "doc_id", 0.1).select("doc_id", "lang")
+
+
+@query("split_assign", """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#'), 1, 8))::BIGINT
+           / 4294967296.0 AS h
+  FROM documents
+)
+SELECT CASE WHEN h < 0.9 THEN 'train'
+            WHEN h >= 0.9 AND h < 0.95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS cnt
+FROM u GROUP BY 1
+""")
+def q_split_assign(spark, sf_dir):
+    from .pipeline.sample import split_assign
+    df = _t(spark, sf_dir, "documents")
+    out = split_assign(df, "doc_id")
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))

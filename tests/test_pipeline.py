@@ -115,3 +115,55 @@ def test_minhash_lsh_groups_cover_exact_dups(docs):
         assert len(cl) == 1
     # linear output: one row per doc
     assert len(clusters) == docs.count()
+
+
+def test_hash_sample_deterministic_and_sized(docs):
+    from handyspark_spark.pipeline.sample import hash_sample
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    b = {r.doc_id for r in
+         hash_sample(docs.repartition(7), "doc_id", 0.2).collect()}
+    assert a == b                      # layout-independent membership
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ~fraction
+
+
+def test_split_assign_disjoint_exhaustive_stable(docs):
+    from handyspark_spark.pipeline.sample import split_assign
+    out = split_assign(docs, "doc_id").select("doc_id", "split").collect()
+    assert len(out) == docs.count()
+    splits = {r.doc_id: r.split for r in out}
+    # membership stable when the corpus grows (subset keeps its splits)
+    sub = split_assign(docs.filter("doc_id < 100"), "doc_id") \
+        .select("doc_id", "split").collect()
+    for r in sub:
+        assert splits[r.doc_id] == r.split
+
+
+def test_balanced_sample_counts(docs):
+    from handyspark_spark.pipeline.sample import balanced_sample
+    out = balanced_sample(docs, "lang", "doc_id", 5)
+    counts = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+
+
+def test_jaccard_bitmask_63_token_guard(spark):
+    """Regression: 64-token vocab must fall back, not crash on 1<<63."""
+    import pandas as pd
+    texts = [" ".join(f"t{i}" for i in range(64))] * 3 + ["t0 t1"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "text": texts}))
+    from handyspark_spark.pipeline.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(df, threshold=0.99,
+                                strategy="auto").collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_zero_norm_vectors_not_neardups(spark):
+    import pandas as pd
+    from handyspark_spark.pipeline.similarity import neardup_pairs_blas
+    pdf = pd.DataFrame({"vec_id": [0, 1, 2],
+                        "embedding": [[0.0, 0.0], [1.0, 0.0], [1.0, 0.0]]})
+    df = spark.createDataFrame(pdf)
+    pairs = {(r.id_a, r.id_b) for r in
+             neardup_pairs_blas(df, threshold=0.99).collect()}
+    assert pairs == {(1, 2)}

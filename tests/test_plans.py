@@ -167,3 +167,20 @@ def test_salted_join_equals_plain(tables):
     salted = salted_join(tables["lineitem"], tables["orders"],
                          "l_orderkey", "o_orderkey").count()
     assert plain == salted
+
+
+def test_salted_join_rejects_right_outer(tables):
+    import pytest as _pytest
+    from handyspark_spark.operators.skew import salted_join
+    with _pytest.raises(ValueError):
+        salted_join(tables["lineitem"], tables["orders"],
+                    "l_orderkey", "o_orderkey", how="right")
+
+
+def test_grouped_agg_keeps_sidecar(tables):
+    from handyspark_spark import toHandy
+    hdf = toHandy(tables["orders"])
+    hdf.set_safety_limit(7)
+    g = hdf.groupby("o_orderpriority").agg(F.count(F.lit(1)).alias("c"))
+    assert len(g.collect()) <= 7 or g._handy.safety_limit == 7
+    assert g._handy.safety_limit == 7
