@@ -147,24 +147,23 @@ def mutual_info_plan(df: DataFrame, col_x: str, col_y: str,
     """Mutual information (base 2) between two categorical columns
     (ref dataframe.py:687-734): MI = sum_xy p(x,y) * log2(p(x,y)/(p(x)p(y))).
 
-    Computed as joint-distribution counts joined to each marginal. Marginals
-    are tiny (|distinct| rows) — broadcast them so the only real shuffle is
-    the joint groupBy."""
+    ONE shuffle total: the joint groupBy. Marginals and the total are
+    derived FROM the joint counts with window sums over the (tiny,
+    |x|·|y|-row) joint table — the reference joined three separately
+    aggregated marginal tables back in (3 extra shuffles + joins)."""
+    from pyspark.sql import Window
     strata = strata or []
-    keys = strata
-    joint = (df.groupBy(*(keys + [col_x, col_y]))
+    joint = (df.groupBy(*(strata + [col_x, col_y]))
                .agg(F.count(F.lit(1)).alias("_nxy")))
-    mx = (df.groupBy(*(keys + [col_x]))
-            .agg(F.count(F.lit(1)).alias("_nx")))
-    my = (df.groupBy(*(keys + [col_y]))
-            .agg(F.count(F.lit(1)).alias("_ny")))
-    n = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-    j = (joint.join(F.broadcast(mx), on=keys + [col_x])
-              .join(F.broadcast(my), on=keys + [col_y]))
-    j = j.join(F.broadcast(n), on=keys) if keys else j.crossJoin(F.broadcast(n))
+    wx = Window.partitionBy(*(strata + [col_x]))
+    wy = Window.partitionBy(*(strata + [col_y]))
+    wn = Window.partitionBy(*strata) if strata else Window.partitionBy()
+    j = (joint.withColumn("_nx", F.sum("_nxy").over(wx))
+              .withColumn("_ny", F.sum("_nxy").over(wy))
+              .withColumn("_n", F.sum("_nxy").over(wn)))
     term = (F.col("_nxy") / F.col("_n")) * F.log2(
         (F.col("_nxy") * F.col("_n")) / (F.col("_nx") * F.col("_ny")))
-    return j.groupBy(*keys).agg(F.sum(term).alias("mutual_info"))
+    return j.groupBy(*strata).agg(F.sum(term).alias("mutual_info"))
 
 
 def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
