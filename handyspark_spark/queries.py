@@ -556,22 +556,70 @@ def q_minhash_signatures(spark, sf_dir):
         .withColumn("seed", F.col("seed").cast("int"))
 
 
-@query("simhash")
+@query("simhash", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+  FROM toks
+), bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << j)
+                  ELSE 0::HUGEINT END) AS f
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+                 THEN f - 18446744073709551616::HUGEINT
+                 ELSE f END AS BIGINT) AS simhash
+FROM fp
+""")
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (pandas-UDF path) — no SQL oracle (bit-level
-    numpy logic); correctness covered by tests/test_pipeline.py which
-    checks Hamming(simhash) correlates with Jaccard similarity."""
+    """SimHash fingerprints — the Arrow-UDF numpy bit logic is replicated
+    bit-for-bit by the SQL oracle (md5 first-8-bytes hash, +-1 bit votes,
+    sign pack; two's-complement fold to signed 64-bit)."""
     from .pipeline.dedup import simhash_fingerprints
     df = _t(spark, sf_dir, "documents")
     return simhash_fingerprints(df)
 
 
-@query("minhash_lsh_pairs")
+_LSH_BANDED_SQL = """
+  toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+  ), seeds AS (SELECT unnest(range(16)) AS seed),
+  sigs AS (
+    SELECT doc_id, seed,
+           MIN(('0x' || substr(md5(tok || '#' || seed::VARCHAR), 1, 8))
+               ::BIGINT) AS mh
+    FROM toks CROSS JOIN seeds GROUP BY doc_id, seed
+  ), arr AS (
+    SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sigs GROUP BY doc_id
+  ), banded AS (
+    SELECT doc_id, b.band,
+           CASE WHEN b.band = 0 THEN sig[1:8] ELSE sig[9:16] END AS bv
+    FROM arr CROSS JOIN (SELECT unnest(range(2)) AS band) b
+  )
+"""
+
+
+@query("minhash_lsh_pairs", f"""
+WITH {_LSH_BANDED_SQL},
+ok AS (
+  SELECT band, bv FROM banded GROUP BY band, bv HAVING COUNT(*) <= 500
+), keep AS (SELECT banded.* FROM banded JOIN ok USING (band, bv))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM keep a JOIN keep b
+  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+""")
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Banded MinHash-LSH candidate pairs — rows-only check (banding is
-    collect_list-order-free but the band-hash construction is not
-    practical in ANSI SQL); recall-vs-exact-Jaccard is pinned in
-    tests/test_pipeline.py."""
+    """Banded MinHash-LSH candidate pairs — oracle joins on band slices
+    by LIST EQUALITY (no band-hash parity needed across engines)."""
     from .pipeline.dedup import minhash_lsh_pairs
     df = _t(spark, sf_dir, "documents")
     # r=8 rows/band -> LSH s-curve threshold ~0.92, tuned for >=0.95 dedup;
@@ -870,11 +918,28 @@ def q_session_counts(spark, sf_dir):
     return session_counts(df, "ts", "user_id", 1800)
 
 
-@query("session_window")
+@query("session_window", """
+WITH o AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, COUNT(*) AS cnt
+FROM m GROUP BY user_id, sid
+""")
 def q_session_window(spark, sf_dir):
-    """Native F.session_window sessionization — rows-only check (session
-    bounds equivalence vs the gaps-and-islands form is pinned in
-    tests/test_streaming.py)."""
+    """Native F.session_window sessionization, oracle via gaps-and-islands
+    (session merges while gap < 30min; window end = last event + gap —
+    F.session_window's end-exclusive convention)."""
     from .streaming.windows import session
     df = _t(spark, sf_dir, "events")
     return session(df, "ts", "30 minutes", group_cols=["user_id"])
@@ -1040,11 +1105,18 @@ def q_json_extract(spark, sf_dir):
                  F.count(F.lit(1)).alias("cnt")))
 
 
-@query("minhash_lsh_groups")
+@query("minhash_lsh_groups", f"""
+WITH {_LSH_BANDED_SQL},
+bm AS (
+  SELECT doc_id, band, bv,
+         MIN(doc_id) OVER (PARTITION BY band, bv) AS bucket_min
+  FROM banded
+)
+SELECT doc_id, MIN(bucket_min) AS cluster_id FROM bm GROUP BY doc_id
+""")
 def q_minhash_lsh_groups(spark, sf_dir):
-    """Linear-output LSH dedup clusters — rows-only check; cluster
-    validity (same cluster => shared band bucket) pinned in
-    tests/test_pipeline.py."""
+    """Linear-output LSH dedup clusters (min-id per shared bucket) —
+    oracle-checked via the same list-equality banding."""
     from .pipeline.dedup import minhash_lsh_groups
     df = _t(spark, sf_dir, "documents")
     return minhash_lsh_groups(df, num_hashes=16, bands=2)

@@ -59,8 +59,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
+        # integer div, NOT `/1000` — double division rounds-to-nearest at
+        # ~1.7e18 ns magnitudes (double mantissa < 63 bits) and shifted
+        # some timestamps by 1 microsecond vs engines that truncate
         df = df.withColumn(c, F.timestamp_micros(
-            (F.col(c) / F.lit(1000)).cast("long")))
+            F.expr(f"`{c}` div 1000")))
     return df
 
 
