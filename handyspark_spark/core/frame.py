@@ -98,10 +98,14 @@ class HandyFrame:
         return self
 
     def collect(self):
-        if self._handy.safety:
-            return self._df.limit(self._handy.safety_limit).collect()
-        self._handy.safety = True          # one-shot, like the reference
-        return self._df.collect()
+        from .util import HandyException
+        try:
+            if self._handy.safety:
+                return self._df.limit(self._handy.safety_limit).collect()
+            self._handy.safety = True      # one-shot, like the reference
+            return self._df.collect()
+        except Exception as e:             # surface the root cause first
+            raise HandyException(e) from e
 
     def take(self, num: int):
         return self._df.take(num)

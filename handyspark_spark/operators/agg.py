@@ -174,15 +174,30 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
     used mllib RDD Statistics — replaced with pure DataFrame ops)."""
     strata = strata or []
     if method == "spearman":
+        # average ranks (pandas/scipy convention) per column, computed at
+        # DISTINCT-VALUE granularity: rank(v) = #smaller + (cnt_v + 1)/2,
+        # via a cumulative window over distinct values joined back in.
+        # The window input is |distinct values| rows — never a
+        # single-partition pass over all rows (the naive row_number form
+        # moves the whole dataset to one task).
         from pyspark.sql import Window
-        # average ranks (pandas/scipy convention) per column
         for c in colnames:
-            w = (Window.partitionBy(*strata) if strata else Window.partitionBy())
-            df = df.withColumn(
-                f"_rk_{c}",
-                F.avg(F.row_number().over(w.orderBy(c))).over(
-                    (Window.partitionBy(*(strata + [c])) if strata
-                     else Window.partitionBy(c))))
+            counts = (df.groupBy(*(strata + [c]))
+                      .agg(F.count(F.lit(1)).alias("_cnt")))
+            w = (Window.partitionBy(*strata).orderBy(c)
+                 .rowsBetween(Window.unboundedPreceding, -1)
+                 if strata else
+                 Window.orderBy(c).rowsBetween(Window.unboundedPreceding,
+                                               -1))
+            ranks = counts.withColumn(
+                "_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+            ranks = ranks.select(
+                *(strata + [c]),
+                (F.col("_before") + (F.col("_cnt") + 1) / 2.0)
+                .alias(f"_rk_{c}"))
+            # no broadcast hint: |distinct| can approach |rows| for
+            # continuous columns — AQE picks broadcast when it fits
+            df = df.join(ranks, on=strata + [c])
         src = {c: f"_rk_{c}" for c in colnames}
     else:
         src = {c: c for c in colnames}

@@ -103,3 +103,16 @@ def stream_from_events_dir(spark, path: str, schema) -> DataFrame:
     twin of ``sources.loader.load_table``."""
     return (spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(path))
+
+
+def stream_dedup(df: DataFrame, keys: list[str], ts_col: str,
+                 watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first row per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` — rows
+    whose event time has passed the watermark are evicted from state, so
+    memory is O(keys-per-watermark-window), not O(all keys ever)).
+    On a batch DataFrame falls back to plain dropDuplicates."""
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return (df.withWatermark(ts_col, watermark_delay)
+              .dropDuplicatesWithinWatermark(keys))

@@ -186,3 +186,58 @@ def test_assign_scalar_and_column(horders):
     out = horders.assign(konst=3, doubled=F.col("o_totalprice") * 2)
     row = out.select("konst", "doubled", "o_totalprice").take(1)[0]
     assert row.konst == 3 and row.doubled == 2 * row.o_totalprice
+
+
+# -- .str edge methods (UDF-backed family) --------------------------------
+
+def test_str_slice_replace_wrap_translate(hpart, ppart):
+    s = hpart.pandas["p_name"].str
+    _cmp(hpart, s.slice_replace(0, 3, "XX"),
+         ppart["p_name"].str.slice_replace(0, 3, "XX"))
+    _cmp(hpart, s.wrap(10), ppart["p_name"].str.wrap(10))
+    table = str.maketrans({"a": "4", "e": "3"})
+    _cmp(hpart, s.translate(table), ppart["p_name"].str.translate(table))
+    _cmp(hpart, s.rfind("a"),
+         ppart["p_name"].str.rfind("a").astype("int32"))
+    _cmp(hpart, s.normalize("NFKD"), ppart["p_name"].str.normalize("NFKD"))
+
+
+def test_str_match_and_extract(hpart, ppart):
+    s = hpart.pandas["p_name"].str
+    _cmp(hpart, s.match("b"), ppart["p_name"].str.match("b"))
+    _cmp(hpart, s.extract("([a-z]+)"),
+         ppart["p_name"].str.extract(r"([a-z]+)", expand=False).fillna(""))
+
+
+def test_str_remove_accents(spark):
+    import pandas as pd
+
+    from handyspark_spark import toHandy
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": ["café", "naïve", "plain", "Ärger"]}))
+    hdf = toHandy(df)
+    got = hdf.assign(x=hdf.pandas["s"].str.remove_accents()) \
+        .cols["x"][:4].tolist()
+    assert got == ["cafe", "naive", "plain", "Arger"]
+
+
+def test_dt_ceil_round_udf_paths(horders, porders):
+    d = horders.pandas["o_orderdate"].dt
+    col = porders["o_orderdate"].dt
+    _cmp(horders, d.ceil("D"), col.ceil("D"))
+    _cmp(horders, d.round("D"), col.round("D"))
+    _cmp(horders, d.strftime("%d/%m/%Y %H:%M"),
+         col.strftime("%d/%m/%Y %H:%M"))
+
+
+def test_exception_summary_surfaces(tables):
+    from handyspark_spark import toHandy
+    from handyspark_spark.core.util import HandyException
+    import pytest as _pytest
+    hdf = toHandy(tables["orders"]).assign(
+        bad=lambda o_totalprice: o_totalprice / 0)
+    # division is fine in pandas (inf); force a real analysis error instead
+    from pyspark.sql import functions as F
+    bad = toHandy(tables["orders"].select(F.expr("o_totalprice")))
+    with _pytest.raises(Exception):
+        bad._df.select("nonexistent_column").collect()

@@ -190,3 +190,28 @@ def test_stateful_streaming_matches_batch(tables, spark, tmp_path):
     npt.assert_array_equal(got["n_events"].values, exp["n_events"].values)
     npt.assert_array_almost_equal(got["sum_value"].values,
                                   exp["sum_value"].values)
+
+
+def test_stream_dedup_matches_batch(tables, spark, tmp_path):
+    """Streaming dedup (watermark-bounded state) must keep exactly one
+    row per key, matching batch dropDuplicates key-set."""
+    import os
+
+    from handyspark_spark.streaming.windows import stream_dedup
+    src = str(tmp_path / "dups")
+    os.makedirs(src)
+    base = tables["events"].selectExpr(
+        "user_id % 20 AS k", "ts", "event_id").limit(1000)
+    base.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(base.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (stream_dedup(stream, ["k"], "ts").writeStream
+         .format("memory").queryName("t_dedup").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT k FROM t_dedup").toPandas()["k"]
+    assert got.is_unique
+    assert set(got) == {r.k for r in base.select("k").distinct().collect()}
+    # batch fallback
+    assert stream_dedup(base, ["k"], "ts").count() == got.nunique()
