@@ -140,3 +140,32 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def chunk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+          size: int = 64, overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    LLM-training preprocessing step. Pure array expressions (slice over
+    the token array, posexplode of window starts): map-only fan-out, no
+    shuffle; output rows = ceil(tokens/stride) per doc.
+
+    Returns (id_col, chunk_id, chunk_text, n_chunk_tokens)."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # window starts 0, stride, 2*stride, ... while start < n
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((n - 1), F.lit(0)),
+        F.lit(stride))
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.posexplode(starts).alias("chunk_id", "_start"))
+    piece = F.slice(tokens(F.col("_t")), F.col("_start") + 1, size)
+    return (out.select(
+        id_col, "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("int").alias("n_chunk_tokens")))

@@ -79,3 +79,35 @@ def plot_correlations(hdf, colnames=None, ax=None, **kwargs):
     ax.set_yticks(range(len(cols)), cols)
     plt.colorbar(im, ax=ax)
     return ax
+
+
+def plot_roc_curve(metrics, ax=None, **kwargs):
+    """Render the ROC curve from a BinaryClassificationMetrics
+    (ref evaluation.py:118-127); returns the (fpr, tpr) frame when
+    matplotlib is unavailable."""
+    pdf = metrics.roc().toPandas()
+    plt = _plt()
+    if plt is None:
+        return pdf
+    if ax is None:
+        _, ax = plt.subplots()
+    ax.plot(pdf["fpr"], pdf["tpr"], **kwargs)
+    ax.plot([0, 1], [0, 1], linestyle="--")
+    ax.set_xlabel("FPR")
+    ax.set_ylabel("TPR")
+    ax.set_title(f"ROC (AUC={metrics.areaUnderROC:.4f})")
+    return ax
+
+
+def plot_pr_curve(metrics, ax=None, **kwargs):
+    """Render the precision-recall curve (ref evaluation.py:129-136)."""
+    pdf = metrics.pr().toPandas()
+    plt = _plt()
+    if plt is None:
+        return pdf
+    if ax is None:
+        _, ax = plt.subplots()
+    ax.plot(pdf["recall"], pdf["precision"], **kwargs)
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    return ax

@@ -1238,3 +1238,25 @@ def q_split_assign(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     out = split_assign(df, "doc_id")
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
+
+@query("chunk_documents", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks, unnest(range(0, GREATEST(len(toks) - 1, 0) + 1, 48))
+           AS start,
+         CAST((unnest(range(0, GREATEST(len(toks) - 1, 0) + 1, 48)) / 48)
+              AS INT) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       array_to_string(toks[start + 1:start + 64], ' ') AS chunk_text,
+       CAST(LEAST(64, len(toks) - start) AS INT) AS n_chunk_tokens
+FROM starts
+""")
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (size 64, overlap 16 -> stride
+    48) — map-only fan-out."""
+    from .pipeline.text import chunk
+    df = _t(spark, sf_dir, "documents")
+    return chunk(df, size=64, overlap=16)

@@ -167,3 +167,35 @@ def test_zero_norm_vectors_not_neardups(spark):
     pairs = {(r.id_a, r.id_b) for r in
              neardup_pairs_blas(df, threshold=0.99).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_chunking_reconstructs_and_overlaps(docs, pdf_tables):
+    from handyspark_spark.pipeline.text import chunk
+    out = (chunk(docs, size=64, overlap=16).toPandas()
+           .sort_values(["doc_id", "chunk_id"]))
+    texts = pdf_tables["documents"].set_index("doc_id")["text"]
+    # every doc covered; first chunk is the doc's first 64 tokens
+    assert set(out.doc_id) == set(texts.index)
+    g = out.groupby("doc_id").first()
+    for doc_id in list(texts.index)[:20]:
+        toks = texts[doc_id].split(" ")
+        assert g.loc[doc_id, "chunk_text"] == " ".join(toks[:64])
+    # consecutive chunks overlap by 16 tokens
+    two = out[out.doc_id == out.doc_id.iloc[0]]
+    if len(two) > 1:
+        a = two.iloc[0].chunk_text.split(" ")
+        b = two.iloc[1].chunk_text.split(" ")
+        assert a[48:] == b[:len(a) - 48]
+
+
+def test_to_metrics_rdd(emb):
+    from pyspark.sql import functions as F
+
+    from handyspark_spark import toHandy
+    df = emb.select(
+        F.array(F.lit(0.3), F.lit(0.7)).alias("probability"),
+        (F.col("label") >= 5).cast("int").alias("label"))
+    rdd = toHandy(df).to_metrics_RDD("probability", "label")
+    first = rdd.take(2)
+    assert all(isinstance(t, tuple) and len(t) == 2 for t in first)
+    assert all(abs(t[0] - 0.7) < 1e-9 for t in first)
