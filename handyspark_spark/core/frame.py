@@ -238,6 +238,33 @@ class HandyFrame:
         s.name = "missing" + ("(ratio)" if ratio else "")
         return s
 
+    def describe(self, colnames=None, exact: bool = False,
+                 precision: float = 0.01) -> pd.DataFrame:
+        """pandas-style describe (count/mean/std/min/25%/50%/75%/max) for
+        numeric columns — ONE wide aggregation over all columns at once,
+        quartiles fused into a single percentile pass per column."""
+        from ..operators import agg as A
+        cols = colnames or self._types.numerical
+        exprs = []
+        for c in cols:
+            d = F.col(c).cast("double")
+            exprs += [F.count(d).alias(f"count__{c}"),
+                      F.mean(d).alias(f"mean__{c}"),
+                      F.stddev(d).alias(f"std__{c}"),
+                      F.min(d).alias(f"min__{c}"),
+                      A.percentile_expr(c, [0.25, 0.5, 0.75], precision,
+                                        exact).alias(f"q__{c}"),
+                      F.max(d).alias(f"max__{c}")]
+        row = A.summary_plan(self._df, exprs).collect()[0]
+        out = {}
+        for c in cols:
+            q = row[f"q__{c}"]
+            out[c] = [row[f"count__{c}"], row[f"mean__{c}"],
+                      row[f"std__{c}"], row[f"min__{c}"],
+                      q[0], q[1], q[2], row[f"max__{c}"]]
+        return pd.DataFrame(out, index=["count", "mean", "std", "min",
+                                        "25%", "50%", "75%", "max"])
+
     def nunique(self, exact: bool = False) -> pd.Series:
         from ..operators import agg as A
         pdf = A.nunique_plan(self._df, self._df.columns, exact=exact).toPandas()

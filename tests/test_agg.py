@@ -138,3 +138,9 @@ def test_handy_grouped_remembers_groups(hdf):
         F.mean("l_extendedprice").alias("m"))
     assert g._group_cols == ["l_returnflag"]
     assert g._df.count() == 3
+
+
+def test_describe_matches_pandas(hdf, pdf):
+    got = hdf.describe(["l_quantity", "l_extendedprice"], exact=True)
+    exp = pdf[["l_quantity", "l_extendedprice"]].describe()
+    npt.assert_array_almost_equal(got.values, exp.values, decimal=6)
