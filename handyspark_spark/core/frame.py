@@ -257,8 +257,9 @@ class HandyFrame:
                       F.max(d).alias(f"max__{c}")]
         row = A.summary_plan(self._df, exprs).collect()[0]
         out = {}
+        nan = float("nan")
         for c in cols:
-            q = row[f"q__{c}"]
+            q = row[f"q__{c}"] or [nan, nan, nan]   # all-null/empty column
             out[c] = [row[f"count__{c}"], row[f"mean__{c}"],
                       row[f"std__{c}"], row[f"min__{c}"],
                       q[0], q[1], q[2], row[f"max__{c}"]]

@@ -153,7 +153,11 @@ def mutual_info_plan(df: DataFrame, col_x: str, col_y: str,
     aggregated marginal tables back in (3 extra shuffles + joins)."""
     from pyspark.sql import Window
     strata = strata or []
-    joint = (df.groupBy(*(strata + [col_x, col_y]))
+    # NULL categories excluded, as in every other categorical operator
+    # here (the previous join-based form dropped them implicitly via
+    # non-matching NULL join keys; keep that contract explicit)
+    joint = (df.dropna(subset=[col_x, col_y])
+               .groupBy(*(strata + [col_x, col_y]))
                .agg(F.count(F.lit(1)).alias("_nxy")))
     wx = Window.partitionBy(*(strata + [col_x]))
     wy = Window.partitionBy(*(strata + [col_y]))
@@ -182,7 +186,12 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         # moves the whole dataset to one task).
         from pyspark.sql import Window
         for c in colnames:
-            counts = (df.groupBy(*(strata + [c]))
+            # ranks over NON-NULL values only; rows keep a NULL rank via
+            # the left join and F.corr then skips them PAIRWISE — the
+            # pandas/scipy convention (an inner join would listwise-drop
+            # the row from every other column's correlation too)
+            counts = (df.filter(F.col(c).isNotNull())
+                      .groupBy(*(strata + [c]))
                       .agg(F.count(F.lit(1)).alias("_cnt")))
             w = (Window.partitionBy(*strata).orderBy(c)
                  .rowsBetween(Window.unboundedPreceding, -1)
@@ -197,7 +206,7 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
                 .alias(f"_rk_{c}"))
             # no broadcast hint: |distinct| can approach |rows| for
             # continuous columns — AQE picks broadcast when it fits
-            df = df.join(ranks, on=strata + [c])
+            df = df.join(ranks, on=strata + [c], how="left")
         src = {c: f"_rk_{c}" for c in colnames}
     else:
         src = {c: c for c in colnames}

@@ -17,11 +17,14 @@ from pyspark.sql import functions as F
 
 def hash_unit(key: Column, salt: str = "") -> Column:
     """Stable uniform-ish [0,1) value: first 8 md5 hex chars / 2^32.
-    Engine-reproducible (md5 is md5 everywhere)."""
+    Engine-reproducible (md5 is md5 everywhere). NULL keys hash to NULL
+    (not a shared constant bucket) — null-key rows are excluded from
+    samples and get a NULL split, matching SQL NULL propagation."""
     h = F.conv(F.substring(F.md5(F.concat_ws("#", key.cast("string"),
                                              F.lit(salt))), 1, 8),
                16, 10).cast("double")
-    return h / F.lit(float(1 << 32))
+    return F.when(key.isNull(), F.lit(None).cast("double")) \
+        .otherwise(h / F.lit(float(1 << 32)))
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float,
@@ -40,9 +43,12 @@ def split_assign(df: DataFrame, key_col: str,
     other rows are added)."""
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     u = hash_unit(F.col(key_col), salt)
+    items = list(splits.items())
+    if len(items) == 1:
+        return df.withColumn(
+            out_col, F.when(u.isNotNull(), F.lit(items[0][0])))
     expr = None
     lo = 0.0
-    items = list(splits.items())
     for name, frac in items[:-1]:
         hi = lo + frac
         cond = u < F.lit(hi) if expr is None else (u >= F.lit(lo)) & \
@@ -51,6 +57,9 @@ def split_assign(df: DataFrame, key_col: str,
                 else expr.when(cond, F.lit(name)))
         lo = hi
     expr = expr.otherwise(F.lit(items[-1][0]))
+    # NULL keys -> NULL split (the .otherwise above would otherwise
+    # swallow them into the last split)
+    expr = F.when(u.isNotNull(), expr)
     return df.withColumn(out_col, expr)
 
 

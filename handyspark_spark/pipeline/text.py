@@ -155,17 +155,18 @@ def chunk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError("overlap must be smaller than size")
     toks = tokens(text_col)
     n = F.size(toks)
-    # window starts 0, stride, 2*stride, ... while start < n
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest((n - 1), F.lit(0)),
-        F.lit(stride))
+    # tokenize ONCE, build every chunk as an array slice INSIDE the
+    # projection, and explode the finished chunks — carrying the raw text
+    # through the explode would re-split it per chunk row
+    # (O(chunks × doc_len) work) and duplicate the full string bytes
+    starts = F.sequence(F.lit(0), F.greatest((n - 1), F.lit(0)),
+                        F.lit(stride))
+    chunks = F.transform(starts,
+                         lambda s: F.slice(toks, s + 1, size))
     out = df.select(
         F.col(id_col),
-        F.col(text_col).alias("_t"),
-        F.posexplode(starts).alias("chunk_id", "_start"))
-    piece = F.slice(tokens(F.col("_t")), F.col("_start") + 1, size)
-    return (out.select(
+        F.posexplode(chunks).alias("chunk_id", "_piece"))
+    return out.select(
         id_col, "chunk_id",
-        F.concat_ws(" ", piece).alias("chunk_text"),
-        F.size(piece).cast("int").alias("n_chunk_tokens")))
+        F.concat_ws(" ", F.col("_piece")).alias("chunk_text"),
+        F.size("_piece").cast("int").alias("n_chunk_tokens"))

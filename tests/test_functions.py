@@ -230,14 +230,17 @@ def test_dt_ceil_round_udf_paths(horders, porders):
          col.strftime("%d/%m/%Y %H:%M"))
 
 
-def test_exception_summary_surfaces(tables):
+def test_handy_exception_wraps_collect_failures(tables):
+    import pytest as _pytest
+
     from handyspark_spark import toHandy
     from handyspark_spark.core.util import HandyException
-    import pytest as _pytest
-    hdf = toHandy(tables["orders"]).assign(
-        bad=lambda o_totalprice: o_totalprice / 0)
-    # division is fine in pandas (inf); force a real analysis error instead
-    from pyspark.sql import functions as F
-    bad = toHandy(tables["orders"].select(F.expr("o_totalprice")))
-    with _pytest.raises(Exception):
-        bad._df.select("nonexistent_column").collect()
+
+    def boom(o_totalprice):
+        raise ValueError("deliberate failure inside the UDF")
+
+    hdf = toHandy(tables["orders"]).assign(bad=boom)
+    with _pytest.raises(HandyException) as exc:
+        hdf.collect()
+    # root cause surfaced in the summary line, not buried in the JVM trace
+    assert "deliberate failure" in str(exc.value)

@@ -184,7 +184,8 @@ def test_salted_join_rejects_right_outer(tables):
 def test_grouped_agg_keeps_sidecar(tables):
     from handyspark_spark import toHandy
     hdf = toHandy(tables["orders"])
-    hdf.set_safety_limit(7)
+    hdf.set_safety_limit(3)
     g = hdf.groupby("o_orderpriority").agg(F.count(F.lit(1)).alias("c"))
-    assert len(g.collect()) <= 7 or g._handy.safety_limit == 7
-    assert g._handy.safety_limit == 7
+    assert g._handy.safety_limit == 3
+    # the cap must actually bind (5 priorities exist, limit is 3)
+    assert len(g.collect()) == 3

@@ -40,6 +40,7 @@ def main():
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:
             rows.append((name, "-", "-", f"ERROR {str(e)[:80]}"))
+            flagged.append(name)        # a broken query fails the gate
             continue
         n_ex = len(re.findall(r"(?<![A-Za-z])Exchange", plan))
         notes = []
@@ -61,9 +62,10 @@ def main():
 
     lines = ["# PLAN_AUDIT — physical-plan hygiene per driver query",
              "",
-             f"sf_dir: {sf_dir}. Exchanges counted on the ANALYZED plan "
-             "(pre-AQE). BatchEvalPython (row-at-a-time python) and "
-             "unintended CartesianProduct are hard failures.",
+             f"sf_dir: {sf_dir}. Exchanges counted on the initial "
+             "physical plan (executedPlan before AQE re-optimization). "
+             "BatchEvalPython (row-at-a-time python), unintended "
+             "CartesianProduct, and query build errors are hard failures.",
              "",
              "| query | exchanges | joins | python/flags |",
              "|---|---|---|---|"]
