@@ -1260,3 +1260,76 @@ def q_chunk_documents(spark, sf_dir):
     from .pipeline.text import chunk
     df = _t(spark, sf_dir, "documents")
     return chunk(df, size=64, overlap=16)
+
+@query("tpch_q6", """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+""")
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 — pure filter + agg; every predicate pushes to the scan."""
+    df = _t(spark, sf_dir, "lineitem")
+    f = (df.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")) &
+        F.col("l_discount").between(0.03, 0.05) &
+        (F.col("l_quantity") < 24)))
+    return f.agg(F.round(F.sum(F.col("l_extendedprice") *
+                               F.col("l_discount")), 2).alias("revenue"))
+
+
+@query("tpch_q3", """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority — selective dim filter broadcast into
+    the fact joins, top-k via TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp"))
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.groupBy("l_orderkey", "o_orderdate")
+             .agg(F.round(F.sum(rev), 2).alias("revenue"))
+             .select("l_orderkey", "revenue", "o_orderdate")
+             .orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10))
+
+
+@query("upsert_latest", """
+WITH u AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+           AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS latest_order, o_totalprice
+FROM u WHERE rn = 1
+""")
+def q_upsert_latest(spark, sf_dir):
+    """Latest-row-per-key (the merge/upsert building block for
+    incremental ingestion without a table format)."""
+    from .operators.upsert import latest_by_key
+    df = _t(spark, sf_dir, "orders")
+    out = latest_by_key(df, keys=["o_custkey"],
+                        order_by=["o_orderdate", "o_orderkey"])
+    return out.select("o_custkey",
+                      F.col("o_orderkey").alias("latest_order"),
+                      "o_totalprice")

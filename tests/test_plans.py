@@ -189,3 +189,15 @@ def test_grouped_agg_keeps_sidecar(tables):
     assert g._handy.safety_limit == 3
     # the cap must actually bind (5 priorities exist, limit is 3)
     assert len(g.collect()) == 3
+
+
+def test_upsert_updates_win(spark):
+    from handyspark_spark.operators.upsert import upsert
+    base = spark.createDataFrame(
+        [(1, 1, "old"), (2, 1, "keep")], "k int, v int, s string")
+    updates = spark.createDataFrame(
+        [(1, 2, "new"), (1, 1, "newer"), (3, 1, "ins")],
+        "k int, v int, s string")
+    out = {r.k: r.s for r in
+           upsert(base, updates, keys=["k"], order_by=["v"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
