@@ -1333,3 +1333,20 @@ def q_upsert_latest(spark, sf_dir):
     return out.select("o_custkey",
                       F.col("o_orderkey").alias("latest_order"),
                       "o_totalprice")
+
+@query("cube_sales", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS cnt,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q_cube_sales(spark, sf_dir):
+    """CUBE with grouping_id — all 2^k aggregation levels in one pass
+    (beyond-reference: the reference has no grouping-sets surface)."""
+    df = _t(spark, sf_dir, "lineitem")
+    return (df.cube("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                   F.count(F.lit(1)).alias("cnt"),
+                   F.grouping_id().alias("gid")))
