@@ -29,10 +29,43 @@ class HasStatsDict(Params):
         return json.loads(self.getOrDefault(self.statsDict))
 
 
+import re
+
+_EQ_CLAUSE = re.compile(r'^\s*(\w+)\s*==\s*"(.*)"\s*$', re.S)
+_NUM_CLAUSE = re.compile(
+    r'^\s*(\w+)\s*(==|>=|<=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$')
+
+
 def _clause_condition(clause: str):
-    """Clause strings are valid SQL predicates by construction
-    ('Pclass == "1" and Sex == "male"', 'Fare >= 0.0 and Fare < 100.0')."""
-    return F.expr(clause.replace('"', "'"))
+    """Parse a stored clause string back into a Column predicate
+    STRUCTURALLY — string-equality values go through F.lit, never through
+    SQL text, so values containing quotes/backslashes can't break parsing
+    or inject SQL (the reference string-built CASE WHEN SQL here,
+    dataframe.py:253-262 — a bug SURVEY.md §7 says not to copy).
+
+    Grammar (produced by HandyStrata.clause_for / Bucket.clauses):
+    parts joined by ' and ', each either `col == "str"` or
+    `col <op> number`."""
+    cond = None
+    # split only where the next token looks like a new `col <op>` clause,
+    # so string values containing ' and ' stay intact
+    parts = re.split(r" and (?=\w+\s*(?:==|>=|<=|>|<)\s)", clause)
+    for part in parts:
+        m = _EQ_CLAUSE.match(part)
+        if m:
+            c = F.col(m.group(1)) == F.lit(m.group(2))
+        else:
+            m = _NUM_CLAUSE.match(part)
+            if not m:
+                raise ValueError(f"unparseable clause part: {part!r}")
+            col, op, num = m.group(1), m.group(2), float(m.group(3))
+            c = {"==": F.col(col) == F.lit(num),
+                 ">=": F.col(col) >= F.lit(num),
+                 "<=": F.col(col) <= F.lit(num),
+                 ">": F.col(col) > F.lit(num),
+                 "<": F.col(col) < F.lit(num)}[op]
+        cond = c if cond is None else cond & c
+    return cond
 
 
 class HandyImputer(Transformer, HasStatsDict, DefaultParamsReadable,

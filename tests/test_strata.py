@@ -192,3 +192,29 @@ def test_apply_grouped(hdf):
         schema="l_returnflag string, l_extendedprice double")
     rows = out._df.collect()
     assert len(rows) == 3
+
+
+def test_imputer_clause_with_quotes_and_and(spark, tmp_path):
+    """Clause values containing quotes / ' and ' must survive the
+    fit -> serialize -> load -> apply round trip (the reference
+    string-built SQL here and would break; SURVEY.md §7 risk 6)."""
+    import pandas as pd
+
+    from handyspark_spark import toHandy
+    from handyspark_spark.ml.base import HandyImputer
+    pdf = pd.DataFrame({
+        "grp": ["O'Brien", 'say "hi"', "rock and roll", "plain"] * 10,
+        "v": [None if i < 4 else float(i) for i in range(40)]})
+    df = spark.createDataFrame(pdf)
+    filled = toHandy(df).stratify(["grp"]).fill(continuous=["v"],
+                                                strategy="mean")
+    imp = filled.transformers.imputer()
+    path = str(tmp_path / "imp_q")
+    imp.write().overwrite().save(path)
+    out = HandyImputer.load(path).transform(df)
+    assert out.filter("v IS NULL").count() == 0
+    # per-group imputed values match the fitted frame exactly
+    a = filled._df.groupBy("grp").sum("v").collect()
+    b = out.groupBy("grp").sum("v").collect()
+    assert {(r[0], round(r[1], 6)) for r in a} == \
+        {(r[0], round(r[1], 6)) for r in b}
