@@ -1350,3 +1350,53 @@ def q_cube_sales(spark, sf_dir):
               .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
                    F.count(F.lit(1)).alias("cnt"),
                    F.grouping_id().alias("gid")))
+
+@query("pipeline_e2e", """
+WITH q AS (
+  SELECT doc_id, lang, text,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split(LOWER(text), ' '))), ' ')) AS fp,
+         string_split(text, ' ') AS toks
+  FROM documents
+  WHERE LENGTH(text) BETWEEN 64 AND 20000
+), kept AS (
+  -- fingerprint dedup: keep the smallest doc_id per token-set
+  SELECT * FROM (
+    SELECT q.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) rn
+    FROM q) WHERE rn = 1
+), split AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CASE WHEN h < 0.9 THEN 'train'
+              WHEN h >= 0.9 AND h < 0.95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT kept.*,
+               ('0x' || substr(md5(doc_id::VARCHAR || '#'), 1, 8))::BIGINT
+                 / 4294967296.0 AS h
+        FROM kept)
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM split GROUP BY split, lang
+""")
+def q_pipeline_e2e(spark, sf_dir):
+    """The composed training-data pipeline in one plan: length filter ->
+    fingerprint dedup (keep smallest id) -> deterministic train/val/test
+    split -> per-(split, lang) token accounting. Each stage is the
+    engine operator, chained; the whole thing is two shuffles
+    (dedup window + final agg)."""
+    from pyspark.sql import Window
+
+    from .pipeline.sample import split_assign
+    from .pipeline.text import fingerprint, token_count
+    df = _t(spark, sf_dir, "documents")
+    filtered = df.filter(F.length("text").between(64, 20000))
+    fp = filtered.withColumn("fp", fingerprint("text"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (fp.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    split = split_assign(kept, "doc_id")
+    return (split.withColumn("n_tokens", token_count("text"))
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens")))
