@@ -221,22 +221,28 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ``minhash_lsh_groups`` instead of quadratically here. At 100 TB you
     always set this."""
     banded = _banded(df, text_col, id_col, num_hashes, bands)
+    # ONE shuffle: group each bucket to an id array, then generate the
+    # intra-bucket pairs as a nested array expression and explode. A
+    # self-join formulation would shuffle AND recompute the (md5-heavy)
+    # signatures once per join side.
+    buckets = (banded.groupBy("band", "band_hash")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("_ids")))
     if max_bucket_size is not None:
-        # anti-join against the (tiny) oversized-bucket set — broadcasting
-        # the keep-list would ship O(docs × bands) rows to every executor
-        too_big = (banded.groupBy("band", "band_hash")
-                   .agg(F.count(F.lit(1)).alias("_k"))
-                   .filter(F.col("_k") > max_bucket_size)
-                   .drop("_k"))
-        banded = banded.join(F.broadcast(too_big), ["band", "band_hash"],
-                             "left_anti")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                      (F.col("a.band_hash") == F.col("b.band_hash")) &
-                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
+        # oversized buckets are near-dup CLUSTERS — enumerate them
+        # linearly with minhash_lsh_groups, not quadratically here
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
+    ids = F.col("_ids")
+    n = F.size(ids)
+    pair_arrays = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice(ids, i + 1, F.greatest(n - i, F.lit(0))),
+            lambda y: F.struct(F.element_at(ids, i).alias("id_a"),
+                               y.alias("id_b")))))
+    return (buckets.filter(n >= 2)
+            .select(F.explode(pair_arrays).alias("_p"))
+            .select(F.col("_p.id_a"), F.col("_p.id_b"))
+            .distinct())
 
 
 def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
