@@ -56,10 +56,26 @@ class HandySeries:
 
     notnull = notna
 
-    def between_time(self, start_time, end_time, **kwargs) -> Column:
-        return _pandas_udf_method(
-            self._df, self._colname, "between_time", "boolean",
-            start_time=start_time, end_time=end_time, **kwargs)
+    def between_time(self, start_time, end_time,
+                     inclusive: str = "both") -> Column:
+        """Time-of-day membership test, implemented NATIVELY (seconds-of-
+        day arithmetic). The reference routed this to
+        ``pd.Series.between_time`` (pandas.py:8), which requires a
+        DatetimeIndex and raises TypeError on a plain column Series —
+        i.e. it never actually worked there. Wrap-around ranges
+        (start > end) use overnight semantics, like pandas."""
+        def secs(t) -> int:
+            parts = [int(p) for p in str(t).split(":")]
+            while len(parts) < 3:
+                parts.append(0)
+            return parts[0] * 3600 + parts[1] * 60 + parts[2]
+
+        sod = (F.hour(self._col) * 3600 + F.minute(self._col) * 60 +
+               F.second(self._col))
+        lo, hi = secs(start_time), secs(end_time)
+        ge = (sod >= lo) if inclusive in ("both", "left") else (sod > lo)
+        le = (sod <= hi) if inclusive in ("both", "right") else (sod < hi)
+        return (ge & le) if lo <= hi else (ge | le)
 
     # -- same-type returns (ref pandas.py:9-10) -----------------------------
     def abs(self) -> Column:

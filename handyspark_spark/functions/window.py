@@ -89,6 +89,31 @@ class OrderedSeries:
         w = self._w().rowsBetween(0, Window.unboundedFollowing)
         return F.first(self._col, ignorenulls=True).over(w)
 
+    def interpolate(self) -> Column:
+        """Linear interpolation of interior nulls (pandas
+        ``interpolate(method='linear')`` over the explicit order): for a
+        null run between known values a..b, the k-th null gets
+        a + (b - a) * k / (gap + 1). Leading nulls stay null, trailing
+        nulls carry the last value forward (pandas default
+        limit_direction 'forward')."""
+        w = self._w()
+        pos = F.row_number().over(w)
+        cum = self._cum()
+        fwd = self._w().rowsBetween(0, Window.unboundedFollowing)
+        prev_val = F.last(self._col, ignorenulls=True).over(cum)
+        next_val = F.first(self._col, ignorenulls=True).over(fwd)
+        prev_pos = F.last(F.when(self._col.isNotNull(), pos),
+                          ignorenulls=True).over(cum)
+        next_pos = F.first(F.when(self._col.isNotNull(), pos),
+                           ignorenulls=True).over(fwd)
+        frac = (pos - prev_pos).cast("double") / (next_pos - prev_pos)
+        interp = prev_val + (next_val - prev_val) * frac
+        return (F.when(self._col.isNotNull(), self._col)
+                 .when(prev_val.isNull(), F.lit(None))     # leading nulls
+                 .when(next_val.isNull(), prev_val)        # trailing: ffill
+                 .otherwise(interp))
+
+
     def rolling_mean(self, window: int) -> Column:
         return F.avg(self._col).over(
             self._w().rowsBetween(-(window - 1), 0))

@@ -244,3 +244,24 @@ def test_handy_exception_wraps_collect_failures(tables):
         hdf.collect()
     # root cause surfaced in the summary line, not buried in the JVM trace
     assert "deliberate failure" in str(exc.value)
+
+
+def test_between_time_native(spark):
+    import pandas as pd
+
+    from handyspark_spark import toHandy
+    ts = pd.date_range("2024-01-01", periods=48, freq="30min")
+    pdf = pd.DataFrame({"t": ts, "i": range(48)})
+    hdf = toHandy(spark.createDataFrame(pdf))
+    got = (hdf.assign(x=hdf.pandas["t"].between_time("09:00", "16:30"))
+           .orderBy("i").cols["x"][:48])
+    exp = pd.Series(ts, index=ts).between_time("09:00", "16:30")
+    exp_mask = pd.Series(ts).isin(exp.values)
+    import numpy.testing as npt
+    npt.assert_array_equal(got.values, exp_mask.values)
+    # overnight wrap-around
+    got2 = (hdf.assign(x=hdf.pandas["t"].between_time("22:00", "02:00"))
+            .orderBy("i").cols["x"][:48])
+    exp2 = pd.Series(ts).isin(
+        pd.Series(ts, index=ts).between_time("22:00", "02:00").values)
+    npt.assert_array_equal(got2.values, exp2.values)

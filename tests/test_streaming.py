@@ -215,3 +215,44 @@ def test_stream_dedup_matches_batch(tables, spark, tmp_path):
     assert set(got) == {r.k for r in base.select("k").distinct().collect()}
     # batch fallback
     assert stream_dedup(base, ["k"], "ts").count() == got.nunique()
+
+
+def test_interpolate_matches_pandas(spark):
+    import pandas as pd
+
+    from handyspark_spark import toHandy
+    pdf = pd.DataFrame({
+        "k": [1] * 8 + [2] * 4,
+        "seq": list(range(8)) + list(range(4)),
+        "v": [None, 10.0, None, None, 16.0, None, 20.0, None,
+              None, 5.0, 7.0, None]})
+    hdf = toHandy(spark.createDataFrame(pdf))
+    s = hdf.ordered(by="seq", partition="k")["v"]
+    got = (hdf.assign(i=s.interpolate()).orderBy("k", "seq")
+           .select("k", "seq", "i").toPandas())
+    exp = (pdf.sort_values(["k", "seq"])
+           .groupby("k")["v"].apply(lambda g: g.interpolate())
+           .reset_index(drop=True))
+    import numpy.testing as npt
+    npt.assert_array_almost_equal(got["i"].fillna(-999),
+                                  exp.fillna(-999))
+
+
+def test_cumprod_rolling(spark):
+    import numpy.testing as npt
+    import pandas as pd
+
+    from handyspark_spark import toHandy
+    pdf = pd.DataFrame({"k": [1] * 6, "seq": range(6),
+                        "v": [2.0, -3.0, 0.5, 0.0, 4.0, -1.0]})
+    hdf = toHandy(spark.createDataFrame(pdf))
+    s = hdf.ordered(by="seq", partition="k")["v"]
+    got = (hdf.assign(cp=s.cumprod(), cm=s.cummax(),
+                      rmin=s.rolling_min(2), rmax=s.rolling_max(2))
+           .orderBy("seq").toPandas())
+    npt.assert_array_almost_equal(got["cp"], pdf["v"].cumprod())
+    npt.assert_array_almost_equal(got["cm"], pdf["v"].cummax())
+    npt.assert_array_almost_equal(got["rmin"],
+                                  pdf["v"].rolling(2, min_periods=1).min())
+    npt.assert_array_almost_equal(got["rmax"],
+                                  pdf["v"].rolling(2, min_periods=1).max())
