@@ -64,14 +64,20 @@ class HandySeries:
         DatetimeIndex and raises TypeError on a plain column Series —
         i.e. it never actually worked there. Wrap-around ranges
         (start > end) use overnight semantics, like pandas."""
+        if inclusive not in ("both", "left", "right", "neither"):
+            raise ValueError(f"inclusive must be both/left/right/neither, "
+                             f"got {inclusive!r}")
+
         def secs(t) -> int:
             parts = [int(p) for p in str(t).split(":")]
             while len(parts) < 3:
                 parts.append(0)
             return parts[0] * 3600 + parts[1] * 60 + parts[2]
 
-        sod = (F.hour(self._col) * 3600 + F.minute(self._col) * 60 +
-               F.second(self._col))
+        # fractional seconds-of-day (pandas excludes 16:30:00.5 when the
+        # bound is 16:30; F.second would truncate it in)
+        sod = (self._col.cast("double") -
+               F.date_trunc("day", self._col).cast("double"))
         lo, hi = secs(start_time), secs(end_time)
         ge = (sod >= lo) if inclusive in ("both", "left") else (sod > lo)
         le = (sod <= hi) if inclusive in ("both", "right") else (sod < hi)

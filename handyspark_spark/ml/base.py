@@ -33,7 +33,9 @@ import re
 
 _EQ_CLAUSE = re.compile(r'^\s*(\w+)\s*==\s*"(.*)"\s*$', re.S)
 _NUM_CLAUSE = re.compile(
-    r'^\s*(\w+)\s*(==|>=|<=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$')
+    r'^\s*(\w+)\s*(==|>=|<=|>|<)\s*'
+    r'(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*$')
+_BOOL_CLAUSE = re.compile(r'^\s*(\w+)\s*==\s*(True|False)\s*$')
 
 
 def _clause_condition(clause: str):
@@ -44,28 +46,43 @@ def _clause_condition(clause: str):
     dataframe.py:253-262 — a bug SURVEY.md §7 says not to copy).
 
     Grammar (produced by HandyStrata.clause_for / Bucket.clauses):
-    parts joined by ' and ', each either `col == "str"` or
-    `col <op> number`."""
-    cond = None
+    parts joined by ' and ', each `col == "str"`, `col == True/False`,
+    or `col <op> number` (incl. scientific notation). A whole-clause
+    string match is tried FIRST so single string clauses containing
+    ' and ... < ...' inside the value never get mis-split; anything the
+    structural grammar can't handle falls back to ``F.expr`` (the legacy
+    path — works for everything except quotes inside values)."""
+    whole = _parse_part(clause)
+    if whole is not None:
+        return whole
     # split only where the next token looks like a new `col <op>` clause,
-    # so string values containing ' and ' stay intact
+    # so most string values containing ' and ' stay intact
     parts = re.split(r" and (?=\w+\s*(?:==|>=|<=|>|<)\s)", clause)
-    for part in parts:
-        m = _EQ_CLAUSE.match(part)
-        if m:
-            c = F.col(m.group(1)) == F.lit(m.group(2))
-        else:
-            m = _NUM_CLAUSE.match(part)
-            if not m:
-                raise ValueError(f"unparseable clause part: {part!r}")
-            col, op, num = m.group(1), m.group(2), float(m.group(3))
-            c = {"==": F.col(col) == F.lit(num),
-                 ">=": F.col(col) >= F.lit(num),
-                 "<=": F.col(col) <= F.lit(num),
-                 ">": F.col(col) > F.lit(num),
-                 "<": F.col(col) < F.lit(num)}[op]
-        cond = c if cond is None else cond & c
-    return cond
+    conds = [_parse_part(p) for p in parts]
+    if all(c is not None for c in conds):
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    return F.expr(clause.replace('"', "'"))   # legacy fallback
+
+
+def _parse_part(part: str):
+    m = _EQ_CLAUSE.match(part)
+    if m:
+        return F.col(m.group(1)) == F.lit(m.group(2))
+    m = _BOOL_CLAUSE.match(part)
+    if m:
+        return F.col(m.group(1)) == F.lit(m.group(2) == "True")
+    m = _NUM_CLAUSE.match(part)
+    if m:
+        col, op, num = m.group(1), m.group(2), float(m.group(3))
+        return {"==": F.col(col) == F.lit(num),
+                ">=": F.col(col) >= F.lit(num),
+                "<=": F.col(col) <= F.lit(num),
+                ">": F.col(col) > F.lit(num),
+                "<": F.col(col) < F.lit(num)}[op]
+    return None
 
 
 class HandyImputer(Transformer, HasStatsDict, DefaultParamsReadable,

@@ -178,12 +178,18 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
     used mllib RDD Statistics — replaced with pure DataFrame ops)."""
     strata = strata or []
     if method == "spearman":
-        # average ranks (pandas/scipy convention) per column, computed at
-        # DISTINCT-VALUE granularity: rank(v) = #smaller + (cnt_v + 1)/2,
-        # via a cumulative window over distinct values joined back in.
-        # The window input is |distinct values| rows — never a
+        # average ranks per column, computed at DISTINCT-VALUE
+        # granularity: rank(v) = #smaller + (cnt_v + 1)/2, via a
+        # cumulative window over distinct values joined back in. The
+        # window input is |distinct values| rows — never a
         # single-partition pass over all rows (the naive row_number form
         # moves the whole dataset to one task).
+        # NULL convention: each column is ranked over ITS OWN non-null
+        # values; F.corr then skips incomplete pairs. When nulls are
+        # misaligned across columns this differs from pandas, which
+        # RE-RANKS within each pairwise-complete subset — re-ranking per
+        # pair is O(pairs) extra passes and is not done here (documented
+        # deviation; identical results on null-free or aligned-null data).
         from pyspark.sql import Window
         for c in colnames:
             # ranks over NON-NULL values only; rows keep a NULL rank via

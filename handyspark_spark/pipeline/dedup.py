@@ -226,7 +226,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # self-join formulation would shuffle AND recompute the (md5-heavy)
     # signatures once per join side.
     buckets = (banded.groupBy("band", "band_hash")
-               .agg(F.array_sort(F.collect_list(id_col)).alias("_ids")))
+               .agg(F.array_sort(F.array_distinct(
+                   F.collect_list(id_col))).alias("_ids")))
+    # array_distinct: duplicate input ids would otherwise emit (x, x)
+    # self-pairs (the old join's a.id < b.id guard excluded them)
     if max_bucket_size is not None:
         # oversized buckets are near-dup CLUSTERS — enumerate them
         # linearly with minhash_lsh_groups, not quadratically here

@@ -158,9 +158,12 @@ def q_entropy(spark, sf_dir):
 WITH j AS (
   SELECT l_returnflag x, l_linestatus y, COUNT(*) nxy
   FROM lineitem GROUP BY 1, 2
-), mx AS (SELECT l_returnflag x, COUNT(*) nx FROM lineitem GROUP BY 1),
-   my AS (SELECT l_linestatus y, COUNT(*) ny FROM lineitem GROUP BY 1),
-   t AS (SELECT COUNT(*) n FROM lineitem)
+), mx AS (SELECT l_returnflag x, COUNT(*) nx FROM lineitem
+          WHERE l_linestatus IS NOT NULL GROUP BY 1),
+   my AS (SELECT l_linestatus y, COUNT(*) ny FROM lineitem
+          WHERE l_returnflag IS NOT NULL GROUP BY 1),
+   t AS (SELECT COUNT(*) n FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL)
 SELECT ROUND(SUM((nxy * 1.0 / n) * LOG2(nxy * 1.0 * n / (nx * 1.0 * ny))), 6)
          AS mutual_info
 FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t

@@ -199,3 +199,15 @@ def test_to_metrics_rdd(emb):
     first = rdd.take(2)
     assert all(isinstance(t, tuple) and len(t) == 2 for t in first)
     assert all(abs(t[0] - 0.7) < 1e-9 for t in first)
+
+
+def test_lsh_pairs_no_self_pairs_on_duplicate_ids(spark):
+    import pandas as pd
+
+    from handyspark_spark.pipeline.dedup import minhash_lsh_pairs
+    pdf = pd.DataFrame({"doc_id": [1, 1, 2],
+                        "text": ["a b c d", "a b c d", "a b c d"]})
+    df = spark.createDataFrame(pdf)
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_lsh_pairs(df, num_hashes=8, bands=2).collect()}
+    assert pairs == {(1, 2)}

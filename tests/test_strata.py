@@ -218,3 +218,40 @@ def test_imputer_clause_with_quotes_and_and(spark, tmp_path):
     b = out.groupBy("grp").sum("v").collect()
     assert {(r[0], round(r[1], 6)) for r in a} == \
         {(r[0], round(r[1], 6)) for r in b}
+
+
+def test_clause_parser_edge_grammars(spark):
+    """Scientific notation, booleans, and ' and ... < ' inside string
+    values must all survive clause parsing (review-round-3 regressions)."""
+    import pandas as pd
+
+    from handyspark_spark.ml.base import HandyImputer
+    pdf = pd.DataFrame({
+        "grp": ["bread and butter < 5 dollars", "plain"] * 6,
+        "flag": [True, False] * 6,
+        "v": [None if i < 2 else float(i) for i in range(12)]})
+    df = spark.createDataFrame(pdf)
+    # tricky string value as the only clause
+    imp = HandyImputer(statsDict={
+        'grp == "bread and butter < 5 dollars"': {"v": 1.5}})
+    out = imp.transform(df)
+    fixed = out.filter("grp LIKE 'bread%'").filter("v = 1.5").count()
+    assert fixed == 1
+    # boolean + scientific notation clauses parse
+    imp2 = HandyImputer(statsDict={
+        "flag == True": {"v": 2.5},
+        "flag == False": {"v": 3.5}})
+    out2 = imp2.transform(df)
+    assert out2.filter("v IS NULL").count() == 0
+    imp3 = HandyImputer(statsDict={
+        "v >= 1.5e+0 and v < 1e+10": {"v": 9.0}})
+    imp3.transform(df).collect()   # parses without error
+
+
+def test_between_time_rejects_bad_inclusive(tables):
+    import pytest as _pytest
+
+    from handyspark_spark import toHandy
+    hdf = toHandy(tables["events"])
+    with _pytest.raises(ValueError):
+        hdf.pandas["ts"].between_time("09:00", "17:00", inclusive="boht")
