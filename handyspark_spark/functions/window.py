@@ -131,6 +131,28 @@ class OrderedSeries:
             self._w().rowsBetween(-(window - 1), 0))
 
 
+    def rolling_mean_time(self, seconds: int) -> Column:
+        """Time-based trailing mean over ``seconds`` of event time —
+        ``rangeBetween`` over the epoch-seconds order column (the order-by
+        column must be a timestamp)."""
+        w = (Window.partitionBy(*self._part)
+             .orderBy(self._order[0].cast("double"))
+             .rangeBetween(-seconds, 0))
+        return F.avg(self._col).over(w)
+
+    def rolling_sum_time(self, seconds: int) -> Column:
+        w = (Window.partitionBy(*self._part)
+             .orderBy(self._order[0].cast("double"))
+             .rangeBetween(-seconds, 0))
+        return F.sum(self._col).over(w)
+
+    def rolling_count_time(self, seconds: int) -> Column:
+        w = (Window.partitionBy(*self._part)
+             .orderBy(self._order[0].cast("double"))
+             .rangeBetween(-seconds, 0))
+        return F.count(self._col).over(w)
+
+
 class OrderedAccessor:
     """``hdf.ordered(by=..., partition=...)['col']``."""
 

@@ -89,3 +89,15 @@ def test_plot_veneer_returns_stats_without_matplotlib(hdf):
     # matplotlib absent in this container -> stats DataFrame comes back
     import pandas as pd
     assert isinstance(res, pd.DataFrame) or hasattr(res, "figure")
+
+
+def test_strata_accessor_hist_and_boxplot(hdf, pdf):
+    """Plot stats through the stratify().cols accessor path
+    (StrataColumns wiring, not just direct plotstats calls)."""
+    strat = hdf.stratify(["l_returnflag"])
+    h = strat.cols["l_extendedprice"].hist(bins=4)
+    assert h["count"].sum() == len(pdf)
+    assert set(h["l_returnflag"]) == set(pdf["l_returnflag"].unique())
+    b = strat.cols[["l_extendedprice"]].boxplot()
+    assert len(b) == pdf["l_returnflag"].nunique()
+    assert all("strata" in d for d in b)

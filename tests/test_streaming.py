@@ -256,3 +256,21 @@ def test_cumprod_rolling(spark):
                                   pdf["v"].rolling(2, min_periods=1).min())
     npt.assert_array_almost_equal(got["rmax"],
                                   pdf["v"].rolling(2, min_periods=1).max())
+
+
+def test_time_based_rolling_vs_pandas(tables, pdf_tables):
+    import numpy.testing as npt
+
+    from handyspark_spark import toHandy
+    hdf = toHandy(tables["events"])
+    s = hdf.ordered(by="ts", partition="user_id")["value"]
+    got = (hdf.assign(r=s.rolling_mean_time(3600))
+           .select("event_id", "r").toPandas()
+           .set_index("event_id").sort_index())
+    pdf = pdf_tables["events"].sort_values("ts")
+    exp = (pdf.set_index("ts").groupby("user_id")["value"]
+           .apply(lambda g: g.rolling("3600s").mean())
+           .reset_index())
+    exp = (pdf.merge(exp, on=["user_id", "ts"], suffixes=("", "_r"))
+           .set_index("event_id")["value_r"].sort_index())
+    npt.assert_array_almost_equal(got["r"].values, exp.values)
