@@ -349,3 +349,43 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                      F.col("b._id").alias("id_b"),
                      F.round(cos, 6).alias("cosine"))
              .filter(F.col("cosine") >= threshold))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Exact duplicate clusters from a pair list: iterative min-label
+    propagation to a fixpoint (the transitive closure one-round
+    ``minhash_lsh_groups`` approximates). Genuinely iterative — each round
+    is one join + one groupBy; rounds needed = graph diameter in
+    min-label hops (log-ish for typical dup clusters).
+
+    Returns (node, component) with component = min node id reachable."""
+    edges = (pairs.select(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels,
+                                   edges.dst == labels.node)
+                        .groupBy("src")
+                        .agg(F.min("component").alias("_nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("_nmin"),
+                                                 F.col("component")))
+                              .alias("component")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1403,3 +1403,15 @@ def q_pipeline_e2e(spark, sf_dir):
             .groupBy("split", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens")))
+
+@query("dedup_components")
+def q_dedup_components(spark, sf_dir):
+    """Exact duplicate clusters: LSH candidates -> iterative min-label
+    connected components (transitive closure). Genuinely iterative —
+    rows-only per the driver contract for iterative algorithms;
+    component validity pinned in tests/test_pipeline.py."""
+    from .pipeline.dedup import connected_components, minhash_lsh_pairs
+    df = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(df, num_hashes=16, bands=2,
+                              max_bucket_size=500)
+    return connected_components(pairs)

@@ -211,3 +211,57 @@ def test_lsh_pairs_no_self_pairs_on_duplicate_ids(spark):
     pairs = {(r.id_a, r.id_b) for r in
              minhash_lsh_pairs(df, num_hashes=8, bands=2).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_connected_components_transitive_closure(spark):
+    """Chain a-b-c-d plus an isolated pair must collapse to min-label
+    components (exact transitive closure, which one-round LSH grouping
+    can't guarantee)."""
+    from handyspark_spark.pipeline.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long")
+    comp = {r.node: r.component for r in
+            connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_on_lsh_output(docs):
+    """End-to-end: LSH candidates -> exact components; every fingerprint
+    dup group lands in one component."""
+    from handyspark_spark.pipeline.dedup import (connected_components,
+                                                 fingerprint_duplicates,
+                                                 minhash_lsh_pairs)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=2)
+    comp = {r.node: r.component for r in
+            connected_components(pairs).collect()}
+    for g in fingerprint_duplicates(docs).collect():
+        cs = {comp[i] for i in g.doc_ids if i in comp}
+        assert len(cs) <= 1
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    from handyspark_spark.operators.asof import asof_join
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 5, 200),
+        "t": np.sort(rng.uniform(0, 100, 200))})
+    right = pd.DataFrame({
+        "k": rng.randint(0, 5, 80),
+        "t": np.sort(rng.uniform(0, 100, 80)),
+        "val": np.arange(80, dtype=float)})
+    for direction in ("backward", "forward"):
+        got = (asof_join(spark.createDataFrame(left),
+                         spark.createDataFrame(right),
+                         on="t", by="k", direction=direction)
+               .toPandas().sort_values(["k", "t"]).reset_index(drop=True))
+        exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                            on="t", by="k", direction=direction) \
+            .sort_values(["k", "t"]).reset_index(drop=True)
+        import numpy.testing as npt
+        npt.assert_array_almost_equal(got["val"].fillna(-1).values,
+                                      exp["val"].fillna(-1).values)
