@@ -365,27 +365,39 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                           F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
-             .distinct())
+             .distinct()
+             .persist())          # reused every iteration — compute once
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
-              .withColumn("component", F.col("node")))
-    for _ in range(max_iterations):
-        neighbor_min = (edges.join(labels,
-                                   edges.dst == labels.node)
-                        .groupBy("src")
-                        .agg(F.min("component").alias("_nmin")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.node == neighbor_min.src, "left")
-                      .select(F.col("node"),
-                              F.least(F.col("component"),
-                                      F.coalesce(F.col("_nmin"),
-                                                 F.col("component")))
-                              .alias("component")))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+              .withColumn("component", F.col("node"))
+              .localCheckpoint())  # truncate lineage at the loop entry
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (edges.join(labels,
+                                       edges.dst == labels.node)
+                            .groupBy("src")
+                            .agg(F.min("component").alias("_nmin")))
+            new_labels = (labels.join(neighbor_min,
+                                      labels.node == neighbor_min.src,
+                                      "left")
+                          .select(F.col("node"),
+                                  F.least(F.col("component"),
+                                          F.coalesce(F.col("_nmin"),
+                                                     F.col("component")))
+                                  .alias("component"))
+                          # truncate lineage EVERY round — without this
+                          # each iteration replays the whole upstream plan
+                          # (LSH, signatures, ...) and the job goes
+                          # exponential in wall-clock
+                          .localCheckpoint())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.component") != F.col("o.component"))
+                       .limit(1).count())
+            labels = new_labels
+            if changed == 0:
+                break
+        # materialize the result before releasing the cached edges
+        return labels
+    finally:
+        edges.unpersist()
