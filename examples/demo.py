@@ -88,6 +88,16 @@ def main():
     print("lsh clusters:",
           minhash_lsh_groups(docs).filter("doc_id != cluster_id").count(),
           "docs clustered into earlier ids")
+    from handyspark_spark.pipeline.dedup import (connected_components,
+                                                 minhash_lsh_pairs)
+    comp = connected_components(minhash_lsh_pairs(docs, max_bucket_size=300))
+    print("exact components:",
+          comp.select("component").distinct().count())
+    from handyspark_spark.pipeline.sample import split_assign
+    from handyspark_spark.pipeline.text import chunk
+    print("chunks:", chunk(docs, size=32, overlap=8).count())
+    print("splits:", split_assign(docs, "doc_id").groupBy("split")
+          .count().collect())
     print("ann:", brute_force_topk(
         emb, emb.filter("vec_id < 2"), k=3).collect())
 
