@@ -250,7 +250,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
-                       bands: int = 4) -> DataFrame:
+                       bands: int = 4,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Scale-path LSH dedup output: (doc_id, cluster_id) with cluster_id =
     the smallest doc id sharing any LSH bucket — LINEAR output size,
     unlike the pair list which is quadratic inside each duplicate group.
@@ -258,6 +259,16 @@ def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
     clusters, which covers identical and near-identical documents; chains
     longer than one hop need iterating.)"""
     banded = _banded(df, text_col, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        # same bucket universe as capped minhash_lsh_pairs — REQUIRED when
+        # these groups seed connected_components over the capped pairs
+        # (an uncapped bucket-min could label a node with an id it has no
+        # edge to)
+        sizes = (banded.groupBy("band", "band_hash")
+                 .agg(F.count(F.lit(1)).alias("_k"))
+                 .filter(F.col("_k") > max_bucket_size).drop("_k"))
+        banded = banded.join(F.broadcast(sizes), ["band", "band_hash"],
+                             "left_anti")
     bucket_min = (banded.groupBy("band", "band_hash")
                   .agg(F.min(id_col).alias("_bucket_min")))
     return (banded.join(bucket_min, ["band", "band_hash"])
@@ -353,12 +364,17 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         initial: DataFrame | None = None) -> DataFrame:
     """Exact duplicate clusters from a pair list: iterative min-label
     propagation to a fixpoint (the transitive closure one-round
     ``minhash_lsh_groups`` approximates). Genuinely iterative — each round
     is one join + one groupBy; rounds needed = graph diameter in
     min-label hops (log-ish for typical dup clusters).
+
+    ``initial``: optional (node, component) seed labels — e.g. the output
+    of ``minhash_lsh_groups`` — cutting rounds to ~1-2 when the seed is
+    already near the fixpoint.
 
     Returns (node, component) with component = min node id reachable."""
     edges = (pairs.select(F.col(id_a).alias("src"),
@@ -367,10 +383,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                        F.col(id_a).alias("dst")))
              .distinct()
              .persist())          # reused every iteration — compute once
-    labels = (edges.select(F.col("src").alias("node"))
-              .distinct()
-              .withColumn("component", F.col("node"))
-              .localCheckpoint())  # truncate lineage at the loop entry
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    if initial is not None:
+        labels = (nodes.join(initial.select(
+            F.col("node"), F.col("component").alias("_seed")),
+            "node", "left")
+            .select("node", F.coalesce(F.least("_seed", "node"),
+                                       F.col("node")).alias("component"))
+            .localCheckpoint())
+    else:
+        labels = (nodes.withColumn("component", F.col("node"))
+                  .localCheckpoint())  # truncate lineage at the loop entry
     try:
         for _ in range(max_iterations):
             neighbor_min = (edges.join(labels,

@@ -265,3 +265,21 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         import numpy.testing as npt
         npt.assert_array_almost_equal(got["val"].fillna(-1).values,
                                       exp["val"].fillna(-1).values)
+
+
+def test_components_seeded_equals_unseeded(docs):
+    """Seeding from capped bucket minima must not change the fixpoint."""
+    from handyspark_spark.pipeline.dedup import (connected_components,
+                                                 minhash_lsh_groups,
+                                                 minhash_lsh_pairs)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=2,
+                              max_bucket_size=100)
+    seed = (minhash_lsh_groups(docs, num_hashes=16, bands=2,
+                               max_bucket_size=100)
+            .withColumnRenamed("doc_id", "node")
+            .withColumnRenamed("cluster_id", "component"))
+    a = {r.node: r.component for r in
+         connected_components(pairs).collect()}
+    b = {r.node: r.component for r in
+         connected_components(pairs, initial=seed).collect()}
+    assert a == b
