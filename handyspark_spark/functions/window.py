@@ -82,12 +82,23 @@ class OrderedSeries:
             return (rmin + (cnt - 1) / 2.0).cast("double")
         raise ValueError(f"unsupported method {method!r}")
 
+    def _known(self) -> Column:
+        """The column with NaN masked to NULL — pandas treats NaN as
+        missing, and Spark frames ingested WITHOUT Arrow carry pandas
+        NaNs as NaN doubles rather than NULLs. NOTE: Spark's NaN
+        semantics make ``x != x`` FALSE for NaN (NaN equals NaN in
+        Spark SQL), so the test must be ``isnan`` — over ``try_cast``
+        so non-numeric columns pass through untouched under ANSI."""
+        nan = F.coalesce(F.isnan(self._col.try_cast("double")),
+                         F.lit(False))
+        return F.when(self._col.isNotNull() & ~nan, self._col)
+
     def ffill(self) -> Column:
-        return F.last(self._col, ignorenulls=True).over(self._cum())
+        return F.last(self._known(), ignorenulls=True).over(self._cum())
 
     def bfill(self) -> Column:
         w = self._w().rowsBetween(0, Window.unboundedFollowing)
-        return F.first(self._col, ignorenulls=True).over(w)
+        return F.first(self._known(), ignorenulls=True).over(w)
 
     def interpolate(self) -> Column:
         """Linear interpolation of interior nulls (pandas
@@ -97,19 +108,20 @@ class OrderedSeries:
         nulls carry the last value forward (pandas default
         limit_direction 'forward')."""
         w = self._w()
+        known = self._known()           # NaN masked to NULL, see _known
         pos = F.row_number().over(w)
         cum = self._cum()
         fwd = self._w().rowsBetween(0, Window.unboundedFollowing)
-        prev_val = F.last(self._col, ignorenulls=True).over(cum)
-        next_val = F.first(self._col, ignorenulls=True).over(fwd)
-        prev_pos = F.last(F.when(self._col.isNotNull(), pos),
+        prev_val = F.last(known, ignorenulls=True).over(cum)
+        next_val = F.first(known, ignorenulls=True).over(fwd)
+        prev_pos = F.last(F.when(known.isNotNull(), pos),
                           ignorenulls=True).over(cum)
-        next_pos = F.first(F.when(self._col.isNotNull(), pos),
+        next_pos = F.first(F.when(known.isNotNull(), pos),
                            ignorenulls=True).over(fwd)
         frac = (pos - prev_pos).cast("double") / (next_pos - prev_pos)
         interp = prev_val + (next_val - prev_val) * frac
-        return (F.when(self._col.isNotNull(), self._col)
-                 .when(prev_val.isNull(), F.lit(None))     # leading nulls
+        return (F.when(known.isNotNull(), self._col)
+                 .when(prev_val.isNull(), F.lit(None))     # leading gaps
                  .when(next_val.isNull(), prev_val)        # trailing: ffill
                  .otherwise(interp))
 
@@ -134,7 +146,9 @@ class OrderedSeries:
     def rolling_mean_time(self, seconds: int) -> Column:
         """Time-based trailing mean over ``seconds`` of event time —
         ``rangeBetween`` over the epoch-seconds order column (the order-by
-        column must be a timestamp)."""
+        column must be a timestamp). Window is CLOSED on both ends
+        [t - seconds, t]; pandas ``rolling('Ns')`` is left-open
+        (t - N, t] — rows exactly N seconds back differ."""
         w = (Window.partitionBy(*self._part)
              .orderBy(self._order[0].cast("double"))
              .rangeBetween(-seconds, 0))

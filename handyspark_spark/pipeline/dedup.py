@@ -374,9 +374,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     ``initial``: optional (node, component) seed labels — e.g. the output
     of ``minhash_lsh_groups`` — cutting rounds to ~1-2 when the seed is
-    already near the fixpoint.
+    already near the fixpoint. The seed MUST come from the same edge
+    universe (same bucket-size cap) or labels may cite unreachable nodes.
 
-    Returns (node, component) with component = min node id reachable."""
+    Returns (node, component) with component = min node id reachable.
+    Nodes appearing in NO pair are absent from the output — treat a
+    missing id as its own singleton component."""
     edges = (pairs.select(F.col(id_a).alias("src"),
                           F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
