@@ -32,6 +32,22 @@ def _group(df: DataFrame, strata: list[str] | None):
     return df.groupBy(*strata) if strata else df.groupBy()
 
 
+def nan_to_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Mask NaN to NULL in float/double columns so 'missing' means the
+    same thing on every ingestion path (Arrow converts pandas NaN to
+    NULL; the non-Arrow path keeps NaN doubles, which ``dropna`` does NOT
+    drop and which poison means). Applied by the pandas-semantics
+    operators (value_counts/mode/entropy/fill fitting); plain Spark
+    aggregation plans keep native NaN propagation."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) in ("double", "float"):
+            df = df.withColumn(
+                c, F.when(F.isnan(F.col(c)), F.lit(None))
+                   .otherwise(F.col(c)))
+    return df
+
+
 def percentile_expr(col: str, q, precision: float = 0.01,
                     exact: bool = False) -> Column:
     """approx_percentile(col, q, 1/precision) (ref dataframe.py:748-756) or
@@ -63,7 +79,7 @@ def value_counts_plan(df: DataFrame, colnames: list[str],
     """Per-value frequencies (ref dataframe.py:225-244, 633-635)."""
     strata = strata or []
     if dropna:
-        df = df.dropna(subset=colnames)
+        df = nan_to_null(df, colnames).dropna(subset=colnames)
     return (df.groupBy(*(strata + colnames))
               .agg(F.count(F.lit(1)).alias("count")))
 
@@ -76,7 +92,7 @@ def mode_plan(df: DataFrame, colname: str,
     one shuffle on (strata, value), one on strata for the ranking."""
     from pyspark.sql import Window
     strata = strata or []
-    counts = (df.dropna(subset=[colname])
+    counts = (nan_to_null(df, [colname]).dropna(subset=[colname])
                 .groupBy(*(strata + [colname]))
                 .agg(F.count(F.lit(1)).alias("_cnt")))
     w = (Window.partitionBy(*strata)
@@ -126,7 +142,7 @@ def entropy_plan(df: DataFrame, colnames: list[str],
     strata = strata or []
     outs = []
     for c in colnames:
-        counts = (df.dropna(subset=[c])
+        counts = (nan_to_null(df, [c]).dropna(subset=[c])
                     .groupBy(*(strata + [c]))
                     .agg(F.count(F.lit(1)).alias("_nv")))
         from pyspark.sql import Window

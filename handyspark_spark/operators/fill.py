@@ -47,7 +47,9 @@ def fit_fill_values(df: DataFrame, continuous: list[str],
             exprs.append(F.mean(c).alias(c))
     rows: list[dict] = []
     if exprs:
-        stats = A.summary_plan(df.dropna(subset=continuous, how="all"),
+        # NaN would poison F.mean; mask to NULL first (pandas semantics)
+        clean = A.nan_to_null(df, continuous)
+        stats = A.summary_plan(clean.dropna(subset=continuous, how="all"),
                                exprs, strata).toPandas()
         rows = stats.to_dict("records")
     for c in categorical:

@@ -144,3 +144,23 @@ def test_describe_matches_pandas(hdf, pdf):
     got = hdf.describe(["l_quantity", "l_extendedprice"], exact=True)
     exp = pdf[["l_quantity", "l_extendedprice"]].describe()
     npt.assert_array_almost_equal(got.values, exp.values, decimal=6)
+
+
+def test_nan_treated_as_missing_in_pandas_semantics_ops(spark):
+    """NaN (non-Arrow ingestion artifact) must behave like NULL in
+    value_counts/mode/fill fitting — pandas semantics."""
+    from pyspark.sql import functions as F
+
+    from handyspark_spark import toHandy
+    df = spark.range(10).select(
+        F.when(F.col("id") < 3, float("nan"))
+         .otherwise(F.col("id").cast("double") % 2).alias("v"))
+    hdf = toHandy(df)
+    vc = hdf.cols["v"].value_counts()
+    assert vc.sum() == 7                      # NaN rows dropped
+    assert not any(x != x for x in vc.index)  # no NaN key
+    filled = hdf.fill(continuous=["v"], strategy="mean")
+    mu = filled.statistics_["v"]
+    assert mu == mu                           # mean not poisoned by NaN
+    import numpy.testing as npt
+    npt.assert_almost_equal(mu, 4 / 7)   # ids 3..9: four 1s, three 0s
