@@ -20,7 +20,8 @@ def spark():
              .appName("handyspark_spark-tests")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled",
+                     os.environ.get("SPARK_GRAFT_TEST_ARROW", "true"))
              .config("spark.driver.memory", "4g")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
