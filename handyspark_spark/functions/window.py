@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 
 
 class OrderedSeries:
-    def __init__(self, colname: str, order_by, partition_by=None):
+    def __init__(self, colname: str, order_by, partition_by=None,
+                 dtype: str | None = None):
         self._col = F.col(colname)
+        self._dtype = dtype
         order_by = [order_by] if isinstance(order_by, str) else list(order_by)
         self._order = [F.col(c) for c in order_by]
         part = ([partition_by] if isinstance(partition_by, str)
@@ -87,11 +89,14 @@ class OrderedSeries:
         missing, and Spark frames ingested WITHOUT Arrow carry pandas
         NaNs as NaN doubles rather than NULLs. NOTE: Spark's NaN
         semantics make ``x != x`` FALSE for NaN (NaN equals NaN in
-        Spark SQL), so the test must be ``isnan`` — over ``try_cast``
-        so non-numeric columns pass through untouched under ANSI."""
-        nan = F.coalesce(F.isnan(self._col.try_cast("double")),
-                         F.lit(False))
-        return F.when(self._col.isNotNull() & ~nan, self._col)
+        Spark SQL), so the test must be ``isnan`` — gated on the FLOAT
+        dtypes only (a cast-based test would also destroy the literal
+        string 'NaN' in string columns). Same missing-definition as
+        ``operators.agg.nan_to_null`` / ``operators.fill._is_missing``."""
+        if self._dtype not in ("double", "float"):
+            return self._col
+        return F.when(self._col.isNotNull() & ~F.isnan(self._col),
+                      self._col)
 
     def ffill(self) -> Column:
         return F.last(self._known(), ignorenulls=True).over(self._cum())
@@ -143,28 +148,25 @@ class OrderedSeries:
             self._w().rowsBetween(-(window - 1), 0))
 
 
+    def _time_w(self, seconds: int):
+        return (Window.partitionBy(*self._part)
+                .orderBy(self._order[0].cast("double"))
+                .rangeBetween(-seconds, 0))
+
     def rolling_mean_time(self, seconds: int) -> Column:
         """Time-based trailing mean over ``seconds`` of event time —
         ``rangeBetween`` over the epoch-seconds order column (the order-by
         column must be a timestamp). Window is CLOSED on both ends
         [t - seconds, t]; pandas ``rolling('Ns')`` is left-open
-        (t - N, t] — rows exactly N seconds back differ."""
-        w = (Window.partitionBy(*self._part)
-             .orderBy(self._order[0].cast("double"))
-             .rangeBetween(-seconds, 0))
-        return F.avg(self._col).over(w)
+        (t - N, t] — rows exactly N seconds back differ. NaN is treated
+        as missing (``_known``), like every fill/rolling op here."""
+        return F.avg(self._known()).over(self._time_w(seconds))
 
     def rolling_sum_time(self, seconds: int) -> Column:
-        w = (Window.partitionBy(*self._part)
-             .orderBy(self._order[0].cast("double"))
-             .rangeBetween(-seconds, 0))
-        return F.sum(self._col).over(w)
+        return F.sum(self._known()).over(self._time_w(seconds))
 
     def rolling_count_time(self, seconds: int) -> Column:
-        w = (Window.partitionBy(*self._part)
-             .orderBy(self._order[0].cast("double"))
-             .rangeBetween(-seconds, 0))
-        return F.count(self._col).over(w)
+        return F.count(self._known()).over(self._time_w(seconds))
 
 
 class OrderedAccessor:
@@ -178,4 +180,5 @@ class OrderedAccessor:
     def __getitem__(self, colname: str) -> OrderedSeries:
         if colname not in self._hdf._df.columns:
             raise ValueError(f"column {colname!r} not found")
-        return OrderedSeries(colname, self._by, self._partition)
+        return OrderedSeries(colname, self._by, self._partition,
+                             dtype=dict(self._hdf._df.dtypes)[colname])

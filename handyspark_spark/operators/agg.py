@@ -78,8 +78,9 @@ def value_counts_plan(df: DataFrame, colnames: list[str],
                       dropna: bool = True) -> DataFrame:
     """Per-value frequencies (ref dataframe.py:225-244, 633-635)."""
     strata = strata or []
+    df = nan_to_null(df, colnames)   # unify NaN/NULL on BOTH dropna paths
     if dropna:
-        df = nan_to_null(df, colnames).dropna(subset=colnames)
+        df = df.dropna(subset=colnames)
     return (df.groupBy(*(strata + colnames))
               .agg(F.count(F.lit(1)).alias("count")))
 

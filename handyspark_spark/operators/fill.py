@@ -139,7 +139,10 @@ def fit_fence_values(df: DataFrame, colnames: list[str], k: float = 1.5,
     once — ref ``_calc_fences`` dataframe.py:332-351)."""
     exprs = [A.percentile_expr(c, [0.25, 0.75], precision, exact)
              .alias(f"_qq_{c}") for c in colnames]   # fused: one pass/col
-    stats = A.summary_plan(df, exprs, strata).toPandas()
+    # NaN sorts ABOVE every value in Spark: >25% NaN rows would make q3
+    # (hence both fences) NaN — mask to NULL first, like pandas quantile
+    stats = A.summary_plan(A.nan_to_null(df, colnames), exprs,
+                           strata).toPandas()
     rows = []
     for r in stats.to_dict("records"):
         row = {s: r[s] for s in (strata or [])}
@@ -168,9 +171,13 @@ def fence(hdf, colnames, k: float = 1.5, strata: list[str] | None = None,
         fences = {c: rows[0][c] for c in colnames}
         handy.fenced_values.update(fences)
         for c, (lf, uf) in fences.items():
+            clamped = F.greatest(F.lit(lf),
+                                 F.least(F.lit(uf),
+                                         F.col(c).cast("double")))
+            # missing stays missing (Spark's NaN-is-largest ordering would
+            # clamp NaN to the upper fence; pandas clip keeps NaN)
             out = out.withColumn(
-                c, F.greatest(F.lit(lf), F.least(F.lit(uf),
-                                                 F.col(c).cast("double"))))
+                c, F.when(_is_missing(df, c), F.col(c)).otherwise(clamped))
     else:
         for c in colnames:
             lexpr, uexpr = None, None
@@ -184,8 +191,9 @@ def fence(hdf, colnames, k: float = 1.5, strata: list[str] | None = None,
                 clause = labeler(r) if labeler else str(
                     {s: r[s] for s in strata})
                 handy.fenced_values.setdefault(clause, {})[c] = [lf, uf]
+            clamped = F.greatest(lexpr, F.least(uexpr,
+                                                F.col(c).cast("double")))
             out = out.withColumn(
-                c, F.greatest(lexpr, F.least(uexpr,
-                                             F.col(c).cast("double"))))
+                c, F.when(_is_missing(df, c), F.col(c)).otherwise(clamped))
         out = out.drop(*[c for c in strata if c.startswith("_bkt_")])
     return HandyFrame(out, handy)

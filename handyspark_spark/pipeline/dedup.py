@@ -259,21 +259,30 @@ def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
     clusters, which covers identical and near-identical documents; chains
     longer than one hop need iterating.)"""
     banded = _banded(df, text_col, id_col, num_hashes, bands)
+    all_ids = banded.select(id_col).distinct()
     if max_bucket_size is not None:
         # same bucket universe as capped minhash_lsh_pairs — REQUIRED when
         # these groups seed connected_components over the capped pairs
         # (an uncapped bucket-min could label a node with an id it has no
-        # edge to)
+        # edge to). Size measured in DISTINCT ids, exactly like the pairs
+        # cap (array_distinct there), so the two caps agree under
+        # duplicate input ids.
         sizes = (banded.groupBy("band", "band_hash")
-                 .agg(F.count(F.lit(1)).alias("_k"))
+                 .agg(F.count_distinct(F.col(id_col)).alias("_k"))
                  .filter(F.col("_k") > max_bucket_size).drop("_k"))
         banded = banded.join(F.broadcast(sizes), ["band", "band_hash"],
                              "left_anti")
     bucket_min = (banded.groupBy("band", "band_hash")
                   .agg(F.min(id_col).alias("_bucket_min")))
-    return (banded.join(bucket_min, ["band", "band_hash"])
-            .groupBy(id_col)
-            .agg(F.min("_bucket_min").alias("cluster_id")))
+    clustered = (banded.join(bucket_min, ["band", "band_hash"])
+                 .groupBy(id_col)
+                 .agg(F.min("_bucket_min").alias("cluster_id")))
+    # docs whose EVERY bucket is over-cap still appear — as their own
+    # singleton cluster (the complete doc->cluster map contract)
+    return (all_ids.join(clustered, id_col, "left")
+            .select(id_col,
+                    F.coalesce("cluster_id", F.col(id_col))
+                    .alias("cluster_id")))
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
@@ -372,10 +381,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     is one join + one groupBy; rounds needed = graph diameter in
     min-label hops (log-ish for typical dup clusters).
 
-    ``initial``: optional (node, component) seed labels — e.g. the output
-    of ``minhash_lsh_groups`` — cutting rounds to ~1-2 when the seed is
-    already near the fixpoint. The seed MUST come from the same edge
-    universe (same bucket-size cap) or labels may cite unreachable nodes.
+    ``initial``: optional seed labels with columns (node, component) —
+    e.g. ``minhash_lsh_groups(...).withColumnRenamed("doc_id", "node")
+    .withColumnRenamed("cluster_id", "component")`` — cutting rounds to
+    ~1-2 when the seed is already near the fixpoint. The seed MUST come
+    from the same edge universe (same bucket-size cap) or labels may
+    cite unreachable nodes.
 
     Returns (node, component) with component = min node id reachable.
     Nodes appearing in NO pair are absent from the output — treat a
@@ -398,32 +409,51 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = (nodes.withColumn("component", F.col("node"))
                   .localCheckpoint())  # truncate lineage at the loop entry
     try:
+        converged = False
         for _ in range(max_iterations):
             neighbor_min = (edges.join(labels,
                                        edges.dst == labels.node)
                             .groupBy("src")
                             .agg(F.min("component").alias("_nmin")))
-            new_labels = (labels.join(neighbor_min,
-                                      labels.node == neighbor_min.src,
-                                      "left")
-                          .select(F.col("node"),
-                                  F.least(F.col("component"),
-                                          F.coalesce(F.col("_nmin"),
-                                                     F.col("component")))
-                                  .alias("component"))
-                          # truncate lineage EVERY round — without this
-                          # each iteration replays the whole upstream plan
-                          # (LSH, signatures, ...) and the job goes
-                          # exponential in wall-clock
-                          .localCheckpoint())
+            stepped = (labels.join(neighbor_min,
+                                   labels.node == neighbor_min.src,
+                                   "left")
+                       .select(F.col("node"),
+                               F.least(F.col("component"),
+                                       F.coalesce(F.col("_nmin"),
+                                                  F.col("component")))
+                               .alias("component")))
+            # pointer jumping: component := label-of-my-label. Plain
+            # min-propagation needs rounds equal to each node's hop
+            # distance from the component minimum; the extra self-join
+            # halves the remaining distance every round -> O(log diameter)
+            lab2 = stepped.select(F.col("node").alias("_n2"),
+                                  F.col("component").alias("_c2"))
+            new_labels = (stepped.join(
+                lab2, stepped.component == lab2._n2, "left")
+                .select(F.col("node"),
+                        F.least(F.col("component"),
+                                F.coalesce(F.col("_c2"),
+                                           F.col("component")))
+                        .alias("component"))
+                # truncate lineage EVERY round — without this each
+                # iteration replays the whole upstream plan (LSH,
+                # signatures, ...) and the job goes exponential
+                .localCheckpoint())
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "node")
                        .filter(F.col("n.component") != F.col("o.component"))
                        .limit(1).count())
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
-        # materialize the result before releasing the cached edges
+        if not converged:
+            # a silently non-converged result is indistinguishable from a
+            # correct one — fail loudly instead
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} iterations; raise max_iterations")
         return labels
     finally:
         edges.unpersist()

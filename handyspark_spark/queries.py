@@ -1410,8 +1410,7 @@ def q_dedup_components(spark, sf_dir):
     connected components (transitive closure). Genuinely iterative —
     rows-only per the driver contract for iterative algorithms;
     component validity pinned in tests/test_pipeline.py."""
-    from .pipeline.dedup import (connected_components, minhash_lsh_groups,
-                                 minhash_lsh_pairs)
+    from .pipeline.dedup import connected_components, minhash_lsh_pairs
     df = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(df, num_hashes=16, bands=2,
                               max_bucket_size=500)

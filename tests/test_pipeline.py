@@ -283,3 +283,24 @@ def test_components_seeded_equals_unseeded(docs):
     b = {r.node: r.component for r in
          connected_components(pairs, initial=seed).collect()}
     assert a == b
+
+
+def test_components_pointer_jumping_long_chain(spark):
+    """A 40-node chain converges within the default iteration budget
+    thanks to pointer jumping (plain propagation would need 40 rounds)."""
+    from handyspark_spark.pipeline.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    comp = {r.node: r.component for r in
+            connected_components(pairs, max_iterations=10).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 41
+
+
+def test_capped_groups_keep_overcap_docs_as_singletons(docs):
+    from handyspark_spark.pipeline.dedup import minhash_lsh_groups
+    capped = minhash_lsh_groups(docs, num_hashes=16, bands=2,
+                                max_bucket_size=5)
+    # complete doc->cluster map: every doc appears exactly once
+    assert capped.count() == docs.count()
+    assert capped.select("doc_id").distinct().count() == docs.count()

@@ -274,3 +274,32 @@ def test_time_based_rolling_vs_pandas(tables, pdf_tables):
     exp = (pdf.merge(exp, on=["user_id", "ts"], suffixes=("", "_r"))
            .set_index("event_id")["value_r"].sort_index())
     npt.assert_array_almost_equal(got["r"].values, exp.values)
+
+
+def test_ffill_preserves_literal_nan_string(spark):
+    """The string value 'NaN' is DATA in a string column, not missing."""
+    from handyspark_spark import toHandy
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "NaN"), (1, 3, None), (1, 4, "b")],
+        "k int, s int, v string")
+    h = toHandy(df)
+    out = [r.f for r in h.assign(
+        f=h.ordered(by="s", partition="k")["v"].ffill())
+        .orderBy("s").collect()]
+    assert out == ["a", "NaN", "NaN", "b"]
+
+
+def test_rolling_time_skips_nan(spark):
+    from pyspark.sql import functions as F
+
+    from handyspark_spark import toHandy
+    df = spark.createDataFrame(
+        [(1, 0.0), (1, 10.0), (1, 20.0)], "k int, t double") \
+        .select("k", F.timestamp_seconds("t").alias("ts"),
+                F.when(F.col("t") == 10.0, float("nan"))
+                 .otherwise(F.col("t")).alias("v"))
+    h = toHandy(df)
+    s = h.ordered(by="ts", partition="k")["v"]
+    out = [r.m for r in h.assign(m=s.rolling_mean_time(3600))
+           .orderBy("ts").collect()]
+    assert out == [0.0, 0.0, 10.0]   # NaN skipped, like pandas
