@@ -304,3 +304,13 @@ def test_capped_groups_keep_overcap_docs_as_singletons(docs):
     # complete doc->cluster map: every doc appears exactly once
     assert capped.count() == docs.count()
     assert capped.select("doc_id").distinct().count() == docs.count()
+
+
+def test_components_raise_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from handyspark_spark.pipeline.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iterations=1)
