@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core.frame import HandyFrame, toHandy
+from .core.frame import toHandy
 from .operators import agg as A
 from .operators.strata import Bucket
 from .sources.loader import load_table
