@@ -177,12 +177,13 @@ class HandyFrame:
     # -- experimental row addressing (ref dataframe.py:973-985) -------------
     def _gen_row_ids(self, *sort_cols) -> "HandyFrame":
         """Absolute 0-based row ids over an explicit total order
-        (EXPERIMENTAL in the reference; global window = one-partition sort,
-        use only on small/driver-bound frames)."""
-        from pyspark.sql import Window
-        w = Window.orderBy(*[F.col(c) for c in sort_cols])
-        out = self._df.withColumn("_row_id",
-                                  F.row_number().over(w) - F.lit(1))
+        (EXPERIMENTAL in the reference). Distributed partition-offset
+        row numbering (operators/rank.py) — no single-partition sort, so
+        safe on full-size frames; ties within a sort key are numbered
+        arbitrarily-but-deterministically, as with the reference's global
+        window."""
+        from ..operators.rank import ranged_row_number
+        out = ranged_row_number(self._df, list(sort_cols), name="_row_id")
         return HandyFrame(out, self._handy.copy())
 
     def _loc(self, lower: int, upper: int) -> "HandyFrame":

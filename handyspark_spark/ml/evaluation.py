@@ -8,15 +8,19 @@ that plan. mllib endpoint conventions preserved (evaluation.py:14-34):
 roc prepends (0,0) and appends (1,1); pr prepends (0, p@lowest-recall);
 getMetricsByThreshold appends the (0, 1, 1, 0) sentinel row.
 
-Scale note: the window is keyed on nothing (global cumulative over
-distinct scores) — fine when distinct scores ≪ rows (typical for model
-outputs); for fully-continuous scores at 100 TB, pre-bin scores to a
-fixed precision first (``score_bins`` argument).
+Scale note: the cumulative pass uses distributed partition-offset
+ranking (``operators.rank.ranged_cumsum``) — the curve build is one
+range exchange over distinct scores, N-way parallel, with no
+single-partition window even when scores are fully continuous
+(|distinct| ~ |rows|). ``score_bins`` additionally pre-bins scores to a
+fixed precision when a smaller curve is wanted.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..operators.rank import ranged_cumsum
 
 
 class BinaryClassificationMetrics:
@@ -41,20 +45,20 @@ class BinaryClassificationMetrics:
 
     # -- the single shared plan --------------------------------------------
     def _curve(self) -> DataFrame:
-        """Per distinct score (desc): cumulative tp/fp + totals."""
+        """Per distinct score (desc): cumulative tp/fp + totals. One
+        grouped agg + one distributed cumsum; P/N come free from the
+        cumsum's per-partition totals (no extra pass over the scores)."""
         if self._cum is None:
             g = (self._scores.groupBy("score")
                  .agg(F.sum("label").alias("_pos"),
                       F.sum(F.lit(1.0) - F.col("label")).alias("_neg")))
-            w = (Window.orderBy(F.desc("score"))
-                 .rowsBetween(Window.unboundedPreceding, 0))
-            cum = (g.withColumn("tp", F.sum("_pos").over(w))
-                    .withColumn("fp", F.sum("_neg").over(w)))
-            tot = self._scores.agg(
-                F.sum("label").alias("P"),
-                F.sum(F.lit(1.0) - F.col("label")).alias("N")).collect()[0]
-            self._cum = cum.withColumn("P", F.lit(float(tot.P))) \
-                           .withColumn("N", F.lit(float(tot.N)))
+            cum, ptot = ranged_cumsum(
+                g, [F.col("score").desc()], ["_pos", "_neg"])
+            tot = ptot.agg(F.sum("_tot__pos").alias("P"),
+                           F.sum("_tot__neg").alias("N"))
+            self._cum = (cum.withColumnRenamed("_cum__pos", "tp")
+                            .withColumnRenamed("_cum__neg", "fp")
+                            .crossJoin(F.broadcast(tot)))
         return self._cum
 
     def thresholds(self) -> DataFrame:
@@ -124,22 +128,17 @@ class BinaryClassificationMetrics:
 
     @property
     def areaUnderROC(self) -> float:
-        """Trapezoid integration of the ROC curve, computed as one window
-        plan (lag) + agg — no driver-side curve materialization."""
-        c = self._curve().select(
-            (F.col("fp") / F.col("N")).alias("fpr"),
-            (F.col("tp") / F.col("P")).alias("tpr"), "score")
-        w = Window.orderBy(F.desc("score"))
-        with_prev = c.select(
-            "fpr", "tpr",
-            F.lag("fpr", 1, 0.0).over(w).alias("pfpr"),
-            F.lag("tpr", 1, 0.0).over(w).alias("ptpr"))
-        area = with_prev.agg(F.sum(
-            (F.col("fpr") - F.col("pfpr")) *
-            (F.col("tpr") + F.col("ptpr")) / 2)).collect()[0][0]
-        # close the curve to (1,1)
-        last = c.orderBy(F.asc("score")).first()
-        return float(area + (1.0 - last.fpr) * (1.0 + last.tpr) / 2)
+        """Trapezoid integration of the ROC curve, lag-free: each distinct
+        score's segment is Δfpr = _neg/N and mean-tpr = (tpr + prev_tpr)/2
+        = (2·tp − _pos)/(2P), both already in the curve frame — so the AUC
+        is ONE aggregation with no ordering requirement at all (the lag
+        form needed a global window; this needs none). The final curve
+        point is exactly (1,1), so no closing segment."""
+        area = self._curve().agg(F.sum(
+            (F.col("_neg") / F.col("N")) *
+            (2 * F.col("tp") - F.col("_pos")) / (2 * F.col("P")))
+        ).collect()[0][0]
+        return float(area)
 
     @property
     def areaUnderPR(self) -> float:

@@ -208,6 +208,8 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         # pair is O(pairs) extra passes and is not done here (documented
         # deviation; identical results on null-free or aligned-null data).
         from pyspark.sql import Window
+
+        from .rank import ranged_cumsum
         for c in colnames:
             # ranks over NON-NULL values only; rows keep a NULL rank via
             # the left join and F.corr then skips them PAIRWISE — the
@@ -216,13 +218,19 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
             counts = (df.filter(F.col(c).isNotNull())
                       .groupBy(*(strata + [c]))
                       .agg(F.count(F.lit(1)).alias("_cnt")))
-            w = (Window.partitionBy(*strata).orderBy(c)
-                 .rowsBetween(Window.unboundedPreceding, -1)
-                 if strata else
-                 Window.orderBy(c).rowsBetween(Window.unboundedPreceding,
-                                               -1))
-            ranks = counts.withColumn(
-                "_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+            if strata:
+                # keyed window — already partitioned, no scale issue
+                w = (Window.partitionBy(*strata).orderBy(c)
+                     .rowsBetween(Window.unboundedPreceding, -1))
+                ranks = counts.withColumn(
+                    "_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+            else:
+                # unkeyed: distributed partition-offset cumsum — for a
+                # continuous column |distinct| ~ |rows| and a global
+                # window would single-task the whole dataset
+                cum, _ = ranged_cumsum(counts, [c], ["_cnt"])
+                ranks = cum.withColumn(
+                    "_before", F.col("_cum__cnt") - F.col("_cnt"))
             ranks = ranks.select(
                 *(strata + [c]),
                 (F.col("_before") + (F.col("_cnt") + 1) / 2.0)

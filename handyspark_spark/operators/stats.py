@@ -4,16 +4,16 @@
 - ``ttest``: Welch two-sample t from ONE grouped aggregation (mean, var,
   count per group) + pure-python p-value (incomplete beta). Pairwise over
   all group combinations, like the reference's pairwise loop.
-- ``ks_test``: one-sample Kolmogorov–Smirnov D statistic via a native
-  ECDF plan — sort + row_number window — against any callable CDF
-  (normal/uniform built in; the reference shelled out to commons-math for
-  18 distributions, we accept an arbitrary python cdf).
-
-Scale note: the KS window ranks globally (single-partition window) — the
-standard distributed alternative is a two-pass partition-offset ranking;
-acceptable here because the D-stat needs only (value, rank) and values
-can be pre-aggregated to distinct values with counts first (done below),
-which bounds the window input to |distinct values|.
+- ``ks_test``: one-sample Kolmogorov–Smirnov D statistic via a fully
+  distributed ECDF plan — distinct-value counts, partition-offset
+  cumulative ranking (``rank.ranged_cumsum``, no single-partition
+  window), CDF evaluated executor-side by an Arrow-batched pandas UDF,
+  D reduced with one max-aggregation. The reference shelled out to
+  commons-math for 18 named distributions
+  (/root/reference/handyspark/stats.py:41-42); all 18 are provided here
+  as pure-python CDFs (same constructor-parameter conventions as the
+  commons-math classes the reference instantiates), plus an arbitrary
+  python ``cdf=`` escape hatch.
 """
 from __future__ import annotations
 
@@ -21,10 +21,11 @@ import math
 from itertools import combinations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .special import norm_cdf, t_sf
+from .rank import ranged_cumsum
+from .special import betainc_reg, gammainc_lower, norm_cdf, t_sf
 
 
 class StatisticalSummaryValues:
@@ -69,15 +70,95 @@ def ttest(df: DataFrame, colname: str, group_col: str) -> pd.DataFrame:
 
 
 def _ecdf_plan(df: DataFrame, colname: str) -> DataFrame:
-    """(value, cum_count, total) over distinct values — the pre-aggregation
-    bounds the global window to |distinct| rows."""
+    """(v, c, cum, total) over distinct values — distributed
+    partition-offset cumulative counts (no single-partition window even
+    when |distinct| ~ |rows|)."""
     counts = (df.select(F.col(colname).cast("double").alias("v"))
                 .dropna()
                 .groupBy("v").agg(F.count(F.lit(1)).alias("c")))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    return (counts.withColumn("cum", F.sum("c").over(w))
-                  .withColumn("total", F.sum("c").over(
-                      Window.partitionBy())))
+    cum, ptot = ranged_cumsum(counts, ["v"], ["c"])
+    tot = ptot.agg(F.sum("_tot_c").alias("total"))
+    return (cum.withColumnRenamed("_cum_c", "cum")
+               .crossJoin(F.broadcast(tot)))
+
+
+# -- named-distribution CDFs -------------------------------------------------
+# Parameter conventions follow the commons-math constructors the reference
+# instantiates (org.apache.commons.math3.distribution.<Name>Distribution),
+# so `ks_test(df, col, 'gamma', (shape, scale))` means the same thing in
+# both engines. All pure python on top of operators/special.py.
+
+def _cauchy(x0, g):
+    return lambda x: 0.5 + math.atan((x - x0) / g) / math.pi
+
+
+def _triangular(a, c, b):
+    def cdf(x):
+        if x <= a:
+            return 0.0
+        if x >= b:
+            return 1.0
+        if x <= c:
+            return (x - a) ** 2 / ((b - a) * (c - a))
+        return 1.0 - (b - x) ** 2 / ((b - a) * (b - c))
+    return cdf
+
+
+def _t_cdf(dof):
+    def cdf(x):
+        p = 0.5 * betainc_reg(dof / 2.0, 0.5, dof / (dof + x * x))
+        return p if x < 0 else 1.0 - p
+    return cdf
+
+
+KS_DISTRIBUTIONS = {
+    # name -> (constructor-arity params) -> scalar cdf callable
+    "beta": lambda a, b: lambda x: betainc_reg(a, b, min(1.0, max(0.0, x))),
+    "cauchy": _cauchy,
+    "chisquared": lambda k: lambda x: gammainc_lower(k / 2.0,
+                                                     max(0.0, x) / 2.0),
+    "exponential":  # commons-math takes the MEAN, not the rate
+        lambda mean: lambda x: 1.0 - math.exp(-max(0.0, x) / mean),
+    "f": lambda d1, d2: lambda x: betainc_reg(
+        d1 / 2.0, d2 / 2.0, d1 * x / (d1 * x + d2)) if x > 0 else 0.0,
+    "gamma": lambda shape, scale: lambda x: gammainc_lower(
+        shape, max(0.0, x) / scale),
+    "gumbel": lambda mu, beta: lambda x: math.exp(
+        -math.exp(-(x - mu) / beta)),
+    "laplace": lambda mu, b: lambda x: (
+        0.5 * math.exp((x - mu) / b) if x < mu
+        else 1.0 - 0.5 * math.exp(-(x - mu) / b)),
+    "levy": lambda mu, c: lambda x: (
+        math.erfc(math.sqrt(c / (2.0 * (x - mu)))) if x > mu else 0.0),
+    "logistic": lambda mu, s: lambda x: 1.0 / (1.0 +
+                                               math.exp(-(x - mu) / s)),
+    "lognormal":  # commons-math (scale, shape) = (mu, sigma) of ln X
+        lambda scale, shape: lambda x: (
+            norm_cdf((math.log(x) - scale) / shape) if x > 0 else 0.0),
+    "nakagami": lambda mu, omega: lambda x: (
+        gammainc_lower(mu, mu * x * x / omega) if x > 0 else 0.0),
+    "normal": lambda mu, sd: lambda x: norm_cdf((x - mu) / sd),
+    "pareto": lambda scale, shape: lambda x: (
+        1.0 - (scale / x) ** shape if x >= scale else 0.0),
+    "t": _t_cdf,
+    "triangular": _triangular,
+    "uniform": lambda lo, hi: lambda x: min(
+        1.0, max(0.0, (x - lo) / (hi - lo))),
+    "weibull": lambda shape, scale: lambda x: (
+        1.0 - math.exp(-((max(0.0, x) / scale) ** shape))),
+}
+
+
+def make_cdf(dist: str, params: tuple):
+    """Scalar CDF callable for a named distribution (commons-math
+    parameter conventions). Unknown names raise (the reference silently
+    fell back to Normal(0,1) — ref stats.py:52-55; we fail loudly)."""
+    key = dist.lower().strip()
+    if key not in KS_DISTRIBUTIONS:
+        raise ValueError(
+            f"unknown dist {dist!r}; one of {sorted(KS_DISTRIBUTIONS)} "
+            "or pass cdf=")
+    return KS_DISTRIBUTIONS[key](*params)
 
 
 def ks_test(df: DataFrame, colname: str, dist: str = "normal",
@@ -85,28 +166,37 @@ def ks_test(df: DataFrame, colname: str, dist: str = "normal",
     """One-sample KS: D = sup_x |ECDF(x) - CDF(x)| (both one-sided gaps
     evaluated, as the exact definition requires). Returns
     {statistic, reject_at_05} with the standard asymptotic critical value
-    1.358/sqrt(n) (alpha=.05)."""
-    ecdf = _ecdf_plan(df, colname).collect()
+    1.358/sqrt(n) (alpha=.05).
+
+    Fully distributed: the ECDF never leaves the cluster — the CDF runs
+    as an Arrow-batched pandas UDF over distinct values and D is one
+    max-aggregation; only 2 scalars come back to the driver. normal and
+    uniform auto-fit their params from the data when ``params`` is None
+    (one extra tiny agg), matching the round-1 behavior."""
     if cdf is None:
-        if dist == "normal":
-            if params is None:
+        if params is None:
+            if dist == "normal":
                 r = df.agg(F.mean(colname), F.stddev(colname)).collect()[0]
                 params = (float(r[0]), float(r[1]))
-            mu, sd = params
-            cdf = lambda x: norm_cdf((x - mu) / sd)
-        elif dist == "uniform":
-            if params is None:
+            elif dist == "uniform":
                 r = df.agg(F.min(colname), F.max(colname)).collect()[0]
                 params = (float(r[0]), float(r[1]))
-            lo, hi = params
-            cdf = lambda x: min(1.0, max(0.0, (x - lo) / (hi - lo)))
-        else:
-            raise ValueError(f"unknown dist {dist!r}; pass cdf=")
-    d = 0.0
-    n = ecdf[0]["total"] if ecdf else 0
-    for r in ecdf:
-        c = cdf(r["v"])
-        d = max(d, abs(r["cum"] / n - c), abs((r["cum"] - r["c"]) / n - c))
+            else:
+                raise ValueError(
+                    f"dist {dist!r} needs explicit params= "
+                    "(only normal/uniform auto-fit)")
+        cdf = make_cdf(dist, params)
+
+    cdf_udf = F.pandas_udf(
+        lambda s: s.map(cdf).astype("float64"), "double")
+    ecdf = _ecdf_plan(df, colname).withColumn("_cdf", cdf_udf(F.col("v")))
+    gap = F.greatest(
+        F.abs(F.col("cum") / F.col("total") - F.col("_cdf")),
+        F.abs((F.col("cum") - F.col("c")) / F.col("total") - F.col("_cdf")))
+    row = ecdf.agg(F.max(gap).alias("d"),
+                   F.max("total").alias("n")).collect()[0]
+    n = int(row["n"]) if row["n"] is not None else 0
+    d = float(row["d"]) if row["d"] is not None else 0.0
     crit = 1.358 / math.sqrt(n) if n else float("nan")
     return {"statistic": d, "n": n, "critical_05": crit,
             "reject_at_05": d > crit}
