@@ -82,52 +82,75 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
 
 def neardup_pairs_blas(df: DataFrame, vec_col: str = "embedding",
                        id_col: str = "vec_id", threshold: float = 0.9,
-                       round_to: int = 6) -> DataFrame:
-    """Exact cosine-over-threshold pairs, vectorized: the (normalized)
-    corpus matrix is broadcast to every worker; each Arrow batch of rows
-    does ONE numpy/BLAS matmul against it and emits only the
-    over-threshold pairs with id_a < id_b.
+                       round_to: int = 6, blocks: int = 8) -> DataFrame:
+    """Exact cosine-over-threshold pairs, vectorized and fully distributed.
 
-    ~20× faster than the expression path on wide vectors; use when one
-    side fits in executor memory (otherwise block the corpus and union
-    the blocks, or go ``lsh_neardup_pairs``)."""
+    Blocked all-pairs: rows hash into ``blocks`` buckets by id; each of
+    the B(B+1)/2 unordered block pairs is one ``applyInPandas`` group,
+    each row is shuffled to the B groups it participates in, and each
+    group runs ONE numpy/BLAS matmul between its two blocks. Task memory
+    is bounded by 2·|corpus|/blocks rows — nothing is ever materialized
+    on the driver. (The previous design collected the whole corpus
+    driver-side and broadcast the dense matrix; at 10M × 768-d that is
+    ~30 GB on one machine.)
+
+    Compute is inherently O(n²/2) dot products — that IS the exact
+    contract. At 100 TB, run ``lsh_neardup_pairs`` to get candidates (or
+    this function on an LSH-bucketed subset), and size ``blocks`` ≈
+    corpus_bytes / per-task memory budget so two blocks fit in one task.
+    Shuffle volume is blocks× the corpus — B stays small (8-64); the
+    win is bounded memory and B(B+1)/2-way parallel BLAS."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    v = df.select(F.col(id_col).alias("_id"),
+    v = df.select(F.col(id_col).cast("long").alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("_v"))
-    # Arrow transfer, not Row objects — collect() would materialize every
-    # vector as python lists (several x the raw bytes) on the driver
-    pdf_all = v.toPandas()
-    ids = pdf_all["_id"].to_numpy()
-    M = np.array(pdf_all["_v"].tolist(), dtype=np.float64)
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0          # zero vectors: cosine treated as 0
-    M /= norms
-    sc = df.sparkSession.sparkContext
-    b_ids, b_M = sc.broadcast(ids), sc.broadcast(M)
+    v = v.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("_id")), F.lit(blocks)).cast("int"))
+    # replicate each row to every block pair it belongs to: row in block b
+    # lands in groups {(min(b,j), max(b,j)) : j in 0..B-1}, all distinct
+    keyed = (v.withColumn(
+                 "_j", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))))
+              .select(F.least("_b", "_j").alias("_gi"),
+                      F.greatest("_b", "_j").alias("_gj"),
+                      "_id", "_v", "_b"))
 
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),
         T.StructField("id_b", T.LongType()),
         T.StructField("cosine", T.DoubleType())])
 
-    def block(it):
-        all_ids, all_M = b_ids.value, b_M.value
-        for pdf in it:
-            X = np.array(pdf["_v"].tolist(), dtype=np.float64)
-            xn = np.linalg.norm(X, axis=1, keepdims=True)
-            xn[xn == 0] = 1.0
-            X /= xn
-            xid = pdf["_id"].to_numpy()
-            cos = np.round(X @ all_M.T, round_to)
-            ii, jj = np.where(cos >= threshold)
-            keep = xid[ii] < all_ids[jj]
-            yield pd.DataFrame({"id_a": xid[ii][keep],
-                                "id_b": all_ids[jj][keep],
-                                "cosine": cos[ii, jj][keep]})
+    def _norm_rows(sub: "pd.DataFrame"):
+        ids = sub["_id"].to_numpy()
+        M = np.array(sub["_v"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0              # zero vectors: cosine treated as 0
+        return ids, M / n
 
-    return v.mapInPandas(block, out_schema)
+    def block_pairs(key, pdf):
+        gi, gj = key
+        if gi == gj:                 # intra-block: upper triangle once
+            ids, M = _norm_rows(pdf)
+            cos = np.round(M @ M.T, round_to)
+            ii, jj = np.where(cos >= threshold)
+            keep = ids[ii] < ids[jj]
+            return pd.DataFrame({"id_a": ids[ii][keep],
+                                 "id_b": ids[jj][keep],
+                                 "cosine": cos[ii, jj][keep]})
+        # cross-block: each unordered pair exists in exactly this group
+        in_i = pdf["_b"].to_numpy() == gi
+        if in_i.all() or not in_i.any():     # one side empty: no pairs
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids_a, A = _norm_rows(pdf[in_i])
+        ids_b, B = _norm_rows(pdf[~in_i])
+        cos = np.round(A @ B.T, round_to)
+        ii, jj = np.where(cos >= threshold)
+        ia, ib = ids_a[ii], ids_b[jj]
+        return pd.DataFrame({"id_a": np.minimum(ia, ib),
+                             "id_b": np.maximum(ia, ib),
+                             "cosine": cos[ii, jj]})
+
+    return keyed.groupBy("_gi", "_gj").applyInPandas(block_pairs, out_schema)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:

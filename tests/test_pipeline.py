@@ -158,6 +158,33 @@ def test_jaccard_bitmask_63_token_guard(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1), (0, 2), (1, 2)}
 
 
+def test_blas_blocked_matches_exact_self_join(emb):
+    """The blocked distributed BLAS path must emit exactly the same pair
+    set + cosines as the expression-based exact self-join, for any block
+    count (including blocks > distinct ids and blocks=1)."""
+    from handyspark_spark.pipeline.dedup import embedding_neardup_pairs
+    from handyspark_spark.pipeline.similarity import neardup_pairs_blas
+    sub = emb.limit(300)
+    exact = {(r.id_a, r.id_b): round(r.cosine, 6) for r in
+             embedding_neardup_pairs(sub, threshold=0.4).collect()}
+    for blocks in (1, 5):
+        got = {(r.id_a, r.id_b): round(r.cosine, 6) for r in
+               neardup_pairs_blas(sub, threshold=0.4,
+                                  blocks=blocks).collect()}
+        assert got == exact, f"blocks={blocks}"
+
+
+def test_blas_path_never_materializes_on_driver():
+    """Scale contract: no toPandas()/collect() of the corpus inside
+    neardup_pairs_blas (it previously collected the whole corpus to the
+    driver and broadcast the dense matrix)."""
+    import inspect
+    from handyspark_spark.pipeline import similarity
+    src = inspect.getsource(similarity.neardup_pairs_blas)
+    assert "toPandas" not in src and ".collect()" not in src \
+        and ".broadcast(" not in src
+
+
 def test_zero_norm_vectors_not_neardups(spark):
     import pandas as pd
     from handyspark_spark.pipeline.similarity import neardup_pairs_blas
