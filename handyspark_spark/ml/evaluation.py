@@ -61,6 +61,21 @@ class BinaryClassificationMetrics:
                             .crossJoin(F.broadcast(tot)))
         return self._cum
 
+    def persist(self) -> "BinaryClassificationMetrics":
+        """Materialize the shared curve once so every downstream metric
+        (roc/pr/auc/thresholds/fMeasure/getMetricsByThreshold) is a cheap
+        projection of the cached frame instead of a full rebuild. The
+        curve is |distinct scores| rows — small after score_bins/rounding;
+        cache-friendly even at 100 TB input."""
+        self._cum = self._curve().persist()
+        return self
+
+    def unpersist(self) -> "BinaryClassificationMetrics":
+        if self._cum is not None:
+            self._cum.unpersist()
+            self._cum = None
+        return self
+
     def thresholds(self) -> DataFrame:
         return self._curve().select(F.col("score").alias("threshold")) \
                             .orderBy(F.desc("threshold"))

@@ -61,7 +61,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: float = 0.8,
                         max_token_df: int | None = None,
-                        strategy: str = "auto") -> DataFrame:
+                        strategy: str = "auto",
+                        max_bitmask_rows: int | None = 100_000) -> DataFrame:
     """Exact pairwise Jaccard >= threshold. Two physical strategies,
     picked adaptively:
 
@@ -75,6 +76,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
       ``max_token_df`` drops tokens appearing in more than that many docs
       (stop-token blowup guard — at 100 TB you ALWAYS set this, or LSH
       first and use this only to verify candidates).
+
+    The bitmask path is an O(n²) broadcast self-join — a verification
+    tool, not a scale path. ``max_bitmask_rows`` (default 100k) is an
+    ENFORCED guard: auto-selection falls back to ``inverted`` above it,
+    and an explicit ``strategy="bitmask"`` raises ValueError rather than
+    silently going quadratic. Pass ``max_bitmask_rows=None`` to opt out.
     """
     ts = _token_sets(df, text_col, id_col)
     if strategy == "auto":
@@ -83,10 +90,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         if max_token_df is not None:
             strategy = "inverted"
         else:
-            vocab = (ts.select(F.explode("_toks").alias("t"))
-                     .agg(F.approx_count_distinct("t").alias("n"))
-                     .collect()[0]["n"])
-            strategy = "bitmask" if vocab <= 58 else "inverted"
+            stats = (ts.select("_id", F.explode("_toks").alias("t"))
+                     .agg(F.approx_count_distinct("t").alias("n"),
+                          F.approx_count_distinct("_id").alias("docs"))
+                     .collect()[0])
+            too_big = (max_bitmask_rows is not None
+                       and stats["docs"] > max_bitmask_rows)
+            strategy = ("bitmask" if stats["n"] <= 58 and not too_big
+                        else "inverted")
             if strategy == "bitmask":
                 try:
                     return _jaccard_bitmask(ts, id_col, threshold)
@@ -95,6 +106,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     # exceeds the 63-bit budget — use the general path
                     strategy = "inverted"
     if strategy == "bitmask":
+        if max_bitmask_rows is not None:
+            n = ts.limit(max_bitmask_rows + 1).count()
+            if n > max_bitmask_rows:
+                raise ValueError(
+                    f"bitmask strategy is O(n²) and the corpus exceeds "
+                    f"max_bitmask_rows={max_bitmask_rows}; use "
+                    f"strategy='inverted' (with max_token_df) or LSH, "
+                    f"or pass max_bitmask_rows=None to force")
         return _jaccard_bitmask(ts, id_col, threshold)
     sizes = ts.select("_id", F.size("_toks").alias("_n"))
     inv = ts.select("_id", F.explode("_toks").alias("_tok"))
@@ -419,6 +438,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                    labels.node == neighbor_min.src,
                                    "left")
                        .select(F.col("node"),
+                               F.col("component").alias("_prev"),
                                F.least(F.col("component"),
                                        F.coalesce(F.col("_nmin"),
                                                   F.col("component")))
@@ -431,21 +451,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                   F.col("component").alias("_c2"))
             new_labels = (stepped.join(
                 lab2, stepped.component == lab2._n2, "left")
-                .select(F.col("node"),
+                .select(F.col("node"), F.col("_prev"),
                         F.least(F.col("component"),
                                 F.coalesce(F.col("_c2"),
                                            F.col("component")))
                         .alias("component"))
                 # truncate lineage EVERY round — without this each
                 # iteration replays the whole upstream plan (LSH,
-                # signatures, ...) and the job goes exponential
-                .localCheckpoint())
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "node")
-                       .filter(F.col("n.component") != F.col("o.component"))
-                       .limit(1).count())
-            labels = new_labels
-            if changed == 0:
+                # signatures, ...) and the job goes exponential. Lazy:
+                # the changed-count agg below materializes it, so the
+                # round is ONE job (convergence probe folded in, not a
+                # separate join+count job as before)
+                .localCheckpoint(eager=False))
+            changed = new_labels.agg(
+                F.sum((F.col("component") != F.col("_prev"))
+                      .cast("long"))).first()[0]
+            labels = new_labels.drop("_prev")
+            if not changed:
                 converged = True
                 break
         if not converged:

@@ -687,12 +687,24 @@ def q_ann_ivf(spark, sf_dir):
 # Classification metrics (ml/evaluation.py) — JVM-free threshold curves
 # ---------------------------------------------------------------------------
 
+# one materialized curve serves all five metric queries (roc/pr/auc/
+# confusion/fmeasure) in a session — without this each query rebuilt the
+# grouped-cumsum plan from the parquet scan up
+_METRICS_CACHE: dict = {}
+
+
 def _metrics(spark, sf_dir):
     from .ml.evaluation import BinaryClassificationMetrics
-    df = _t(spark, sf_dir, "embeddings").select(
-        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
-        (F.col("label") >= 5).cast("double").alias("label"))
-    return BinaryClassificationMetrics(df, "score", "label")
+    key = (id(spark), sf_dir)
+    m = _METRICS_CACHE.get(key)
+    if m is None:
+        df = _t(spark, sf_dir, "embeddings").select(
+            F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+            (F.col("label") >= 5).cast("double").alias("label"))
+        m = BinaryClassificationMetrics(df, "score", "label").persist()
+        _METRICS_CACHE.clear()      # one live entry; don't leak old caches
+        _METRICS_CACHE[key] = m
+    return m
 
 
 _METRICS_BASE_SQL = """

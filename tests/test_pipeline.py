@@ -158,6 +158,26 @@ def test_jaccard_bitmask_63_token_guard(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1), (0, 2), (1, 2)}
 
 
+def test_bitmask_guard_refuses_quadratic_above_row_cap(spark):
+    """Explicit bitmask above max_bitmask_rows must raise, not silently
+    run the O(n²) broadcast self-join; auto falls back to inverted."""
+    import pandas as pd
+    from handyspark_spark.pipeline.dedup import ngram_jaccard_pairs
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(50), "text": ["a b c"] * 50}))
+    with pytest.raises(ValueError, match="max_bitmask_rows"):
+        ngram_jaccard_pairs(df, strategy="bitmask",
+                            max_bitmask_rows=10).collect()
+    # auto silently degrades to the linear inverted-index path
+    out = ngram_jaccard_pairs(df, threshold=0.99, strategy="auto",
+                              max_bitmask_rows=10)
+    assert out.count() == 50 * 49 // 2
+    # explicit opt-out still allowed
+    got = ngram_jaccard_pairs(df.limit(3), strategy="bitmask",
+                              max_bitmask_rows=None)
+    assert got.count() == 3
+
+
 def test_blas_blocked_matches_exact_self_join(emb):
     """The blocked distributed BLAS path must emit exactly the same pair
     set + cosines as the expression-based exact self-join, for any block
