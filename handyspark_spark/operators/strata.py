@@ -226,6 +226,30 @@ class StrataColumns(HandyColumns):
     def entropy(self):
         return self._strata_obj._relabel(super().entropy())
 
+    # -- consolidated plot grids (reference plot.py:18-41) ------------------
+    def hist(self, bins: int = 10, grid: bool = False, **kwargs):
+        """Stratified histogram. ``grid=True`` returns the consolidated
+        ``PlotGrid`` (per-stratum panels, shared limits — reference
+        ``consolidate_plots``); default returns the flat stats frame."""
+        if grid:
+            from ..plans.grid import hist_grid
+            return hist_grid(self._strata_obj, self._cols()[0], bins)
+        return super().hist(bins, **kwargs)
+
+    def boxplot(self, k: float = 1.5, grid: bool = False, **kwargs):
+        if grid:
+            from ..plans.grid import boxplot_grid
+            return boxplot_grid(self._strata_obj, self._cols(), k, **kwargs)
+        return super().boxplot(k, **kwargs)
+
+    def scatterplot(self, bins: int = 30, grid: bool = False, **kwargs):
+        if grid:
+            from ..plans.grid import scatterplot_grid
+            cols = self._cols()
+            return scatterplot_grid(self._strata_obj, cols[0], cols[1],
+                                    bins)
+        return super().scatterplot(bins, **kwargs)
+
     def corr(self, method: str = "pearson"):
         """Stratified correlation — one grouped job over all strata (the
         reference looped filtered children, dataframe.py:1926-1929)."""

@@ -101,3 +101,95 @@ def test_strata_accessor_hist_and_boxplot(hdf, pdf):
     b = strat.cols[["l_extendedprice"]].boxplot()
     assert len(b) == pdf["l_returnflag"].nunique()
     assert all("strata" in d for d in b)
+
+
+# -- consolidated plot grids (reference plot.py:18-41 stratified cases) ----
+
+def test_hist_grid_shape_shared_limits_and_counts(hdf, pdf):
+    """stratify(col).cols[x].hist(grid=True): one panel per stratum
+    value, shared xlim spanning global bin edges, shared ylim = max
+    panel count, subtitles from clause strings."""
+    grid = (hdf.stratify(["l_returnflag"])
+            .cols["l_extendedprice"].hist(bins=6, grid=True))
+    nflags = pdf["l_returnflag"].nunique()
+    assert grid.shape == (1, nflags)
+    assert len(grid.panels) == nflags
+    assert {p.col for p in grid.panels} == set(range(nflags))
+    # every panel shares the global binning -> identical panel xlims
+    lo = pdf["l_extendedprice"].min()
+    hi = pdf["l_extendedprice"].max()
+    np.testing.assert_allclose(grid.xlim, (lo, hi))
+    assert grid.ylim[0] == 0.0
+    assert grid.ylim[1] == max(p.stats["count"].max() for p in grid.panels)
+    # per-panel counts == pandas per-stratum histogram on GLOBAL edges
+    edges = np.linspace(lo, hi, 7)
+    for p in grid.panels:
+        flag = p.strata["l_returnflag"]
+        exp, _ = np.histogram(pdf[pdf["l_returnflag"] == flag]
+                              ["l_extendedprice"], bins=edges)
+        npt.assert_array_equal(p.stats["count"].values, exp)
+        assert p.title == f"l_returnflag={flag}"
+        assert p.clause == f'l_returnflag == "{flag}"'
+
+
+def test_hist_grid_two_strata_rows_and_cols(hdf, pdf):
+    """Two strata: first spans columns, second spans rows (reference
+    sql/dataframe.py:188-192)."""
+    grid = (hdf.stratify(["l_returnflag", "l_linestatus"])
+            .cols["l_quantity"].hist(bins=4, grid=True))
+    assert grid.n_cols == pdf["l_returnflag"].nunique()
+    assert grid.n_rows == pdf["l_linestatus"].nunique()
+    seen = {(p.row, p.col) for p in grid.panels}
+    assert len(seen) == len(grid.panels)       # distinct cells
+    for p in grid.panels:
+        assert "\n" in p.title                 # clause newline join
+
+
+def test_boxplot_grid_consolidated_ylim(hdf, pdf):
+    grid = (hdf.stratify(["l_returnflag"])
+            .cols[["l_extendedprice"]].boxplot(grid=True))
+    assert grid.shape == (1, pdf["l_returnflag"].nunique())
+    # shared ylim covers every panel's whisker+flier span
+    for p in grid.panels:
+        assert grid.ylim[0] <= p.ylim[0] and p.ylim[1] <= grid.ylim[1]
+        assert len(p.stats) == 1               # one box per panel
+        assert p.stats[0]["label"] == "l_extendedprice"
+    assert any(p.ylim[1] == grid.ylim[1] for p in grid.panels)
+    # grid medians match the flat (non-grid) stratified stats
+    flat = (hdf.stratify(["l_returnflag"])
+            .cols[["l_extendedprice"]].boxplot())
+    med = {d["strata"]["l_returnflag"]: d["med"] for d in flat}
+    for p in grid.panels:
+        assert p.stats[0]["med"] == med[p.strata["l_returnflag"]]
+
+
+def test_scatterplot_grid_shared_buckets(hdf):
+    grid = (hdf.stratify(["l_returnflag"])
+            .cols[["l_quantity", "l_extendedprice"]]
+            .scatterplot(bins=8, grid=True))
+    assert grid.n_rows == 1
+    for p in grid.panels:
+        assert p.stats["proportion"].sum() == pytest.approx(1.0)
+    assert grid.xlim[0] <= min(p.xlim[0] for p in grid.panels)
+
+
+def test_grid_render_degrades_without_matplotlib(hdf):
+    grid = (hdf.stratify(["l_returnflag"])
+            .cols["l_extendedprice"].hist(bins=3, grid=True))
+    res = grid.render()
+    # matplotlib absent in the container -> the grid itself comes back
+    from handyspark_spark.plans.plot import _plt
+    if _plt() is None:
+        assert res is grid
+    else:
+        assert res[0] is not None
+
+
+def test_bucket_strata_grid_clause_titles(hdf):
+    """Bucket strata panels are titled by bucket clause ranges."""
+    from handyspark_spark.operators.strata import Bucket
+    grid = (hdf.stratify([Bucket("l_quantity", 2)])
+            .cols["l_extendedprice"].hist(bins=3, grid=True))
+    assert grid.shape == (1, 2)
+    for p in grid.panels:
+        assert "l_quantity" in p.clause
