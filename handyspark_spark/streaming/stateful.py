@@ -8,7 +8,9 @@ or CDC reconciler and the plumbing stays identical.
 
 Batch-vs-stream contract: the final state per key must equal the batch
 ``groupBy(key).agg(...)`` over the same data (pinned in
-tests/test_streaming.py)."""
+tests/test_streaming.py). NaN values are excluded from sum/max in BOTH
+paths (pandas skipna vs Spark NaN-propagating sum would otherwise
+drift); a key with zero valid values emits NULL sum/max in both."""
 from __future__ import annotations
 
 from collections.abc import Iterator
@@ -19,19 +21,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = ("user_id long, n_events long, sum_value double, "
                  "max_value double")
-STATE_SCHEMA = "n long, s double, m double"
+STATE_SCHEMA = "n long, nv long, s double, m double"
 
 
 def _update(key, pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
-    (n, s, m) = state.get if state.exists else (0, 0.0, float("-inf"))
+    (n, nv, s, m) = (state.get if state.exists
+                     else (0, 0, 0.0, float("-inf")))
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
-        m = max(m, float(pdf["value"].max()))
-    state.update((n, s, m))
+        v = pd.to_numeric(pdf["value"], errors="coerce").dropna()
+        nv += len(v)
+        if len(v):
+            s += float(v.sum())
+            m = max(m, float(v.max()))
+    state.update((n, nv, s, m))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "sum_value": [s], "max_value": [m]})
+                        "sum_value": [s if nv else None],
+                        "max_value": [m if nv else None]})
 
 
 def running_user_stats(events: DataFrame,
@@ -41,10 +48,12 @@ def running_user_stats(events: DataFrame,
     operator is usable in both modes."""
     if not events.isStreaming:
         from pyspark.sql import functions as F
+        v = F.col("value").cast("double")
+        vclean = F.when(~F.isnan(v), v)   # NaN -> NULL, skipped by agg
         return (events.groupBy(F.col(key_col).cast("long").alias("user_id"))
                 .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-                     F.sum("value").cast("double").alias("sum_value"),
-                     F.max("value").cast("double").alias("max_value")))
+                     F.sum(vclean).cast("double").alias("sum_value"),
+                     F.max(vclean).cast("double").alias("max_value")))
     return (events.groupBy(key_col)
             .applyInPandasWithState(_update, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "update",

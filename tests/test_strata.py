@@ -165,6 +165,30 @@ def test_mahalanobis_outliers(hdf, pdf):
     assert d == sorted(d, reverse=True)
 
 
+def test_mahalanobis_distances_k5_vs_numpy(hdf, pdf):
+    """Per-row distance differential at k=5 (the oracle query pins only
+    the 2-D closed form): Spark native-expression d must match the numpy
+    z^T S^-1 z pipeline to float tolerance, row by row."""
+    import numpy as np
+    import numpy.testing as npt
+
+    from handyspark_spark.operators.outliers import mahalanobis_distance_col
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_partkey"]
+    got = (hdf._df.select(
+               F.col("l_orderkey"), F.col("l_linenumber"),
+               F.sqrt(mahalanobis_distance_col(hdf._df, cols)).alias("d"))
+           .toPandas()
+           .sort_values(["l_orderkey", "l_linenumber"])
+           .reset_index(drop=True))
+    p = pdf.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    X = p[cols].to_numpy(dtype=float)
+    Z = (X - X.mean(0)) / X.std(0, ddof=1)
+    inv = np.linalg.inv(np.corrcoef(Z, rowvar=False))
+    exp = np.sqrt(np.einsum("ij,jk,ik->i", Z, inv, Z))
+    npt.assert_allclose(got["d"].to_numpy(), exp, rtol=1e-6, atol=1e-8)
+
+
 def test_strata_take_per_group(hdf):
     out = hdf.stratify(["l_returnflag"]).take(3)
     counts = (out._df.groupBy("l_returnflag").count().collect())

@@ -116,6 +116,60 @@ def test_media_decode_stub_raises(tables):
         media_features(media, fake=False).collect()
 
 
+def test_media_decode_output_contract(tables):
+    """Pin the decode-layer contracts so a real-codec environment can
+    swap the stub without API change: _decode returns a float32 pixel
+    block; media_features' Spark schema is exact; byte_len matches the
+    payload; resize updates only width/height in meta."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from handyspark_spark.pipeline.multimodal import (MEDIA_SCHEMA, _decode,
+                                                      attach_fake_media,
+                                                      media_features,
+                                                      resize_images)
+    # decoder contract: 2-D float32 array, deterministic, empty-safe
+    px = _decode(b"payload", None, fake=True)
+    assert px.dtype == np.float32 and px.ndim == 2 and px.shape == (8, 8)
+    npt.assert_array_equal(px, _decode(b"payload", None, fake=True))
+    assert _decode(b"", None, fake=True).shape == (8, 8)
+    assert _decode(None, None, fake=True).shape == (8, 8)
+    with pytest.raises(NotImplementedError):
+        _decode(b"payload", None, fake=False)
+
+    def shape(schema):   # nullability is construction detail, not contract
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+    media = attach_fake_media(tables["documents"].limit(50), "doc_id",
+                              "text")
+    assert shape(media.schema) == shape(MEDIA_SCHEMA)
+    feats = media_features(media, n_features=4)
+    assert shape(feats.schema) == shape(T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]))
+    out = feats.toPandas().set_index("media_id")
+    docs = (tables["documents"].limit(50)
+            .select("doc_id", F.octet_length(F.col("text")).alias("bl"))
+            .toPandas().set_index("doc_id"))
+    npt.assert_array_equal(out["byte_len"].sort_index().values,
+                           docs["bl"].sort_index().values)
+
+    # resize: meta width/height change, everything else preserved
+    resized = resize_images(media, 64, 48)
+    assert shape(resized.schema) == shape(MEDIA_SCHEMA)
+    r = resized.select("meta.*", "data").limit(1).collect()[0]
+    o = media.select("meta.*", "data").limit(1).collect()[0]
+    assert (r["width"], r["height"]) == (64, 48)
+    assert (r["kind"], r["format"], r["n_frames"], r["sample_rate"]) == \
+           (o["kind"], o["format"], o["n_frames"], o["sample_rate"])
+    assert bytes(r["data"]) == bytes(o["data"])
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 64, 48, fake=False)
+
+
 def test_frame_sampling(tables):
     from handyspark_spark.pipeline.multimodal import (attach_fake_media,
                                                       sample_frames)
@@ -169,7 +223,12 @@ def test_stateful_streaming_matches_batch(tables, spark, tmp_path):
     from handyspark_spark.streaming.stateful import running_user_stats
     src_dir = str(tmp_path / "ev")
     os.makedirs(src_dir)
-    sample = tables["events"].limit(3000)
+    # inject NaN values: both paths must EXCLUDE them from sum/max
+    sample = (tables["events"].limit(3000)
+              .withColumn("value",
+                          F.when(F.col("event_id") % 7 == 0,
+                                 F.lit(float("nan")))
+                          .otherwise(F.col("value").cast("double"))))
     sample.write.mode("overwrite").parquet(src_dir)
     stream = (spark.readStream.schema(tables["events"].schema)
               .option("maxFilesPerTrigger", 2).parquet(src_dir))
