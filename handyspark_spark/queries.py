@@ -1327,6 +1327,110 @@ def q_tpch_q3(spark, sf_dir):
              .orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10))
 
 
+@query("tpch_q5", """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""")
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier revenue — six-table join. The tiny dims
+    (region -> nation -> supplier) collapse via broadcast joins into a
+    small filtered supplier side; the two fact joins
+    (orders x customer, lineitem x suppliers) stay shuffle joins keyed
+    on their natural keys, which is the plan that survives 100x: no
+    fact table is ever broadcast, and the nation/region pruning reaches
+    the supplier scan before any shuffle."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")) &
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    l = _t(spark, sf_dir, "lineitem")
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(s, (l.l_suppkey == s.s_suppkey) &
+                   (c.c_nationkey == s.s_nationkey)))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.groupBy("n_name")
+             .agg(F.round(F.sum(rev), 2).alias("revenue")))
+
+
+@query("ks_exponential", """
+WITH v AS (
+  SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem
+  WHERE l_quantity IS NOT NULL GROUP BY l_quantity
+), mm AS (SELECT COUNT(l_quantity) n FROM lineitem),
+e AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM v)
+SELECT ROUND(MAX(GREATEST(
+         ABS(cum * 1.0 / n - (1 - EXP(-GREATEST(v, 0) / 25.0))),
+         ABS((cum - c) * 1.0 / n - (1 - EXP(-GREATEST(v, 0) / 25.0)))
+       )), 6) AS ks_stat
+FROM e, mm
+""")
+def q_ks_exponential(spark, sf_dir):
+    """KS against a NAMED distribution (exponential, commons-math mean
+    convention — ref stats.py:41-64): exercises the pure-python CDF
+    library through the distributed ECDF plan."""
+    from .operators.stats import ks_test
+    df = _t(spark, sf_dir, "lineitem")
+    res = ks_test(df, "l_quantity", dist="exponential", params=(25.0,))
+    return spark.createDataFrame([(round(res["statistic"], 6),)],
+                                 "ks_stat double")
+
+
+@query("simhash_pairs", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+  FROM toks
+), bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << j)
+                  ELSE 0::HUGEINT END) AS f
+  FROM bits GROUP BY doc_id
+), s AS (
+  SELECT doc_id,
+         CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+                   THEN f - 18446744073709551616::HUGEINT
+                   ELSE f END AS BIGINT) AS simhash
+  FROM fp
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3) via the (k+1)-block
+    permutation join — the oracle's exact all-pairs scan verifies the
+    blocked plan finds EVERY qualifying pair, pinning the recall-1.0
+    guarantee of the block trick."""
+    from .pipeline.dedup import simhash_neardup_pairs
+    df = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(df, max_hamming=3) \
+        .withColumn("hamming", F.col("hamming").cast("int"))
+
+
 @query("upsert_latest", """
 WITH u AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
