@@ -341,15 +341,15 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
     fps = simhash_fingerprints(df, text_col, id_col)
-    blocks = []
-    for i in range(n_blocks):
-        blocks.append(fps.select(
-            id_col, "simhash", F.lit(i).alias("block"),
-            F.shiftrightunsigned(F.col("simhash"), i * width)
-             .bitwiseAND(F.lit((1 << width) - 1)).alias("block_val")))
-    cand = blocks[0]
-    for b in blocks[1:]:
-        cand = cand.unionByName(b)
+    # one posexplode over an array of block slices — the simhash UDF is
+    # evaluated ONCE per row per join side (a union of per-block selects
+    # would re-run the Arrow UDF in every branch: (k+1)x the python cost)
+    block_vals = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), i * width)
+         .bitwiseAND(F.lit((1 << width) - 1)) for i in range(n_blocks)])
+    cand = fps.select(
+        id_col, "simhash",
+        F.posexplode(block_vals).alias("block", "block_val"))
     a, b = cand.alias("a"), cand.alias("b")
     pairs = (a.join(b, (F.col("a.block") == F.col("b.block")) &
                        (F.col("a.block_val") == F.col("b.block_val")) &
@@ -388,6 +388,48 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                      F.col("b._id").alias("id_b"),
                      F.round(cos, 6).alias("cosine"))
              .filter(F.col("cosine") >= threshold))
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None,
+                  method: str = "fingerprint") -> DataFrame:
+    """Remove training documents that collide with a benchmark/eval set
+    (test-set decontamination). ``method``:
+
+    - ``'exact'``: md5 of the raw text;
+    - ``'fingerprint'``: sorted-distinct-token-set fingerprint (robust to
+      token order / duplicated whitespace tokens);
+    - ``'ngram'``: ANY shared 13-token shingle (the common n-gram
+      decontamination rule) — fan-out |doc| shingles per side, one
+      equality anti-join on the shingle hash.
+
+    Plan shape: build the benchmark key set (typically tiny — eval sets
+    are thousands of rows, so Spark/AQE broadcasts it), then ONE
+    ``left_anti`` join. No pair enumeration, no driver collect; at 100 TB
+    the cost is the corpus scan plus a broadcast-hash anti-join."""
+    from .text import fingerprint, rolling_hashes
+    bcol = bench_text_col or text_col
+    if method == "exact":
+        keyed = df.withColumn("_k", F.md5(F.col(text_col)))
+        bkeys = benchmark.select(F.md5(F.col(bcol)).alias("_k")).distinct()
+        return keyed.join(F.broadcast(bkeys), "_k", "left_anti").drop("_k")
+    if method == "fingerprint":
+        keyed = df.withColumn("_k", fingerprint(text_col))
+        bkeys = (benchmark.select(fingerprint(bcol).alias("_k"))
+                 .distinct())
+        return keyed.join(F.broadcast(bkeys), "_k", "left_anti").drop("_k")
+    if method == "ngram":
+        k = 13
+        keyed = df.withColumn("_ks", rolling_hashes(text_col, k))
+        bkeys = (benchmark
+                 .select(F.explode(rolling_hashes(bcol, k)).alias("_k"))
+                 .distinct())
+        hit = (keyed.select(id_col, F.explode("_ks").alias("_k"))
+               .join(F.broadcast(bkeys), "_k", "left_semi")
+               .select(id_col).distinct())
+        return df.join(hit, id_col, "left_anti")
+    raise ValueError(f"unknown method {method!r}")
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

@@ -108,6 +108,41 @@ def lang_id(col, profiles: dict[str, list[str]] | None = None) -> Column:
     return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
 
 
+def repetition_ratio(col, k: int = 3) -> Column:
+    """Gopher-style duplicate k-gram fraction: 1 − |distinct k-grams| /
+    |k-grams| over whitespace tokens. High values flag boilerplate /
+    degenerate repetition. Pure array expression (transform over a
+    sequence — no explode, no shuffle); docs shorter than ``k`` tokens
+    score 0."""
+    toks = tokens(col)
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+           .otherwise(F.array().cast("array<int>"))
+    kg = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.when(
+        F.size(kg) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(kg)).cast("double")
+        / F.size(kg)).otherwise(F.lit(0.0))
+
+
+# Regex patterns shared verbatim by the Spark expression and the DuckDB
+# oracle — kept to the dialect-neutral subset (no lookarounds, no \b).
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^ ]+",
+    "n_long_digits": r"[0-9]{9,}",     # phone/SSN/account-number-ish
+}
+
+
+def pii_counts(col) -> list[Column]:
+    """Per-document counts of PII-shaped substrings (emails, URLs, long
+    digit runs) — the redaction/filter signal a training pipeline gates
+    on. One ``regexp_extract_all`` projection per pattern, map-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0)))
+            .cast("int").alias(name) for name, p in PII_PATTERNS.items()]
+
+
 def fingerprint(col) -> Column:
     """Canonical document fingerprint: md5 of the sorted distinct lowercase
     token set (the classic 'fingerprint clustering' key). A pure projection;

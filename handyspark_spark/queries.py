@@ -430,6 +430,66 @@ def q_text_stats(spark, sf_dir):
         TX.fingerprint("text").alias("fingerprint"))
 
 
+@query("repetition_score", """
+SELECT doc_id,
+       ROUND(CASE WHEN len(kg) > 0
+             THEN 1 - len(list_distinct(kg)) * 1.0 / len(kg)
+             ELSE 0.0 END, 6) AS rep3
+FROM (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(l) - 2, 0) + 1),
+                        i -> array_to_string(l[i:i+2], ' ')) AS kg
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+)
+""")
+def q_repetition_score(spark, sf_dir):
+    """Duplicate-3-gram fraction (Gopher-style repetition quality
+    signal) — pure array expression, map-only."""
+    from .pipeline import text as TX
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.round(TX.repetition_ratio("text", k=3), 6).alias("rep3"))
+
+
+@query("pii_flags", """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS INT)
+    AS n_long_digits
+FROM documents
+""")
+def q_pii_flags(spark, sf_dir):
+    """PII-shaped substring counts (emails / URLs / long digit runs) —
+    the gating signal for redaction or drop-filters. Identical regexes
+    run in both engines (dialect-neutral subset)."""
+    from .pipeline.text import pii_counts
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", *pii_counts("text"))
+
+
+@query("decontaminate", """
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+           string_split(LOWER(text), ' '))), ' ')) AS k
+  FROM documents
+), bench AS (SELECT DISTINCT k FROM fp WHERE doc_id % 17 = 0)
+SELECT doc_id FROM fp
+WHERE k NOT IN (SELECT k FROM bench)
+""")
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: drop training docs whose token-set
+    fingerprint appears in the (broadcast) benchmark set — one left_anti
+    join, no pair enumeration."""
+    from .pipeline.dedup import decontaminate
+    df = _t(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(df, bench).select("doc_id")
+
+
 @query("lang_id", """
 WITH s AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -361,3 +361,61 @@ def test_components_raise_on_nonconvergence(spark):
         [(i, i + 1) for i in range(30)], "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iterations=1)
+
+
+def test_decontaminate_methods(spark, docs):
+    """All three collision keys remove the benchmark docs themselves and
+    anything sharing the key; ngram is the strictest (13-token shingle)."""
+    from handyspark_spark.pipeline.dedup import decontaminate
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    n_docs = docs.count()
+    for method in ("exact", "fingerprint", "ngram"):
+        out = decontaminate(docs, bench, method=method)
+        kept = {r.doc_id for r in out.select("doc_id").collect()}
+        # every benchmark doc collides with itself -> always removed
+        assert not any(i % 17 == 0 for i in kept)
+        assert len(kept) < n_docs
+        assert out.columns == docs.columns  # passthrough schema
+    with pytest.raises(ValueError):
+        decontaminate(docs, bench, method="nope")
+
+
+def test_decontaminate_ngram_catches_partial_overlap(spark):
+    """A training doc embedding a verbatim 13-token benchmark span is
+    caught by ngram (but survives exact/fingerprint)."""
+    from handyspark_spark.pipeline.dedup import decontaminate
+    span = " ".join(f"w{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [(1, "prefix " + span + " suffix"), (2, "totally different text")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(99, span)], "doc_id long, text string")
+    for method, expect in [("exact", {1, 2}), ("ngram", {2})]:
+        kept = {r.doc_id for r in
+                decontaminate(train, bench, method=method).collect()}
+        assert kept == expect, method
+
+
+def test_repetition_ratio_edges(spark):
+    from handyspark_spark.pipeline.text import repetition_ratio
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c"),       # 5 trigrams, 3 distinct -> 0.4
+         (2, "x y"),                 # shorter than k -> 0.0
+         (3, "u v w"),               # exactly one trigram -> 0.0
+         (4, "r r r r r r")],        # 4 identical trigrams -> 0.75
+        "doc_id long, text string")
+    got = {r.doc_id: r.rep for r in
+           df.select("doc_id",
+                     F.round(repetition_ratio("text", 3), 6).alias("rep"))
+           .collect()}
+    assert got == {1: 0.4, 2: 0.0, 3: 0.0, 4: 0.75}
+
+
+def test_pii_counts(spark):
+    from handyspark_spark.pipeline.text import pii_counts
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d@e.org plus https://x.y/z id 123456789"),
+         (2, "clean text only")],
+        "doc_id long, text string")
+    rows = {r.doc_id: (r.n_emails, r.n_urls, r.n_long_digits)
+            for r in df.select("doc_id", *pii_counts("text")).collect()}
+    assert rows == {1: (2, 1, 1), 2: (0, 0, 0)}
