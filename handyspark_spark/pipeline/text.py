@@ -162,6 +162,28 @@ def rolling_hashes(col, k: int = 5) -> Column:
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))))
 
 
+def token_df_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document frequency per distinct token: ONE explode over per-doc
+    distinct tokens + ONE groupBy — the vocabulary-statistics job that
+    feeds stop-token lists (e.g. the ``max_token_df`` guard on
+    ``ngram_jaccard_pairs``) and df-based quality filters. Shuffled bytes
+    are |vocabulary|, not |corpus|, thanks to map-side partial counts."""
+    return (df.select(F.explode(F.array_distinct(tokens(text_col)))
+                      .alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+
+
+def stop_tokens(df: DataFrame, text_col: str = "text",
+                max_df_frac: float = 0.5) -> DataFrame:
+    """Tokens appearing in more than ``max_df_frac`` of documents — the
+    corpus-derived stop list. Total count via a 1-row broadcast."""
+    counts = token_df_counts(df, text_col)
+    total = df.select(F.count(F.lit(1)).alias("_n"))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("df") > F.col("_n") * max_df_frac)
+            .select("tok", "df"))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text stats in one map-only projection."""
     return df.select(

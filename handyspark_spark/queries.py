@@ -490,6 +490,23 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(df, bench).select("doc_id")
 
 
+@query("token_df", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+)
+SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+ORDER BY df DESC, tok LIMIT 50
+""")
+def q_token_df(spark, sf_dir):
+    """Vocabulary document-frequency stats (stop-token discovery for the
+    dedup guards) — top 50 by df."""
+    from .pipeline.text import token_df_counts
+    df = _t(spark, sf_dir, "documents")
+    return (token_df_counts(df)
+            .orderBy(F.desc("df"), F.asc("tok")).limit(50))
+
+
 @query("lang_id", """
 WITH s AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -419,3 +419,15 @@ def test_pii_counts(spark):
     rows = {r.doc_id: (r.n_emails, r.n_urls, r.n_long_digits)
             for r in df.select("doc_id", *pii_counts("text")).collect()}
     assert rows == {1: (2, 1, 1), 2: (0, 0, 0)}
+
+
+def test_token_df_and_stop_tokens(spark):
+    from handyspark_spark.pipeline.text import stop_tokens, token_df_counts
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran"), (3, "the the end")],
+        "doc_id long, text string")
+    dfc = {r.tok: r.df for r in token_df_counts(df).collect()}
+    assert dfc["the"] == 3          # per-doc DISTINCT: doc 3 counts once
+    assert dfc["cat"] == 1
+    stops = {r.tok for r in stop_tokens(df, max_df_frac=0.5).collect()}
+    assert stops == {"the"}
