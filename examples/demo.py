@@ -100,6 +100,22 @@ def main():
           .count().collect())
     print("ann:", brute_force_topk(
         emb, emb.filter("vec_id < 2"), k=3).collect())
+    from handyspark_spark.pipeline.dedup import decontaminate
+    from handyspark_spark.pipeline.text import (repetition_ratio,
+                                                stop_tokens)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    print("decontaminated:", decontaminate(docs, bench).count(),
+          "of", docs.count())
+    print("high repetition docs:",
+          docs.filter(repetition_ratio("text") > 0.5).count())
+    print("corpus stop tokens:",
+          [r.tok for r in stop_tokens(docs, max_df_frac=0.5).collect()][:8])
+
+    print("\n== Stratified plot grid (shared limits, no render) ==")
+    grid = (hdf.stratify(["l_returnflag"])
+            .cols["l_extendedprice"].hist(bins=5, grid=True))
+    print("grid shape:", grid.shape, "xlim:", grid.xlim,
+          "panels:", [p.title for p in grid.panels])
 
     print("\n== Event-time windows ==")
     from handyspark_spark.streaming.windows import session_counts, tumbling

@@ -118,11 +118,16 @@ def repetition_ratio(col, k: int = 3) -> Column:
     m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
            .otherwise(F.array().cast("array<int>"))
-    kg = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    # k-grams as raw token slices (tokens are space-split so slice
+    # identity == joined-string identity, minus the concat allocations);
+    # total k-gram count comes from the token count, so the expensive
+    # transform is evaluated exactly ONCE (inside array_distinct) —
+    # referencing it in the denominator too would triple-evaluate it
+    kg = F.transform(idx, lambda i: F.slice(toks, i, k))
     return F.when(
-        F.size(kg) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(kg)).cast("double")
-        / F.size(kg)).otherwise(F.lit(0.0))
+        m > 0,
+        F.lit(1.0) - F.size(F.array_distinct(kg)).cast("double") / m
+    ).otherwise(F.lit(0.0))
 
 
 # Regex patterns shared verbatim by the Spark expression and the DuckDB
