@@ -1508,6 +1508,85 @@ def q_simhash_pairs(spark, sf_dir):
         .withColumn("hamming", F.col("hamming").cast("int"))
 
 
+@query("pivot_priority", """
+SELECT o_orderstatus,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         AS urgent,
+       SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+         AS high,
+       SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+         AS medium,
+       SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+         AS notspec,
+       SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+FROM orders GROUP BY o_orderstatus
+""")
+def q_pivot_priority(spark, sf_dir):
+    """Native pivot (explicit value list -> deterministic columns, ONE
+    grouped job — Spark's two-phase pivot agg; without the value list it
+    needs an extra distinct pass)."""
+    df = _t(spark, sf_dir, "orders")
+    out = (df.groupBy("o_orderstatus")
+           .pivot("o_orderpriority",
+                  ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                   "5-LOW"])
+           .agg(F.coalesce(F.count(F.lit(1)), F.lit(0))))
+    names = ["urgent", "high", "medium", "notspec", "low"]
+    cols = [F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(n)
+            for v, n in zip(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                             "4-NOT SPECIFIED", "5-LOW"], names)]
+    return out.select("o_orderstatus", *cols)
+
+
+@query("rank_suite", """
+SELECT o_orderkey,
+       CAST(NTILE(4) OVER w AS INT)        AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6)     AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6)        AS cume,
+       CAST(DENSE_RANK() OVER w AS INT)    AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey)
+""")
+def q_rank_suite(spark, sf_dir):
+    """Keyed ranking family (ntile/percent_rank/cume_dist/dense_rank) —
+    partitioned windows, shuffle on the status key only."""
+    from pyspark.sql import Window
+    df = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy("o_totalprice", "o_orderkey"))
+    return df.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("int").alias("drank"))
+
+
+@query("set_ops", """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+""")
+def q_set_ops(spark, sf_dir):
+    """Set difference (customers active in 1997 but churned in 1998) —
+    EXCEPT compiles to a left-anti hash join on the full row."""
+    df = _t(spark, sf_dir, "orders")
+
+    def year(y):
+        return df.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y+1}-01-01")
+               .cast("timestamp"))).select("o_custkey")
+    # subtract == EXCEPT (distinct): a key present in BOTH years must
+    # vanish entirely (exceptAll would keep multiplicity leftovers)
+    return year(1997).subtract(year(1998))
+
+
 @query("upsert_latest", """
 WITH u AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
