@@ -201,3 +201,24 @@ def test_upsert_updates_win(spark):
     out = {r.k: r.s for r in
            upsert(base, updates, keys=["k"], order_by=["v"]).collect()}
     assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_tpch_q5_dims_broadcast_facts_not(tables, spark):
+    """Q5 plan contract with size-based broadcasting DISABLED (so only
+    the explicit dim hints remain — the 100 TB posture where no fact fits
+    a broadcast): region/nation still broadcast via hints, the fact
+    joins fall back to shuffle joins, and no nested-loop join appears."""
+    import os
+
+    from handyspark_spark.queries import QUERIES
+    sf_dir = os.environ.get("HS_TEST_SF", "/root/testdata/sf0.001")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(QUERIES["tpch_q5"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "BroadcastHashJoin" in plan          # hinted dim chain
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # facts
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
