@@ -202,6 +202,80 @@ def ks_test(df: DataFrame, colname: str, dist: str = "normal",
             "reject_at_05": d > crit}
 
 
+def _kolmogorov_sf(lam: float, terms: int = 100) -> float:
+    """P(K > lam) for the Kolmogorov distribution (asymptotic two-sample
+    p-value), via the alternating series 2*sum (-1)^(k-1) exp(-2k^2 lam^2)."""
+    if lam <= 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, terms + 1):
+        term = 2.0 * (-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        s += term
+        if abs(term) < 1e-16:
+            break
+    return min(1.0, max(0.0, s))
+
+
+def ks_2samp(df: DataFrame, colname: str, group_col: str,
+             group_a, group_b) -> dict:
+    """Two-sample KS: D = sup_x |ECDF_a(x) − ECDF_b(x)|. Both ECDFs are
+    step functions jumping only at sample points, so evaluating at every
+    distinct value is exact (no left-limit term needed, unlike the
+    one-sample case). One grouped agg + one distributed cumulative pass
+    (``ranged_cumsum``) shared by BOTH groups; 3 scalars to the driver.
+
+    Returns {statistic, n_a, n_b, p_value, reject_at_05} with the
+    asymptotic Kolmogorov p-value."""
+    g = F.col(group_col)
+    counts = (df.filter(g.isin([group_a, group_b]))
+              .select(F.col(colname).cast("double").alias("v"),
+                      (g == F.lit(group_a)).cast("long").alias("_a"),
+                      (g == F.lit(group_b)).cast("long").alias("_b"))
+              .dropna(subset=["v"])
+              .groupBy("v").agg(F.sum("_a").alias("ca"),
+                                F.sum("_b").alias("cb")))
+    cum, ptot = ranged_cumsum(counts, ["v"], ["ca", "cb"])
+    tot = ptot.agg(F.sum("_tot_ca").alias("na"),
+                   F.sum("_tot_cb").alias("nb"))
+    gap = F.abs(F.col("_cum_ca") / F.col("na")
+                - F.col("_cum_cb") / F.col("nb"))
+    row = (cum.crossJoin(F.broadcast(tot))
+           .agg(F.max(gap).alias("d"), F.max("na").alias("na"),
+                F.max("nb").alias("nb")).collect()[0])
+    d = float(row["d"] or 0.0)
+    na, nb = int(row["na"] or 0), int(row["nb"] or 0)
+    lam = d * math.sqrt(na * nb / (na + nb)) if na and nb else 0.0
+    p = _kolmogorov_sf(lam)
+    return {"statistic": d, "n_a": na, "n_b": nb, "p_value": p,
+            "reject_at_05": p < 0.05}
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> dict:
+    """Pearson chi-square test of independence over the contingency table
+    of two categorical columns. ONE grouped agg ships the |A|×|B| cell
+    counts to the driver (bounded by category cardinalities, like the
+    confusion matrix); expected counts, the statistic and the p-value
+    (regularized incomplete gamma) are computed in pure python. Empty
+    cells of the cross product contribute their expected count, per the
+    standard definition."""
+    obs = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+           .agg(F.count(F.lit(1)).alias("n")).toPandas())
+    tab = (obs.pivot(index="a", columns="b", values="n")
+           .fillna(0.0).astype(float))
+    row_tot = tab.sum(axis=1)
+    col_tot = tab.sum(axis=0)
+    total = float(tab.values.sum())
+    stat = 0.0
+    for a in tab.index:
+        for b in tab.columns:
+            e = row_tot[a] * col_tot[b] / total
+            stat += (tab.loc[a, b] - e) ** 2 / e
+    dof = (len(tab.index) - 1) * (len(tab.columns) - 1)
+    p = 1.0 - gammainc_lower(dof / 2.0, stat / 2.0) if dof else 1.0
+    return {"statistic": float(stat), "dof": int(dof), "p_value": p,
+            "reject_at_05": p < 0.05}
+
+
 # reference-facing aliases (handyspark.stats drop-in names)
 tTest = ttest
 KolmogorovSmirnovTest = ks_test

@@ -917,6 +917,53 @@ def q_ks_uniform(spark, sf_dir):
                                  "ks_stat double")
 
 
+@query("ks_two_sample", """
+WITH v AS (
+  SELECT value AS v,
+         SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE value IS NOT NULL GROUP BY value
+), t AS (SELECT SUM(ca) na, SUM(cb) nb FROM v),
+e AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b FROM v)
+SELECT ROUND(MAX(ABS(cum_a * 1.0 / na - cum_b * 1.0 / nb)), 6) AS ks2
+FROM e, t
+""")
+def q_ks_two_sample(spark, sf_dir):
+    """Two-sample KS between even/odd user cohorts — distributed shared
+    ECDF pass (operators/stats.ks_2samp)."""
+    from .operators.stats import ks_2samp
+    df = _t(spark, sf_dir, "events").withColumn(
+        "_coh", (F.col("user_id") % 2 == 0))
+    res = ks_2samp(df, "value", "_coh", True, False)
+    return spark.createDataFrame([(round(res["statistic"], 6),)],
+                                 "ks2 double")
+
+
+@query("chi2_independence", """
+WITH o AS (
+  SELECT o_orderstatus a, o_orderpriority b, COUNT(*) * 1.0 AS n
+  FROM orders GROUP BY 1, 2
+), r AS (SELECT a, SUM(n) rn FROM o GROUP BY a),
+c AS (SELECT b, SUM(n) cn FROM o GROUP BY b),
+t AS (SELECT SUM(n) tn FROM o)
+SELECT ROUND(SUM(POW(COALESCE(o.n, 0) - r.rn * c.cn / t.tn, 2)
+                 / (r.rn * c.cn / t.tn)), 4) AS chi2,
+       CAST((COUNT(DISTINCT r.a) - 1) * (COUNT(DISTINCT c.b) - 1)
+            AS BIGINT) AS dof
+FROM r CROSS JOIN c
+LEFT JOIN o ON o.a = r.a AND o.b = c.b, t
+""")
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square independence of order status × priority (full cross
+    product incl. empty cells)."""
+    from .operators.stats import chi2_independence
+    df = _t(spark, sf_dir, "orders")
+    res = chi2_independence(df, "o_orderstatus", "o_orderpriority")
+    return spark.createDataFrame(
+        [(round(res["statistic"], 4), res["dof"])], "chi2 double, dof long")
+
+
 # ---------------------------------------------------------------------------
 # Ordered-window surface (functions/window.py) — reference-blacklist upgrade
 # ---------------------------------------------------------------------------

@@ -130,3 +130,53 @@ def test_ks_statistic_vs_numpy(tables, pdf_tables):
             np.abs(np.arange(0, n) / n - cdf).max())
     res = ks_test(tables["events"], "value", dist="uniform")
     npt.assert_almost_equal(res["statistic"], d, decimal=9)
+
+
+def test_ks_2samp_same_vs_shifted(spark):
+    """Same-distribution cohorts accept; a shifted cohort rejects.
+    p-value pinned against the asymptotic Kolmogorov series."""
+    import numpy as np
+
+    from handyspark_spark.operators.stats import _kolmogorov_sf, ks_2samp
+    rng = np.random.RandomState(7)
+    a = rng.normal(0, 1, 4000)
+    b_same = rng.normal(0, 1, 4000)
+    b_shift = rng.normal(0.6, 1, 4000)
+    rows = ([(float(v), "a") for v in a]
+            + [(float(v), "same") for v in b_same]
+            + [(float(v), "shift") for v in b_shift])
+    df = spark.createDataFrame(rows, "v double, g string")
+    same = ks_2samp(df, "v", "g", "a", "same")
+    assert not same["reject_at_05"]
+    shift = ks_2samp(df, "v", "g", "a", "shift")
+    assert shift["reject_at_05"] and shift["statistic"] > 0.2
+    # D differential vs numpy two-ECDF evaluation on the pooled grid
+    grid = np.sort(np.concatenate([a, b_shift]))
+    d_np = np.max(np.abs(np.searchsorted(np.sort(a), grid, "right") / 4000
+                  - np.searchsorted(np.sort(b_shift), grid, "right") / 4000))
+    assert abs(shift["statistic"] - d_np) < 1e-9
+    lam = shift["statistic"] * np.sqrt(4000 * 4000 / 8000)
+    assert abs(shift["p_value"] - _kolmogorov_sf(lam)) < 1e-12
+
+
+def test_chi2_independence_detects_dependence(spark):
+    import numpy as np
+
+    from handyspark_spark.operators.stats import chi2_independence
+    rng = np.random.RandomState(3)
+    # independent columns -> accept
+    rows = [(int(rng.randint(3)), int(rng.randint(4))) for _ in range(5000)]
+    ind = chi2_independence(
+        spark.createDataFrame(rows, "a int, b int"), "a", "b")
+    assert ind["dof"] == 6 and not ind["reject_at_05"]
+    # deterministic dependence -> reject with huge statistic
+    dep_rows = [(i % 3, (i % 3) + 1) for i in range(900)]
+    dep = chi2_independence(
+        spark.createDataFrame(dep_rows, "a int, b int"), "a", "b")
+    assert dep["reject_at_05"] and dep["statistic"] > 1000
+    # differential vs the closed-form expected-count computation
+    obs = np.zeros((3, 4))
+    for a, b in rows:
+        obs[a, b] += 1
+    e = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    assert abs(ind["statistic"] - ((obs - e) ** 2 / e).sum()) < 1e-9
