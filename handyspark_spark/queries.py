@@ -1555,6 +1555,37 @@ def q_simhash_pairs(spark, sf_dir):
         .withColumn("hamming", F.col("hamming").cast("int"))
 
 
+@query("range_join", """
+WITH iv AS (
+  SELECT o_orderkey AS iv_key, o_orderdate AS lo,
+         o_orderdate + INTERVAL 7 DAY AS hi
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT iv_key, COUNT(*) AS n_in_window,
+       MIN(o_orderkey) AS first_order
+FROM orders JOIN iv
+  ON o_orderdate >= lo AND o_orderdate <= hi
+GROUP BY iv_key
+""")
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join via bucketized equi-join (NO
+    nested-loop): orders falling inside 7-day windows anchored at a 1/97
+    sample of orders. Bucket width = the interval length."""
+    from .operators.rangejoin import range_join
+    o = _t(spark, sf_dir, "orders")
+    iv = (o.filter(F.col("o_orderkey") % 97 == 0)
+          .select(F.col("o_orderkey").alias("iv_key"),
+                  F.col("o_orderdate").alias("lo"),
+                  (F.col("o_orderdate")
+                   + F.expr("INTERVAL 7 DAYS")).alias("hi")))
+    j = range_join(o.select("o_orderkey", "o_orderdate"), iv,
+                   point="o_orderdate", lo="lo", hi="hi",
+                   bucket=7 * 86400.0)
+    return (j.groupBy("iv_key")
+            .agg(F.count(F.lit(1)).alias("n_in_window"),
+                 F.min("o_orderkey").alias("first_order")))
+
+
 @query("pivot_priority", """
 SELECT o_orderstatus,
        SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)

@@ -362,3 +362,50 @@ def test_rolling_time_skips_nan(spark):
     out = [r.m for r in h.assign(m=s.rolling_mean_time(3600))
            .orderBy("ts").collect()]
     assert out == [0.0, 0.0, 10.0]   # NaN skipped, like pandas
+
+
+def test_range_join_matches_naive_and_no_nested_loop(tables, spark):
+    """Bucketized range join == naive inequality join result, WITHOUT
+    the BroadcastNestedLoopJoin the naive form compiles to."""
+    from handyspark_spark.core.util import explain_str
+    from handyspark_spark.operators.rangejoin import range_join
+    o = tables["orders"].select("o_orderkey", "o_orderdate").limit(3000)
+    iv = (o.filter(F.col("o_orderkey") % 11 == 0)
+          .select(F.col("o_orderkey").alias("iv_key"),
+                  F.col("o_orderdate").alias("lo"),
+                  (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"))
+                  .alias("hi")))
+    got = range_join(o, iv, "o_orderdate", "lo", "hi", bucket=2 * 86400.0)
+    naive = o.join(iv, (F.col("o_orderdate") >= F.col("lo")) &
+                       (F.col("o_orderdate") <= F.col("hi")))
+    key = lambda r: (r.o_orderkey, r.iv_key)
+    assert sorted(map(key, got.collect())) == \
+           sorted(map(key, naive.collect()))
+    plan = explain_str(got)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in explain_str(naive)  # the foil
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from handyspark_spark.operators.rangejoin import range_join
+    pts = spark.createDataFrame([(1, 5.0), (2, 50.0)], "id long, p double")
+    iv = spark.createDataFrame([(10, 0.0, 10.0)],
+                               "iv long, lo double, hi double")
+    out = range_join(pts, iv, "p", "lo", "hi", bucket=5.0, how="left")
+    rows = {r.id: r.iv for r in out.collect()}
+    assert rows == {1: 10, 2: None}
+
+
+def test_range_join_extra_on_and_boundaries(spark):
+    """Inclusive boundaries; extra equality key restricts matches; a
+    point matches exactly once even when the interval spans many
+    buckets."""
+    from handyspark_spark.operators.rangejoin import range_join
+    pts = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 10.0), (3, "b", 5.0)],
+        "id long, k string, p double")
+    iv = spark.createDataFrame(
+        [(7, "a", 0.0, 10.0)], "iv long, k string, lo double, hi double")
+    out = range_join(pts, iv, "p", "lo", "hi", bucket=1.0, extra_on=["k"])
+    assert sorted((r.id, r.iv) for r in out.collect()) == [(1, 7), (2, 7)]
