@@ -257,3 +257,28 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                           F.round(cos, 6).alias("cosine"))
                   .withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label",
+                    assemble: bool = False) -> DataFrame:
+    """Per-label mean vector (cluster centroids — the IVF coarse-quantizer
+    building block and the standard embedding-cluster summary).
+
+    ``posexplode`` fans each vector into (pos, val) rows, one
+    ``groupBy(label, pos)`` averages them — map-side partial aggregation
+    makes the shuffle |labels| × dim rows regardless of corpus size.
+    Long form (label, pos, centroid) by default; ``assemble=True`` adds a
+    second tiny agg that re-assembles ordered ``array<double>`` vectors.
+    """
+    ex = df.select(F.col(label_col).alias("label"),
+                   F.posexplode(F.col(vec_col).cast("array<double>"))
+                   .alias("pos", "val"))
+    long_form = (ex.groupBy("label", "pos")
+                 .agg(F.avg("val").alias("centroid")))
+    if not assemble:
+        return long_form
+    return (long_form.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"]).alias("centroid")))

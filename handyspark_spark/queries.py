@@ -1555,6 +1555,24 @@ def q_simhash_pairs(spark, sf_dir):
         .withColumn("hamming", F.col("hamming").cast("int"))
 
 
+@query("embedding_centroids", """
+SELECT label, CAST(pos - 1 AS INT) AS pos, ROUND(AVG(val), 6) AS centroid
+FROM (
+  SELECT label, unnest(embedding) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings)
+GROUP BY label, pos
+""")
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids — posexplode + one grouped avg;
+    shuffle is |labels| x dim, corpus-size independent."""
+    from .pipeline.similarity import label_centroids
+    df = _t(spark, sf_dir, "embeddings")
+    out = label_centroids(df)
+    return out.select("label", F.col("pos").cast("int").alias("pos"),
+                      F.round("centroid", 6).alias("centroid"))
+
+
 @query("range_join", """
 WITH iv AS (
   SELECT o_orderkey AS iv_key, o_orderdate AS lo,

@@ -431,3 +431,16 @@ def test_token_df_and_stop_tokens(spark):
     assert dfc["cat"] == 1
     stops = {r.tok for r in stop_tokens(df, max_df_frac=0.5).collect()}
     assert stops == {"the"}
+
+
+def test_label_centroids_assembled_matches_numpy(emb):
+    import numpy as np
+
+    from handyspark_spark.pipeline.similarity import label_centroids
+    got = {r.label: np.array(r.centroid) for r in
+           label_centroids(emb, assemble=True).collect()}
+    pdf = emb.toPandas()
+    for lab, g in pdf.groupby("label"):
+        # float64 accumulation on both sides (float32 mean drifts ~1e-5)
+        exp = np.stack(g["embedding"].values).astype(np.float64).mean(axis=0)
+        np.testing.assert_allclose(got[lab], exp, rtol=1e-9, atol=1e-12)
