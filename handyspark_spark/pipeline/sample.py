@@ -80,3 +80,33 @@ def balanced_sample(df: DataFrame, strata_col: str, key_col: str,
         hash_unit(F.col(key_col)), F.col(key_col))
     return (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= per_stratum).drop("_rn"))
+
+
+def mix_sources(sources: list[tuple[DataFrame, float]],
+                key_col: str, salt: str = "mix") -> DataFrame:
+    """Deterministic training-data mixing: union of per-source hash
+    samples, each keeping ``fraction`` of its rows (fraction > 1 repeats
+    whole passes plus a fractional hash-sampled remainder — the standard
+    'epochs per source' mixing weight). Layout-independent and stable
+    under re-runs: membership depends only on (key, salt).
+
+    An ``_epoch`` column distinguishes repeated passes so downstream
+    shuffles don't collapse duplicates. Map-only per source — no shuffle
+    until the consumer adds one."""
+    out = None
+    for i, (df, frac) in enumerate(sources):
+        if frac <= 0:
+            continue
+        whole, rem = int(frac), frac - int(frac)
+        parts = []
+        for e in range(whole):
+            parts.append(df.withColumn("_epoch", F.lit(e)))
+        if rem > 0:
+            parts.append(
+                hash_sample(df, key_col, rem, salt=f"{salt}#{i}")
+                .withColumn("_epoch", F.lit(whole)))
+        for p in parts:
+            out = p if out is None else out.unionByName(p)
+    if out is None:
+        raise ValueError("no source with positive fraction")
+    return out

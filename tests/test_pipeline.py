@@ -460,3 +460,25 @@ def test_ivf_kmeans_refinement_recall(emb):
                         kmeans_iters=2).collect()}
     recall = len(truth & refined) / len(truth)
     assert recall >= 0.5, f"refined IVF recall {recall:.2f}"
+
+
+def test_mix_sources_weights_and_determinism(docs):
+    from handyspark_spark.pipeline.sample import mix_sources
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    na, nb = a.count(), b.count()
+    mixed = mix_sources([(a, 2.0), (b, 0.3)], "doc_id")
+    assert "_epoch" in mixed.columns
+    got_a = mixed.join(a.select("doc_id"), "doc_id", "left_semi").count()
+    assert got_a == 2 * na                      # two full epochs
+    got_b = mixed.count() - got_a
+    assert 0.15 * nb < got_b < 0.45 * nb        # ~0.3 of source b
+    # deterministic under different layouts
+    again = mix_sources([(a.repartition(5), 2.0),
+                         (b.repartition(3), 0.3)], "doc_id")
+    assert again.count() == mixed.count()
+    key = lambda r: (r.doc_id, r._epoch)
+    assert sorted(map(key, again.select("doc_id", "_epoch").collect())) \
+        == sorted(map(key, mixed.select("doc_id", "_epoch").collect()))
+    with pytest.raises(ValueError):
+        mix_sources([(a, 0.0)], "doc_id")
