@@ -1,26 +1,27 @@
 """Training-data pipeline operators (beyond-reference surface)."""
-from .dedup import (connected_components, embedding_neardup_pairs,
-                    exact_duplicates, fingerprint_duplicates,
-                    minhash_lsh_groups, minhash_lsh_pairs,
-                    minhash_signature_arrays, minhash_signatures,
-                    ngram_jaccard_pairs, simhash_fingerprints,
-                    simhash_neardup_pairs)
-from .sample import (balanced_sample, hash_sample, hash_unit, split_assign,
-                     stratified_sample)
-from .similarity import (brute_force_topk, ivf_topk, lsh_neardup_pairs,
-                         neardup_pairs_blas)
-from .text import (analyze, chunk, fingerprint, lang_id, quality_score,
-                   token_count)
+from .dedup import (connected_components, decontaminate,
+                    embedding_neardup_pairs, exact_duplicates,
+                    fingerprint_duplicates, minhash_lsh_groups,
+                    minhash_lsh_pairs, minhash_signature_arrays,
+                    minhash_signatures, ngram_jaccard_pairs,
+                    simhash_fingerprints, simhash_neardup_pairs)
+from .sample import (balanced_sample, hash_sample, hash_unit, mix_sources,
+                     split_assign, stratified_sample)
+from .similarity import (brute_force_topk, ivf_topk, label_centroids,
+                         lsh_neardup_pairs, neardup_pairs_blas)
+from .text import (analyze, chunk, fingerprint, lang_id, pii_counts,
+                   quality_score, repetition_ratio, stop_tokens,
+                   token_count, token_df_counts)
 
 __all__ = [
     "exact_duplicates", "fingerprint_duplicates", "ngram_jaccard_pairs",
     "minhash_signatures", "minhash_signature_arrays", "minhash_lsh_pairs",
     "minhash_lsh_groups", "simhash_fingerprints", "simhash_neardup_pairs",
-    "embedding_neardup_pairs", "connected_components",
+    "embedding_neardup_pairs", "connected_components", "decontaminate",
     "brute_force_topk", "neardup_pairs_blas", "lsh_neardup_pairs",
-    "ivf_topk",
+    "ivf_topk", "label_centroids",
     "analyze", "chunk", "fingerprint", "lang_id", "quality_score",
-    "token_count",
+    "token_count", "repetition_ratio", "pii_counts", "token_df_counts", "stop_tokens",
     "hash_unit", "hash_sample", "split_assign", "stratified_sample",
-    "balanced_sample",
+    "balanced_sample", "mix_sources",
 ]
