@@ -622,11 +622,11 @@ def q_jaccard_pairs(spark, sf_dir):
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
   FROM documents
-), seeds AS (SELECT unnest(range(8)) AS seed)
-SELECT doc_id, CAST(seed AS INT) AS seed,
-       MIN(CAST(('0x' || substr(md5(tok || '#' || seed::VARCHAR), 1, 8))
-                AS BIGINT)) AS minhash
-FROM toks CROSS JOIN seeds
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+), seeds AS (SELECT * FROM (VALUES (0, 2013305623), (1, 2458489887), (2, 4071548956), (3, 2327953159), (4, 987524060), (5, 556081905), (6, 2083177207), (7, 761518094)) s(seed, c))
+SELECT doc_id, CAST(seed AS INT) AS seed, MIN(xor(h, c)) AS minhash
+FROM th CROSS JOIN seeds
 GROUP BY doc_id, seed
 """)
 def q_minhash_signatures(spark, sf_dir):
@@ -672,12 +672,12 @@ _LSH_BANDED_SQL = """
   toks AS (
     SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
     FROM documents
-  ), seeds AS (SELECT unnest(range(16)) AS seed),
+  ), th AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+  ), seeds AS (SELECT * FROM (VALUES (0, 2013305623), (1, 2458489887), (2, 4071548956), (3, 2327953159), (4, 987524060), (5, 556081905), (6, 2083177207), (7, 761518094), (8, 2793260896), (9, 1130439398), (10, 2309576590), (11, 3880396366), (12, 2003669775), (13, 507364299), (14, 2670572739), (15, 4255065888)) s(seed, c)),
   sigs AS (
-    SELECT doc_id, seed,
-           MIN(('0x' || substr(md5(tok || '#' || seed::VARCHAR), 1, 8))
-               ::BIGINT) AS mh
-    FROM toks CROSS JOIN seeds GROUP BY doc_id, seed
+    SELECT doc_id, seed, MIN(xor(h, c)) AS mh
+    FROM th CROSS JOIN seeds GROUP BY doc_id, seed
   ), arr AS (
     SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sigs GROUP BY doc_id
   ), banded AS (
