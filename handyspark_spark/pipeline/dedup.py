@@ -353,10 +353,14 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     verify exact Hamming via bit_count(xor)."""
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    fps = simhash_fingerprints(df, text_col, id_col)
+    # persist the fingerprints: |docs| x 16 bytes (tiny at any scale) —
+    # without it the self-join re-runs the expensive SimHash Arrow UDF
+    # once per side; the context cleaner reclaims the cache when the
+    # result plan is garbage-collected
+    fps = simhash_fingerprints(df, text_col, id_col).persist()
     # one posexplode over an array of block slices — the simhash UDF is
-    # evaluated ONCE per row per join side (a union of per-block selects
-    # would re-run the Arrow UDF in every branch: (k+1)x the python cost)
+    # evaluated ONCE per row (a union of per-block selects would re-run
+    # the Arrow UDF in every branch: (k+1)x the python cost)
     block_vals = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), i * width)
          .bitwiseAND(F.lit((1 << width) - 1)) for i in range(n_blocks)])
