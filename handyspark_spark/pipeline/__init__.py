@@ -7,6 +7,7 @@ from .dedup import (connected_components, decontaminate,
                     simhash_fingerprints, simhash_neardup_pairs)
 from .sample import (balanced_sample, hash_sample, hash_unit, mix_sources,
                      split_assign, stratified_sample)
+from .ir import bm25_topk, term_frequencies, tfidf, top_ngrams
 from .similarity import (brute_force_topk, ivf_topk, label_centroids,
                          lsh_neardup_pairs, neardup_pairs_blas)
 from .text import (analyze, chunk, fingerprint, lang_id, pii_counts,
@@ -20,6 +21,7 @@ __all__ = [
     "embedding_neardup_pairs", "connected_components", "decontaminate",
     "brute_force_topk", "neardup_pairs_blas", "lsh_neardup_pairs",
     "ivf_topk", "label_centroids",
+    "term_frequencies", "tfidf", "bm25_topk", "top_ngrams",
     "analyze", "chunk", "fingerprint", "lang_id", "quality_score",
     "token_count", "repetition_ratio", "pii_counts", "token_df_counts", "stop_tokens",
     "hash_unit", "hash_sample", "split_assign", "stratified_sample",

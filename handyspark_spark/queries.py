@@ -507,6 +507,75 @@ def q_token_df(spark, sf_dir):
             .orderBy(F.desc("df"), F.asc("tok")).limit(50))
 
 
+@query("tfidf_vectors", """
+WITH tfc AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+), dfc AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY tok),
+n AS (SELECT COUNT(*) AS _n FROM documents)
+SELECT doc_id, tok, tf, df,
+       ROUND(tf * (LN((_n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+FROM tfc JOIN dfc USING (tok), n
+""")
+def q_tfidf_vectors(spark, sf_dir):
+    """Sparse TF-IDF vectorization of the corpus (sklearn smoothing).
+    df-per-token is derived from the tf table (no second corpus pass);
+    the corpus count is a broadcast 1-row cross join."""
+    from .pipeline.ir import tfidf
+    df = _t(spark, sf_dir, "documents")
+    out = tfidf(df)
+    return out.select("doc_id", "tok", "tf", "df",
+                      F.round("tfidf", 6).alias("tfidf"))
+
+
+@query("bm25_topk", """
+WITH hits AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(dl) AS dl
+  FROM hits WHERE tok IN ('hash', 'join', 'spark')
+  GROUP BY doc_id, tok
+), dfc AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS _n,
+                 AVG(len(string_split(text, ' '))) AS _avgdl
+          FROM documents)
+SELECT doc_id,
+       ROUND(SUM(LN(1 + (_n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                 (tf + 1.2 * (1 - 0.75 + 0.75 * dl / _avgdl))), 6) AS score
+FROM tf JOIN dfc USING (tok), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a 3-term query: the token filter runs
+    BEFORE the explode ships anything, per-term stats are broadcast."""
+    from .pipeline.ir import bm25_topk
+    df = _t(spark, sf_dir, "documents")
+    return bm25_topk(df, ["hash", "join", "spark"], k=10)
+
+
+@query("top_bigrams", """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+        FROM toks),
+grams AS (SELECT array_to_string(t[i:i+1], ' ') AS ngram FROM idx)
+SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram
+ORDER BY cnt DESC, ngram LIMIT 20
+""")
+def q_top_bigrams(spark, sf_dir):
+    """Corpus-wide bigram count table (language-model counts): grams are
+    array slices built inside the projection, one grouped job, top-k via
+    TakeOrderedAndProject."""
+    from .pipeline.ir import top_ngrams
+    df = _t(spark, sf_dir, "documents")
+    return top_ngrams(df, n=2, k=20)
+
+
 @query("lang_id", """
 WITH s AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -482,3 +482,75 @@ def test_mix_sources_weights_and_determinism(docs):
         == sorted(map(key, mixed.select("doc_id", "_epoch").collect()))
     with pytest.raises(ValueError):
         mix_sources([(a, 0.0)], "doc_id")
+
+
+def test_tfidf_matches_python(spark):
+    """TF-IDF (sklearn smoothing) vs a pure-python computation."""
+    import math
+    from collections import Counter
+    from handyspark_spark.pipeline.ir import tfidf
+    corpus = ["a b a c", "b b d", "a d d d"]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    got = {(r.doc_id, r.tok): (r.tf, r.df, r.tfidf)
+           for r in tfidf(sdf).collect()}
+    n = len(corpus)
+    dfc = Counter()
+    for t in corpus:
+        dfc.update(set(t.split(" ")))
+    for i, t in enumerate(corpus):
+        for tok, tf in Counter(t.split(" ")).items():
+            exp = tf * (math.log((n + 1) / (dfc[tok] + 1)) + 1)
+            gtf, gdf, gtfidf = got[(i, tok)]
+            assert gtf == tf and gdf == dfc[tok]
+            npt.assert_allclose(gtfidf, exp, rtol=1e-12)
+    assert len(got) == sum(len(set(t.split(" "))) for t in corpus)
+
+
+def test_bm25_matches_python(spark):
+    """BM25 scores and ranking vs a pure-python computation."""
+    import math
+    from collections import Counter
+    from handyspark_spark.pipeline.ir import bm25_topk
+    corpus = ["x y x z", "y y q", "x q q w", "w w w", "x x x x y"]
+    query = ["x", "q"]
+    k1, b = 1.2, 0.75
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    got = [(r.doc_id, r.score) for r in
+           bm25_topk(sdf, query, k=3, k1=k1, b=b).collect()]
+
+    n = len(corpus)
+    dls = [len(t.split(" ")) for t in corpus]
+    avgdl = sum(dls) / n
+    dfc = {t: sum(t in doc.split(" ") for doc in corpus) for t in query}
+    scores = {}
+    for i, t in enumerate(corpus):
+        tfs = Counter(t.split(" "))
+        s = 0.0
+        for term in query:
+            tf = tfs.get(term, 0)
+            if tf == 0 or dfc[term] == 0:
+                continue
+            idf = math.log(1 + (n - dfc[term] + 0.5) / (dfc[term] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    npt.assert_allclose([s for _, s in got], [s for _, s in exp], rtol=1e-6)
+
+
+def test_top_ngrams_matches_python(spark):
+    from collections import Counter
+    from handyspark_spark.pipeline.ir import top_ngrams
+    corpus = ["a b a b c", "b c b c", "a", ""]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    got = [(r.ngram, r.cnt) for r in top_ngrams(sdf, n=2, k=5).collect()]
+    cnt = Counter()
+    for t in corpus:
+        toks = t.split(" ")
+        cnt.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == exp
