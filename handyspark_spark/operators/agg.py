@@ -209,35 +209,33 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         # deviation; identical results on null-free or aligned-null data).
         from pyspark.sql import Window
 
-        from .rank import ranged_cumsum
+        from .rank import ranged_avg_rank
         for c in colnames:
-            # ranks over NON-NULL values only; rows keep a NULL rank via
-            # the left join and F.corr then skips them PAIRWISE — the
-            # pandas/scipy convention (an inner join would listwise-drop
-            # the row from every other column's correlation too)
-            counts = (df.filter(F.col(c).isNotNull())
-                      .groupBy(*(strata + [c]))
-                      .agg(F.count(F.lit(1)).alias("_cnt")))
+            # ranks over NON-NULL values only; NULL values keep a NULL
+            # rank and F.corr then skips them PAIRWISE — the pandas/scipy
+            # convention (listwise-dropping would remove the row from
+            # every other column's correlation too)
             if strata:
                 # keyed window — already partitioned, no scale issue
                 w = (Window.partitionBy(*strata).orderBy(c)
                      .rowsBetween(Window.unboundedPreceding, -1))
-                ranks = counts.withColumn(
+                counts = (df.filter(F.col(c).isNotNull())
+                          .groupBy(*(strata + [c]))
+                          .agg(F.count(F.lit(1)).alias("_cnt")))
+                ranks = (counts.withColumn(
                     "_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+                    .select(
+                        *(strata + [c]),
+                        (F.col("_before") + (F.col("_cnt") + 1) / 2.0)
+                        .alias(f"_rk_{c}")))
+                df = df.join(ranks, on=strata + [c], how="left")
             else:
-                # unkeyed: distributed partition-offset cumsum — for a
-                # continuous column |distinct| ~ |rows| and a global
-                # window would single-task the whole dataset
-                cum, _ = ranged_cumsum(counts, [c], ["_cnt"])
-                ranks = cum.withColumn(
-                    "_before", F.col("_cum__cnt") - F.col("_cnt"))
-            ranks = ranks.select(
-                *(strata + [c]),
-                (F.col("_before") + (F.col("_cnt") + 1) / 2.0)
-                .alias(f"_rk_{c}"))
-            # no broadcast hint: |distinct| can approach |rows| for
-            # continuous columns — AQE picks broadcast when it fits
-            df = df.join(ranks, on=strata + [c], how="left")
+                # unkeyed: row-level partition-offset average ranks — ONE
+                # range exchange per column, no distinct pre-agg and no
+                # join back (for a continuous column |distinct| ~ |rows|,
+                # so the old rank-the-distincts-and-join-back plan paid a
+                # full sort-merge join on top of the range shuffle)
+                df = ranged_avg_rank(df, c, f"_rk_{c}")
         src = {c: f"_rk_{c}" for c in colnames}
     else:
         src = {c: c for c in colnames}

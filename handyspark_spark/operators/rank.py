@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranged_cumsum", "ranged_row_number"]
+__all__ = ["ranged_avg_rank", "ranged_cumsum", "ranged_row_number"]
 
 _PID = "_rcs_pid"
 
@@ -66,6 +66,15 @@ def ranged_cumsum(df: DataFrame, order_by: list, value_cols: list[str],
       ``crossJoin(F.broadcast(ptot.agg(...)))`` — the range exchange is
       shared with ``cum``'s, so the extra branch re-reads shuffle output,
       not the source.
+
+    INVARIANT (callers): ``df`` must carry ONLY the order + value columns.
+    Exchange reuse between the two branches relies on their canonicalized
+    plans being equal; extra columns get pruned from the totals branch
+    but not the cumsum branch, the exchanges diverge, and each samples
+    its own range boundaries — misaligning pids between branches. All
+    in-repo callers pass pre-aggregated (key, counts) frames. For wide
+    frames use ``ranged_row_number`` (checkpoint-pinned) or
+    ``ranged_avg_rank`` (value-derived buckets) instead.
     """
     exprs = _order_exprs(order_by)
     n = _num_partitions(df, num_partitions)
@@ -108,8 +117,14 @@ def ranged_row_number(df: DataFrame, order_by: list,
     form."""
     exprs = _order_exprs(order_by)
     n = _num_partitions(df, num_partitions)
+    # lazy localCheckpoint pins ONE materialized range partitioning for
+    # both the row-number branch and the counts branch: on wide frames
+    # the branches are column-pruned differently, the range exchanges
+    # stop being canonically equal, and each would sample its OWN
+    # boundaries — silently misaligning pids between ranks and offsets
     d = (df.repartitionByRange(n, *exprs)
-           .withColumn(_PID, F.spark_partition_id()))
+           .withColumn(_PID, F.spark_partition_id())
+           .localCheckpoint(eager=False))
     w_in = Window.partitionBy(_PID).orderBy(*exprs)
     local = d.withColumn("_rn_local", F.row_number().over(w_in))
     counts = d.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
@@ -121,4 +136,67 @@ def ranged_row_number(df: DataFrame, order_by: list,
            .withColumn(name,
                        F.col("_rn_local") + F.col("_off") - F.lit(1 - start))
            .drop(_PID, "_rn_local", "_off"))
+    return out
+
+
+_BKT = "_rar_bkt"
+
+
+def ranged_avg_rank(df: DataFrame, col: str, name: str,
+                    num_partitions: int | None = None) -> DataFrame:
+    """Fractional (average) ranks of a NUMERIC ``col`` attached to every
+    ROW — `scipy.stats.rankdata(method='average')` semantics, distributed.
+
+    Unlike ranking the distinct values and joining them back (a full
+    sort-merge join when |distinct| ~ |rows|, e.g. continuous columns),
+    this ranks rows in place. And unlike ``repartitionByRange``-based
+    two-branch plans, the bucket id is COMPUTED FROM THE VALUE against
+    approx-quantile boundaries fetched once up front — every plan branch
+    derives the identical bucket for a row, so there is no dependence on
+    exchange reuse. (RangePartitioner samples boundaries per exchange;
+    when Catalyst prunes the two branches to different column sets the
+    exchanges stop being reusable and the sampled pids silently diverge
+    between the rank branch and the offsets branch — observed as
+    nondeterministic ranks on wide frames.)
+
+    Cost: one approxQuantile pass (driver fetches ``num_partitions - 1``
+    doubles), one wide hash exchange for the bucket-keyed window, one
+    vocabulary-sized counts aggregation, one broadcast join. Rank VALUES
+    are boundary-invariant: ties always share a bucket (bucket is a
+    function of the value), so average ranks are exact regardless of how
+    balanced the sampled boundaries are.
+
+    NULLs get a NULL rank and do not occupy rank positions."""
+    c = F.col(col)
+    n = _num_partitions(df, num_partitions)
+    probs = [i / n for i in range(1, n)]
+    bounds = df.stat.approxQuantile(col, probs, max(0.25 / n, 1e-4))
+    uniq = sorted(set(bounds))
+    if uniq:
+        arr = F.array(*[F.lit(float(b)) for b in uniq])
+        bkt = F.size(F.filter(arr, lambda b: b < c.cast("double")))
+    else:  # empty / all-null column — single bucket
+        bkt = F.lit(0)
+    d = df.withColumn(_BKT,
+                      F.when(c.isNull(), F.lit(-1)).otherwise(bkt))
+    w_rank = Window.partitionBy(_BKT).orderBy(c)
+    w_ties = Window.partitionBy(_BKT, c)
+    local = (d.withColumn("_lrk", F.rank().over(w_rank))
+              .withColumn("_ties", F.count(F.lit(1)).over(w_ties)))
+    counts = (d.filter(c.isNotNull())
+              .groupBy(_BKT).agg(F.count(F.lit(1)).alias("_cnt")))
+    # prefix offsets over <= num_partitions rows — bounded by cluster
+    # parallelism, not data size; single-partition here is fine
+    w_off = (Window.orderBy(_BKT)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        _BKT,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"))
+    out = (local.join(F.broadcast(off), on=_BKT, how="left")
+           .withColumn(
+               name,
+               F.when(c.isNull(), F.lit(None).cast("double"))
+               .otherwise(F.col("_off") + F.col("_lrk")
+                          + (F.col("_ties") - 1) / 2.0))
+           .drop(_BKT, "_lrk", "_ties", "_off"))
     return out

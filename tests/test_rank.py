@@ -23,13 +23,13 @@ def _window_specs(df):
 
 def assert_no_global_window_on(df, *data_cols):
     """Every window that orders by one of ``data_cols`` must be
-    partitioned by the range-partition id (the tiny offsets window orders
-    by _rcs_pid only, which is allowed — its input is num_partitions
-    rows)."""
+    partitioned by the range-partition id or the quantile-bucket id (the
+    tiny offsets window orders by _rcs_pid/_rar_bkt only, which is
+    allowed — its input is num_partitions rows)."""
     for spec in _window_specs(df):
         for c in data_cols:
             if re.search(rf"\b{re.escape(c)}#", spec):
-                assert "_rcs_pid#" in spec, (
+                assert "_rcs_pid#" in spec or "_rar_bkt#" in spec, (
                     f"global (unpartitioned) window over {c}: {spec}")
 
 
@@ -194,3 +194,30 @@ def test_ks_unknown_dist_raises(spark):
         ks_test(df, "v", dist="zipf", params=(1.0,))
     with pytest.raises(ValueError, match="needs explicit params"):
         ks_test(df, "v", dist="gamma")
+
+
+def test_ranged_avg_rank_matches_pandas_and_is_deterministic(spark):
+    """Row-level average ranks vs pandas rank(method='average'), with
+    ties and NULLs, across layouts — and identical assignment on
+    repeated runs (regression: the two-branch repartitionByRange form
+    sampled boundaries per branch and misaligned pids on wide frames)."""
+    from handyspark_spark.operators.rank import ranged_avg_rank
+    rng = np.random.RandomState(3)
+    vals = np.round(rng.uniform(0, 50, 5000), 0)      # heavy ties
+    pdf = pd.DataFrame({
+        "id": np.arange(5000),
+        "v": vals,
+        "pad1": rng.randn(5000), "pad2": rng.randn(5000),  # wide frame
+    })
+    pdf.loc[::17, "v"] = None
+    sdf = spark.createDataFrame(pdf).repartition(7)
+    exp = pdf.set_index("id")["v"].rank(method="average")
+    outs = []
+    for _ in range(3):
+        got = (ranged_avg_rank(sdf, "v", "_rk", num_partitions=8)
+               .select("id", "_rk").toPandas()
+               .set_index("id")["_rk"].sort_index())
+        outs.append(got)
+    np.testing.assert_allclose(outs[0].values, exp.sort_index().values)
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0].values, o.values)
