@@ -179,22 +179,34 @@ def minhash_consts(num_hashes: int) -> list[int]:
                            "big") for s in range(num_hashes)]
 
 
-def _token_hash(tok_col):
-    """Engine-reproducible 32-bit base hash: first 8 hex chars of
-    md5(token) as a bigint (DuckDB: ('0x' || substr(md5(tok),1,8))::BIGINT)."""
+def _token_hash(tok_col, hash_fn: str = "md5"):
+    """Base token hash for minhash. ``'md5'``: engine-reproducible 32-bit
+    hash — first 8 hex chars of md5(token) as a bigint (DuckDB:
+    ('0x' || substr(md5(tok),1,8))::BIGINT) — the cross-engine oracle
+    contract. ``'xxhash64'``: native 64-bit xxhash — ~3× cheaper (no hex
+    string materialization), for consumers that never leave Spark
+    (star-edge components, groups); XOR by a constant is a bijection on
+    either width, so minhash validity is unchanged."""
+    if hash_fn == "xxhash64":
+        # mask to 32 bits: the per-seed XOR constants are 32-bit, so a
+        # 64-bit base hash would leave the high bits un-permuted and the
+        # min identical across every seed (no independence at all)
+        return F.xxhash64(tok_col).bitwiseAND(F.lit(0xFFFFFFFF))
     return F.conv(F.substring(F.md5(tok_col), 1, 8), 16, 10).cast("bigint")
 
 
 def minhash_signature_arrays(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id",
-                             num_hashes: int = 16) -> DataFrame:
+                             num_hashes: int = 16,
+                             hash_fn: str = "md5") -> DataFrame:
     """(id, sig: array<bigint>) — the whole signature built inside ONE
     map-only projection: per-token base hashes once (``_token_hash``),
     then sig[i] = min over tokens of (base XOR const_i). ZERO shuffles,
     independent of document length; this is the form every minhash
     consumer composes from."""
     ts = _token_sets(df, text_col, id_col)
-    d = ts.withColumn("_th", F.transform(F.col("_toks"), _token_hash))
+    d = ts.withColumn("_th", F.transform(
+        F.col("_toks"), lambda t: _token_hash(t, hash_fn)))
 
     def xored_min(c: int):
         # NOTE: the lambda must stay single-parameter — F.transform
@@ -218,14 +230,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
-            bands: int) -> DataFrame:
+            bands: int, hash_fn: str = "md5") -> DataFrame:
     """(id, band, band_hash) via array slicing of the one-projection
     signature — map-only (the reference formulation needed an explode +
     groupBy shuffle to reassemble bands). ``band_hash`` is a single
     xxhash64 bigint over (band, slice) — an 8-byte join key instead of a
     32-char md5 string (string-compare joins were the LSH hot spot)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature_arrays(df, text_col, id_col, num_hashes)
+    sigs = minhash_signature_arrays(df, text_col, id_col, num_hashes,
+                                    hash_fn)
     band_ids = F.array(*[F.lit(i) for i in range(bands)])
     return (sigs.select(
         id_col, F.explode(band_ids).alias("band"), F.col("sig"))
@@ -235,6 +248,54 @@ def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
                 F.col("sig"), F.col("band") * rows_per_band + 1,
                 rows_per_band))))
         .drop("sig"))
+
+
+def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
+                 num_hashes: int, bands: int,
+                 max_bucket_size: int | None,
+                 hash_fn: str = "md5") -> DataFrame:
+    """(band, band_hash, _ids: sorted array of member ids) — ONE shuffle:
+    group each bucket to an id array (a self-join formulation would
+    shuffle AND recompute the md5-heavy signatures once per join side).
+    ``array_distinct`` because duplicate input ids would otherwise emit
+    (x, x) self-pairs downstream; oversized buckets (near-dup CLUSTERS)
+    are dropped when ``max_bucket_size`` is set — enumerate them linearly
+    with ``minhash_lsh_groups``, not quadratically."""
+    banded = _banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+    buckets = (banded.groupBy("band", "band_hash")
+               .agg(F.array_sort(F.array_distinct(
+                   F.collect_list(id_col))).alias("_ids")))
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
+    return buckets
+
+
+def minhash_lsh_star_edges(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4,
+                           max_bucket_size: int | None = None,
+                           hash_fn: str = "md5") -> DataFrame:
+    """Linear-size connectivity SKELETON of the LSH candidate graph: per
+    bucket, the star (bucket_min, member) instead of the full clique. A
+    bucket's clique and its star have the SAME transitive closure, so
+    ``connected_components`` over these edges yields exactly the clusters
+    of ``minhash_lsh_pairs`` (same cap ⇒ same edge universe) — with
+    O(|bucket|) edges instead of O(|bucket|²). At 100 TB this is the
+    input you feed the components loop: a duplicate cluster of k docs
+    costs k-1 edges, not k(k-1)/2. Pinned equal-closure in
+    tests/test_pipeline.py."""
+    buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands,
+                           max_bucket_size, hash_fn)
+    ids = F.col("_ids")
+    n = F.size(ids)
+    star = F.transform(
+        F.slice(ids, 2, F.greatest(n - 1, F.lit(0))),
+        lambda y: F.struct(F.element_at(ids, 1).alias("id_a"),
+                           y.alias("id_b")))
+    return (buckets.filter(n >= 2)
+            .select(F.explode(star).alias("_p"))
+            .select(F.col("_p.id_a"), F.col("_p.id_b"))
+            .distinct())
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -252,20 +313,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     buckets ARE near-duplicate clusters — enumerate them linearly with
     ``minhash_lsh_groups`` instead of quadratically here. At 100 TB you
     always set this."""
-    banded = _banded(df, text_col, id_col, num_hashes, bands)
-    # ONE shuffle: group each bucket to an id array, then generate the
-    # intra-bucket pairs as a nested array expression and explode. A
-    # self-join formulation would shuffle AND recompute the (md5-heavy)
-    # signatures once per join side.
-    buckets = (banded.groupBy("band", "band_hash")
-               .agg(F.array_sort(F.array_distinct(
-                   F.collect_list(id_col))).alias("_ids")))
-    # array_distinct: duplicate input ids would otherwise emit (x, x)
-    # self-pairs (the old join's a.id < b.id guard excluded them)
-    if max_bucket_size is not None:
-        # oversized buckets are near-dup CLUSTERS — enumerate them
-        # linearly with minhash_lsh_groups, not quadratically here
-        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
+    buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands,
+                           max_bucket_size)
     ids = F.col("_ids")
     n = F.size(ids)
     pair_arrays = F.flatten(F.transform(

@@ -554,3 +554,35 @@ def test_top_ngrams_matches_python(spark):
         cnt.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
     exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == exp
+
+
+def test_star_edges_same_closure_as_clique_pairs(docs):
+    """The per-bucket star skeleton must yield exactly the clusters of
+    the full clique pair list (same cap => same edge universe), and with
+    linearly many edges."""
+    from handyspark_spark.pipeline.dedup import (connected_components,
+                                                 minhash_lsh_pairs,
+                                                 minhash_lsh_star_edges)
+    kw = dict(num_hashes=16, bands=2, max_bucket_size=500)
+    pairs = minhash_lsh_pairs(docs, **kw)
+    star = minhash_lsh_star_edges(docs, **kw)
+    n_pairs, n_star = pairs.count(), star.count()
+    assert 0 < n_star < n_pairs
+    a = {(r.node, r.component)
+         for r in connected_components(pairs).collect()}
+    b = {(r.node, r.component)
+         for r in connected_components(star).collect()}
+    assert a == b
+
+
+def test_star_edges_xxhash_path_valid_minhash(docs):
+    """The xxhash64 fast path must produce a working minhash (32-bit
+    masked base so the XOR permutations differ per seed) — clusters are
+    hash-family-dependent but coverage must be comparable to md5's."""
+    from handyspark_spark.pipeline.dedup import minhash_lsh_star_edges
+    kw = dict(num_hashes=16, bands=2, max_bucket_size=500)
+    md5_nodes = (minhash_lsh_star_edges(docs, hash_fn="md5", **kw)
+                 .select("id_b").distinct().count())
+    xx_nodes = (minhash_lsh_star_edges(docs, hash_fn="xxhash64", **kw)
+                .select("id_b").distinct().count())
+    assert xx_nodes > 0.8 * md5_nodes
