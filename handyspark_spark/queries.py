@@ -1562,6 +1562,194 @@ def q_tpch_q5(spark, sf_dir):
              .agg(F.round(F.sum(rev), 2).alias("revenue")))
 
 
+@query("tpch_q4", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (adapted: l_shipdate > o_orderdate stands in for the
+    commitdate/receiptdate pair this schema lacks) — EXISTS becomes one
+    LEFT SEMI join on the order key with the non-equi predicate fused
+    into the join condition; no distinct, no second aggregation, and the
+    date filter prunes orders before the shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")) &
+        (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    l = _t(spark, sf_dir, "lineitem")
+    semi = o.join(l, (o.o_orderkey == l.l_orderkey) &
+                     (l.l_shipdate > o.o_orderdate), "left_semi")
+    return (semi.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@query("tpch_q10", """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(c.c_acctbal, 2) AS c_acctbal
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting — both fact filters (order date
+    window, returnflag) push to the scans before the orderkey shuffle;
+    nation broadcasts; top-20 via TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")) &
+        (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .select("c_custkey", "c_name", "n_name", "revenue",
+                    F.round("c_acctbal", 2).alias("c_acctbal"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20))
+
+
+@query("tpch_q14", """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+       AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+""")
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect — one month of lineitem joined to part
+    (broadcast: part is the small side), conditional aggregation in a
+    single pass."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+                 .alias("promo_revenue_pct")))
+
+
+@query("tpch_q18", """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 160)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+""")
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers — the HAVING subquery is one
+    grouped pre-aggregation on lineitem's natural key; its (small)
+    surviving key set LEFT SEMI-joins orders before the wide join, so
+    only qualifying orders ever reach the customer join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("_q"))
+           .filter(F.col("_q") > 160)
+           .select("l_orderkey"))
+    o_big = o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "o_orderkey", "left_semi")
+    j = (l.join(o_big, l.l_orderkey == o_big.o_orderkey)
+          .join(c, o_big.o_custkey == c.c_custkey))
+    return (j.groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+@query("tpch_q19", """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 disjunctive predicates — the brand/size arms prune the
+    (broadcast) part side before the join and the quantity envelope
+    (1..30) pushes to the lineitem scan; the residual OR evaluates
+    post-join inside codegen."""
+    p = _t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)) |
+        ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)) |
+        ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30))
+    arm = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11)) |
+        ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+         & F.col("l_quantity").between(10, 20)) |
+        ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+         & F.col("l_quantity").between(20, 30)))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .filter(arm)
+            .agg(F.round(F.sum(rev), 2).alias("revenue")))
+
+
+@query("tpch_q22", """
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment, COUNT(*) AS numcust,
+       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+""")
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (adapted: mktsegment stands in for the phone country
+    code) — the scalar average broadcasts as a 1-row cross join, the
+    NOT EXISTS is one LEFT ANTI join against pre-filtered orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("a")))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("a")))
+    no_urgent = rich.join(
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey", "left_anti")
+    return (no_urgent.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
 @query("ks_exponential", """
 WITH v AS (
   SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem

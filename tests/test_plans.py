@@ -222,3 +222,29 @@ def test_tpch_q5_dims_broadcast_facts_not(tables, spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # facts
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_new_queries_plan_shapes(tables, spark):
+    """Q4: EXISTS compiles to ONE left-semi join (no distinct/aggregate
+    dedup). Q18: the HAVING key set semi-joins orders BEFORE the customer
+    join. Q19: the disjunctive arms prune the part side before the join
+    and no nested-loop join appears anywhere."""
+    import os
+
+    from handyspark_spark.queries import QUERIES
+    sf_dir = os.environ.get("HS_TEST_SF", "/root/testdata/sf0.001")
+
+    q4 = explain_str(QUERIES["tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in q4
+    assert "CartesianProduct" not in q4
+
+    q18 = explain_str(QUERIES["tpch_q18"](spark, sf_dir))
+    assert "LeftSemi" in q18
+
+    q19 = explain_str(QUERIES["tpch_q19"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in q19
+    assert "CartesianProduct" not in q19
+    # the quantity envelope reaches the lineitem scan as a pushed filter
+    import re
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", q19), \
+        "quantity range not pushed to the lineitem scan"
