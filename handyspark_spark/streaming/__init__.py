@@ -1,8 +1,8 @@
 """Event-time windowing + stateful streaming (batch ≡ streaming plans)."""
 from .stateful import running_user_stats
 from .windows import (session, session_counts, sessionize, sliding,
-                      stream_dedup, tumbling, with_watermark)
+                      stream_dedup, stream_join, tumbling, with_watermark)
 
 __all__ = ["tumbling", "sliding", "session", "sessionize",
            "session_counts", "with_watermark", "stream_dedup",
-           "running_user_stats"]
+           "stream_join", "running_user_stats"]

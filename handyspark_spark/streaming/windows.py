@@ -116,3 +116,50 @@ def stream_dedup(df: DataFrame, keys: list[str], ts_col: str,
         return df.dropDuplicates(keys)
     return (df.withWatermark(ts_col, watermark_delay)
               .dropDuplicatesWithinWatermark(keys))
+
+
+def stream_join(left: DataFrame, right: DataFrame, keys: list[str],
+                left_ts: str, right_ts: str,
+                tolerance: str = "1 hour",
+                watermark_delay: str = "1 hour",
+                how: str = "inner") -> DataFrame:
+    """Stream-stream (or batch) equi-join with an event-time band:
+    rows match when the keys are equal AND ``right_ts`` lies within
+    ``[left_ts - tolerance, left_ts + tolerance]``.
+
+    The band is part of the JOIN CONDITION (not a post-filter): that is
+    what lets Spark BOUND stream-stream join state — each side's buffered
+    rows are evicted once the other side's watermark passes their band.
+    Without a time constraint in the condition, state grows without limit
+    and outer variants are rejected outright. Watermarks are attached
+    automatically to whichever side streams. The same call on batch
+    frames produces the identical join minus state management — the batch
+    run is the correctness oracle for the streaming one (pinned in
+    tests/test_streaming.py).
+
+    ``how``: 'inner', 'left_outer', 'right_outer', or 'full_outer' (the
+    stream-stream set Spark supports). Right-side non-key columns that
+    collide with left names come back suffixed ``_r``.
+    """
+    renames = {c: f"{c}_r" for c in right.columns
+               if c in left.columns and c not in keys}
+    r = right
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    rts = renames.get(right_ts, right_ts)
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark_delay)
+    if r.isStreaming:
+        r = r.withWatermark(rts, watermark_delay)
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+    hi = F.col(left_ts) + F.expr(f"INTERVAL {tolerance}")
+    cond = F.col(rts).between(lo, hi)
+    for k in keys:
+        cond = (left[k] == r[k]) & cond
+    out = left.join(r, cond, how)
+    # keep ONE copy of each key column (coalesce for the outer sides,
+    # where the unmatched side's key is NULL)
+    key_cols = [F.coalesce(left[k], r[k]).alias(k) for k in keys]
+    rest = ([left[c] for c in left.columns if c not in keys]
+            + [r[c] for c in r.columns if c not in keys])
+    return out.select(*key_cols, *rest)

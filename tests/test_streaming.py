@@ -409,3 +409,61 @@ def test_range_join_extra_on_and_boundaries(spark):
         [(7, "a", 0.0, 10.0)], "iv long, k string, lo double, hi double")
     out = range_join(pts, iv, "p", "lo", "hi", bucket=1.0, extra_on=["k"])
     assert sorted((r.id, r.iv) for r in out.collect()) == [(1, 7), (2, 7)]
+
+
+def test_stream_join_streaming_matches_batch(tables, spark, tmp_path):
+    """Stream-stream time-band join: the streaming result (both sides
+    streamed, watermarks attached, band in the join condition) must equal
+    the batch join of the same frames."""
+    import os
+
+    from handyspark_spark.streaming.windows import stream_join
+    ev = tables["events"].limit(2000)
+    left = ev.filter(F.col("event_type") == "click") \
+             .select(F.col("user_id").alias("uid"), "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "view") \
+              .select(F.col("user_id").alias("uid"), "ts",
+                      F.col("value").alias("v"))
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir); os.makedirs(rdir)
+    left.write.mode("overwrite").parquet(ldir)
+    right.write.mode("overwrite").parquet(rdir)
+
+    exp = stream_join(left, right, ["uid"], "ts", "ts",
+                      tolerance="10 minutes")
+    exp_rows = {(r.uid, r.event_id, r.ts_r) for r in exp.collect()}
+    assert exp_rows, "fixture should produce matches"
+
+    ls = (spark.readStream.schema(left.schema)
+          .option("maxFilesPerTrigger", 2).parquet(ldir))
+    rs = (spark.readStream.schema(right.schema)
+          .option("maxFilesPerTrigger", 2).parquet(rdir))
+    q = (stream_join(ls, rs, ["uid"], "ts", "ts",
+                     tolerance="10 minutes",
+                     watermark_delay="0 seconds").writeStream
+         .format("memory").queryName("t_sj").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_sj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got_rows = {(r.uid, r.event_id, r.ts_r)
+                for r in spark.sql("SELECT * FROM t_sj").collect()}
+    assert got_rows == exp_rows
+
+
+def test_stream_join_outer_batch(tables, spark):
+    """left_outer keeps unmatched left rows with NULL right columns and
+    one coalesced key column."""
+    from handyspark_spark.streaming.windows import stream_join
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"),
+         (2, "2024-01-01 10:00:00", "b")],
+        "k int, ts string, s string").withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 5.0),
+         (1, "2024-01-01 23:00:00", 7.0)],
+        "k int, ts string, v double").withColumn("ts", F.to_timestamp("ts"))
+    out = stream_join(left, right, ["k"], "ts", "ts",
+                      tolerance="1 hour", how="left_outer")
+    rows = {(r.k, r.s, r.v) for r in out.collect()}
+    assert rows == {(1, "a", 5.0), (2, "b", None)}
+    assert out.columns.count("k") == 1
