@@ -10,9 +10,9 @@ from .sample import (balanced_sample, hash_sample, hash_unit, mix_sources,
 from .ir import bm25_topk, term_frequencies, tfidf, top_ngrams
 from .similarity import (brute_force_topk, ivf_topk, label_centroids,
                          lsh_neardup_pairs, neardup_pairs_blas)
-from .text import (analyze, chunk, fingerprint, lang_id, pii_counts,
-                   quality_score, repetition_ratio, stop_tokens,
-                   token_count, token_df_counts)
+from .text import (analyze, chunk, fingerprint, lang_id, pack_sequences,
+                   pii_counts, quality_score, repetition_ratio,
+                   stop_tokens, token_count, token_df_counts)
 
 __all__ = [
     "exact_duplicates", "fingerprint_duplicates", "ngram_jaccard_pairs",
@@ -23,7 +23,8 @@ __all__ = [
     "ivf_topk", "label_centroids",
     "term_frequencies", "tfidf", "bm25_topk", "top_ngrams",
     "analyze", "chunk", "fingerprint", "lang_id", "quality_score",
-    "token_count", "repetition_ratio", "pii_counts", "token_df_counts", "stop_tokens",
+    "token_count", "repetition_ratio", "pii_counts", "token_df_counts",
+    "stop_tokens", "pack_sequences",
     "hash_unit", "hash_sample", "split_assign", "stratified_sample",
     "balanced_sample", "mix_sources",
 ]

@@ -232,3 +232,45 @@ def chunk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         id_col, "chunk_id",
         F.concat_ws(" ", F.col("_piece")).alias("chunk_text"),
         F.size("_piece").cast("int").alias("n_chunk_tokens"))
+
+
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   seq_len: int = 2048) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: lay every document's
+    tokens end-to-end in ``id_col`` order and cut fixed ``seq_len``
+    training sequences across document boundaries — the standard
+    LLM-pretraining packing step (no padding waste, documents may
+    straddle sequences).
+
+    Returns (id_col, seq_id, tok_start, tok_end): the half-open token
+    slice [tok_start, tok_end) of the document that lands in training
+    sequence ``seq_id``. Per-doc slices are contiguous and sum to the
+    doc's token count; every sequence except the last holds exactly
+    ``seq_len`` tokens.
+
+    Plan: per-doc token counts (map-only projection) -> global exclusive
+    offsets via the DISTRIBUTED cumsum (``operators.rank.ranged_cumsum``
+    on the narrow (id, count) frame — one range exchange, N-way
+    parallel; the naive global window would single-task the corpus) ->
+    per-doc overlapped-sequence fan-out as an array explode. Shuffled
+    bytes are 2 longs per document, independent of document length."""
+    from ..operators.rank import ranged_cumsum
+    counts = df.select(F.col(id_col),
+                       F.size(tokens(text_col)).cast("long")
+                       .alias("n_tokens"))
+    # narrow (order, value) frame — ranged_cumsum's documented invariant
+    cum, _ = ranged_cumsum(counts, [id_col], ["n_tokens"])
+    off = (F.col("_cum_n_tokens") - F.col("n_tokens")).alias("tok_offset")
+    first = F.floor(F.col("tok_offset") / seq_len)
+    last = F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / seq_len)
+    fan = (cum.select(id_col, "n_tokens", off)
+           .select(id_col, "n_tokens", "tok_offset",
+                   F.explode(F.sequence(first, last)).alias("seq_id")))
+    tok_start = F.greatest(F.col("seq_id") * seq_len - F.col("tok_offset"),
+                           F.lit(0).cast("long"))
+    tok_end = F.least((F.col("seq_id") + 1) * seq_len - F.col("tok_offset"),
+                      F.col("n_tokens"))
+    return fan.select(id_col, "seq_id",
+                      tok_start.alias("tok_start"),
+                      tok_end.alias("tok_end"))

@@ -576,6 +576,34 @@ def q_top_bigrams(spark, sf_dir):
     return top_ngrams(df, n=2, k=20)
 
 
+@query("pack_sequences", """
+WITH c AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS tok_offset
+  FROM c
+), e AS (
+  SELECT doc_id, n_tokens, tok_offset,
+         unnest(range(CAST(FLOOR(tok_offset / 512.0) AS BIGINT),
+                      CAST(FLOOR((tok_offset + n_tokens - 1) / 512.0)
+                           AS BIGINT) + 1)) AS seq_id
+  FROM cum
+)
+SELECT doc_id, seq_id,
+       GREATEST(seq_id * 512 - tok_offset, 0) AS tok_start,
+       LEAST((seq_id + 1) * 512 - tok_offset, n_tokens) AS tok_end
+FROM e
+""")
+def q_pack_sequences(spark, sf_dir):
+    """Concatenate-and-chunk packing into 512-token training sequences —
+    global token offsets via the distributed cumsum, map-only fan-out."""
+    from .pipeline.text import pack_sequences
+    df = _t(spark, sf_dir, "documents")
+    return pack_sequences(df, seq_len=512)
+
+
 @query("lang_id", """
 WITH s AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -586,3 +586,24 @@ def test_star_edges_xxhash_path_valid_minhash(docs):
     xx_nodes = (minhash_lsh_star_edges(docs, hash_fn="xxhash64", **kw)
                 .select("id_b").distinct().count())
     assert xx_nodes > 0.8 * md5_nodes
+
+
+def test_pack_sequences_invariants(docs):
+    """Packing must tile the concatenated corpus exactly: per-doc slices
+    sum to the doc's token count, every sequence except the last is
+    exactly seq_len tokens, and slices within a sequence are disjoint."""
+    from handyspark_spark.pipeline.text import pack_sequences, token_count
+    L = 128
+    out = pack_sequences(docs, seq_len=L).toPandas()
+    n_tok = {r.doc_id: r.n for r in
+             docs.select("doc_id", token_count("text").alias("n")).collect()}
+    per_doc = out.groupby("doc_id").apply(
+        lambda g: (g.tok_end - g.tok_start).sum(), include_groups=False)
+    for d, tot in per_doc.items():
+        assert tot == n_tok[d]
+    per_seq = out.groupby("seq_id").apply(
+        lambda g: (g.tok_end - g.tok_start).sum(), include_groups=False)
+    last = per_seq.index.max()
+    assert (per_seq.drop(index=last) == L).all()
+    assert 0 < per_seq[last] <= L
+    assert (out.tok_start < out.tok_end).all()
