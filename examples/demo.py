@@ -90,7 +90,9 @@ def main():
           "docs clustered into earlier ids")
     from handyspark_spark.pipeline.dedup import (connected_components,
                                                  minhash_lsh_pairs)
-    comp = connected_components(minhash_lsh_pairs(docs, max_bucket_size=300))
+    from handyspark_spark.pipeline.dedup import minhash_lsh_star_edges
+    comp = connected_components(
+        minhash_lsh_star_edges(docs, max_bucket_size=300))
     print("exact components:",
           comp.select("component").distinct().count())
     from handyspark_spark.pipeline.sample import split_assign
@@ -110,6 +112,17 @@ def main():
           docs.filter(repetition_ratio("text") > 0.5).count())
     print("corpus stop tokens:",
           [r.tok for r in stop_tokens(docs, max_df_frac=0.5).collect()][:8])
+    from handyspark_spark.pipeline.ir import bm25_topk, tfidf, top_ngrams
+    from handyspark_spark.pipeline.text import pack_sequences
+    print("tfidf sample:", tfidf(docs).orderBy("doc_id", "tok")
+          .limit(2).collect())
+    print("bm25 top-3:", bm25_topk(docs, ["hash", "join"], k=3).collect())
+    print("top bigrams:", [r.ngram for r in
+                           top_ngrams(docs, n=2, k=3).collect()])
+    packed = pack_sequences(docs, seq_len=256)
+    print("packed sequences:",
+          packed.select("seq_id").distinct().count(),
+          "x256-token sequences from", docs.count(), "docs")
 
     print("\n== Stratified plot grid (shared limits, no render) ==")
     grid = (hdf.stratify(["l_returnflag"])
@@ -118,10 +131,19 @@ def main():
           "panels:", [p.title for p in grid.panels])
 
     print("\n== Event-time windows ==")
-    from handyspark_spark.streaming.windows import session_counts, tumbling
+    from handyspark_spark.streaming.windows import (session_counts,
+                                                    stream_join, tumbling)
     ev = load_table(spark, sf_dir, "events")
     print(tumbling(ev, "ts", "1 hour").limit(3).collect())
     print(session_counts(ev, "ts", "user_id", 1800).limit(3).collect())
+    clicks = ev.filter("event_type = 'click'") \
+               .select(F.col("user_id").alias("uid"), "ts", "event_id")
+    views = ev.filter("event_type = 'view'") \
+              .select(F.col("user_id").alias("uid"), "ts",
+                      F.col("value").alias("v"))
+    print("click->view band joins:",
+          stream_join(clicks, views, ["uid"], "ts", "ts",
+                      tolerance="10 minutes").count())
 
     spark.stop()
 
