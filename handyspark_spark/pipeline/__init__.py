@@ -1,5 +1,6 @@
 """Training-data pipeline operators (beyond-reference surface)."""
 from .dedup import (connected_components, decontaminate,
+                    minhash_lsh_star_edges,
                     embedding_neardup_pairs, exact_duplicates,
                     fingerprint_duplicates, minhash_lsh_groups,
                     minhash_lsh_pairs, minhash_signature_arrays,
@@ -9,22 +10,25 @@ from .sample import (balanced_sample, hash_sample, hash_unit, mix_sources,
                      split_assign, stratified_sample)
 from .ir import bm25_topk, term_frequencies, tfidf, top_ngrams
 from .similarity import (brute_force_topk, ivf_topk, label_centroids,
-                         lsh_neardup_pairs, neardup_pairs_blas)
+                         lsh_neardup_pairs, neardup_pairs_blas,
+                         quantize_embeddings)
 from .text import (analyze, chunk, fingerprint, lang_id, pack_sequences,
                    pii_counts, quality_score, repetition_ratio,
-                   stop_tokens, token_count, token_df_counts)
+                   source_report, stop_tokens, token_count,
+                   token_df_counts)
 
 __all__ = [
     "exact_duplicates", "fingerprint_duplicates", "ngram_jaccard_pairs",
     "minhash_signatures", "minhash_signature_arrays", "minhash_lsh_pairs",
-    "minhash_lsh_groups", "simhash_fingerprints", "simhash_neardup_pairs",
+    "minhash_lsh_groups", "minhash_lsh_star_edges", "simhash_fingerprints",
+    "simhash_neardup_pairs",
     "embedding_neardup_pairs", "connected_components", "decontaminate",
     "brute_force_topk", "neardup_pairs_blas", "lsh_neardup_pairs",
     "ivf_topk", "label_centroids",
     "term_frequencies", "tfidf", "bm25_topk", "top_ngrams",
     "analyze", "chunk", "fingerprint", "lang_id", "quality_score",
     "token_count", "repetition_ratio", "pii_counts", "token_df_counts",
-    "stop_tokens", "pack_sequences",
+    "stop_tokens", "pack_sequences", "source_report", "quantize_embeddings",
     "hash_unit", "hash_sample", "split_assign", "stratified_sample",
     "balanced_sample", "mix_sources",
 ]

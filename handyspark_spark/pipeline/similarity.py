@@ -319,3 +319,35 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
                 lambda s: s["centroid"]).alias("centroid")))
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        bits: int = 8) -> DataFrame:
+    """Symmetric per-dimension linear quantization of an embedding column
+    to ``bits``-bit signed integers — the standard 4× (int8) storage/
+    bandwidth cut before ANN indexing, with per-dim scales preserved for
+    dequantization.
+
+    q[d] = round(x[d] / scale[d] * (2^(bits-1) - 1)),
+    scale[d] = max over the corpus of |x[d]| (0-max dims quantize to 0).
+
+    Plan: per-dim max-abs via ONE posexplode + groupBy(dim) — map-side
+    partial max makes the shuffle |dim| rows regardless of corpus size —
+    re-assembled into an ordered scale vector in a 1-row frame and
+    broadcast back; quantization itself is a zip_with projection. Returns
+    (id_col, qvec: array<int>, scales: array<double>)."""
+    qmax = (1 << (bits - 1)) - 1
+    dims = (df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                      .alias("_pos", "_val"))
+            .groupBy("_pos").agg(F.max(F.abs(F.col("_val"))).alias("_s")))
+    scales = dims.agg(
+        F.array_sort(F.collect_list(F.struct("_pos", "_s")))
+        .alias("_ps")).select(
+        F.transform(F.col("_ps"), lambda x: x["_s"]).alias("scales"))
+    q = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("scales"),
+        lambda x, s: F.when(s > 0, F.round(x / s * qmax))
+                      .otherwise(F.lit(0.0)).cast("int"))
+    return (df.crossJoin(F.broadcast(scales))
+            .select(F.col(id_col), q.alias("qvec"), "scales"))

@@ -274,3 +274,34 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
     return fan.select(id_col, "seq_id",
                       tok_start.alias("tok_start"),
                       tok_end.alias("tok_end"))
+
+
+def source_report(df: DataFrame, text_col: str = "text",
+                  source_col: str = "source",
+                  lang_col: str | None = None) -> DataFrame:
+    """Per-source dataset card — the summary a training-data pipeline
+    publishes per corpus slice: document/token volume, mean quality,
+    language mix, and the exact-duplicate rate (1 − distinct
+    fingerprints / docs).
+
+    ONE grouped aggregation over map-only projections; the distinct
+    fingerprint count rides in the same job (Spark plans multi-distinct
+    aggregates with an expand, still a single shuffle). Shuffled bytes
+    are |sources| × aggregates, independent of corpus size."""
+    lang = (F.col(lang_col) if lang_col
+            else lang_id(text_col)).alias("_lang")
+    base = df.select(
+        F.col(source_col).alias("source"),
+        token_count(text_col).alias("_nt"),
+        quality_score(text_col).alias("_q"),
+        lang,
+        fingerprint(text_col).alias("_fp"))
+    return (base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(F.avg("_q"), 4).alias("avg_quality"),
+        F.round(F.avg((F.col("_lang") == "en").cast("double")), 4)
+         .alias("pct_en"),
+        F.countDistinct("_fp").alias("n_unique"),
+        F.round(F.lit(1.0) - F.countDistinct("_fp")
+                / F.count(F.lit(1)), 4).alias("dup_ratio")))

@@ -576,6 +576,89 @@ def q_top_bigrams(spark, sf_dir):
     return top_ngrams(df, n=2, k=20)
 
 
+@query("source_report", """
+WITH s AS (
+  SELECT source, text, string_split(text, ' ') AS toks,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split(LOWER(text), ' '))), ' ')) AS fp
+  FROM documents
+), m AS (
+  SELECT source, len(toks) AS nt, fp,
+    CASE WHEN LENGTH(text) BETWEEN 64 AND 20000 THEN 0.25 ELSE 0 END
+    + CASE WHEN len(list_filter(toks, t -> list_contains(
+          ['the','and','of','to','in','is','it','that',
+           'a','an','for','on','with','as'], t))) * 1.0 / len(toks)
+        BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0 END
+    + CASE WHEN (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]',
+                                                      '', 'g')))
+        * 1.0 / LENGTH(text) <= 0.2 THEN 0.25 ELSE 0 END
+    + CASE WHEN list_sum(list_transform(toks, t -> LENGTH(t))) * 1.0
+        / len(toks) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END AS q,
+    CASE WHEN GREATEST(
+      len(list_filter(toks, t -> list_contains(['der','die','und','das','von','zu','mit','den'], t))),
+      len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','it','that'], t))),
+      len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','se'], t))),
+      len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des','en','un'], t)))) > 0
+      AND len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','it','that'], t)))
+          >= GREATEST(
+      len(list_filter(toks, t -> list_contains(['der','die','und','das','von','zu','mit','den'], t))),
+      len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','it','that'], t))),
+      len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','se'], t))),
+      len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des','en','un'], t))))
+      AND NOT (len(list_filter(toks, t -> list_contains(['der','die','und','das','von','zu','mit','den'], t)))
+               > len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','it','that'], t))))
+    THEN 1.0 ELSE 0.0 END AS is_en
+  FROM s
+)
+SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+       ROUND(AVG(q), 4) AS avg_quality,
+       ROUND(AVG(is_en), 4) AS pct_en,
+       COUNT(DISTINCT fp) AS n_unique,
+       ROUND(1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*), 4) AS dup_ratio
+FROM m GROUP BY source
+""")
+def q_source_report(spark, sf_dir):
+    """Per-source dataset card (volume, quality, language mix, exact-dup
+    rate) — one grouped aggregation, multi-distinct planned by Spark in
+    the same job."""
+    from .pipeline.text import source_report
+    df = _t(spark, sf_dir, "documents")
+    return source_report(df)
+
+
+@query("quantize_embeddings", """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), dims AS (
+  SELECT pos, MAX(ABS(val)) AS s
+  FROM (SELECT unnest(v) AS val,
+               generate_subscripts(v, 1) AS pos FROM e)
+  GROUP BY pos
+), scales AS (
+  SELECT list(s ORDER BY pos) AS scales FROM dims
+), q AS (
+  SELECT vec_id,
+         list_transform(list_zip(v, scales),
+                        p -> CASE WHEN p[2] > 0
+                             THEN CAST(ROUND(p[1] / p[2] * 127) AS INT)
+                             ELSE 0 END) AS qvec
+  FROM e, scales
+)
+SELECT vec_id, CAST(generate_subscripts(qvec, 1) - 1 AS INT) AS pos,
+       unnest(qvec) AS qval
+FROM q
+""")
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-dim int8 quantization — per-dim max-abs via one
+    posexplode groupBy (|dim| shuffle rows), scales broadcast back,
+    zip_with projection. Long form (vec_id, pos, qval) for the driver's
+    value-hash compare (array cells don't hash portably)."""
+    from .pipeline.similarity import quantize_embeddings
+    df = _t(spark, sf_dir, "embeddings")
+    return (quantize_embeddings(df)
+            .select("vec_id", F.posexplode("qvec").alias("pos", "qval")))
+
+
 @query("pack_sequences", """
 WITH c AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -1,6 +1,7 @@
 """Training-data pipeline operators: recall/quality pins for the
 approximate paths (MinHash-LSH, SimHash, IVF) against their exact
 counterparts, plus plumbing checks."""
+import numpy as np
 import numpy.testing as npt
 import pytest
 from pyspark.sql import functions as F
@@ -607,3 +608,43 @@ def test_pack_sequences_invariants(docs):
     assert (per_seq.drop(index=last) == L).all()
     assert 0 < per_seq[last] <= L
     assert (out.tok_start < out.tok_end).all()
+
+
+def test_quantize_embeddings_roundtrip(emb):
+    """int8 quantization vs numpy: same codes, and dequantization error
+    bounded by half a step per dimension."""
+    from handyspark_spark.pipeline.similarity import quantize_embeddings
+    sub = emb.filter(F.col("vec_id") < 50)
+    got = quantize_embeddings(sub).orderBy("vec_id").collect()
+    X = np.array([r.embedding for r in
+                  sub.orderBy("vec_id").collect()], dtype=np.float64)
+    scales = np.abs(np.array([r.embedding for r in
+                              emb.filter(F.col("vec_id") < 50)
+                              .orderBy("vec_id").collect()],
+                             dtype=np.float64)).max(axis=0)
+    # scales computed over the SAME input frame
+    exp_scales = np.abs(X).max(axis=0)
+    npt.assert_allclose(np.array(got[0].scales), exp_scales, rtol=1e-12)
+    for r, x in zip(got, X):
+        q = np.array(r.qvec, dtype=np.int32)
+        expq = np.where(exp_scales > 0,
+                        np.floor(x / exp_scales * 127 + 0.5), 0)
+        npt.assert_array_equal(q, expq.astype(np.int32))
+        deq = q / 127.0 * exp_scales
+        assert np.max(np.abs(deq - x)) <= (exp_scales.max() / 127) * 0.5 + 1e-12
+
+
+def test_source_report_matches_pandas(docs, pdf_tables):
+    from handyspark_spark.pipeline.text import source_report
+    got = {r.source: r for r in source_report(docs).collect()}
+    pdf = pdf_tables["documents"]
+    grp = pdf.groupby("source")
+    for src, g in grp:
+        r = got[src]
+        assert r.n_docs == len(g)
+        assert r.n_tokens == g["text"].map(
+            lambda t: len(t.split(" "))).sum()
+        fps = g["text"].map(
+            lambda t: " ".join(sorted(set(t.lower().split(" ")))))
+        assert r.n_unique == fps.nunique()
+        assert abs(r.dup_ratio - (1 - fps.nunique() / len(g))) < 5e-5
