@@ -210,6 +210,17 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         from pyspark.sql import Window
 
         from .rank import ranged_avg_rank
+        all_bounds = {}
+        if not strata:
+            # ONE approxQuantile job fetches every column's bucket
+            # boundaries (the API is multi-column); per-column calls
+            # would each scan the input
+            n_part = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+            probs = [i / n_part for i in range(1, n_part)]
+            bs = df.stat.approxQuantile(list(colnames), probs,
+                                        max(0.25 / n_part, 1e-4))
+            all_bounds = dict(zip(colnames, bs))
         for c in colnames:
             # ranks over NON-NULL values only; NULL values keep a NULL
             # rank and F.corr then skips them PAIRWISE — the pandas/scipy
@@ -235,7 +246,8 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
                 # join back (for a continuous column |distinct| ~ |rows|,
                 # so the old rank-the-distincts-and-join-back plan paid a
                 # full sort-merge join on top of the range shuffle)
-                df = ranged_avg_rank(df, c, f"_rk_{c}")
+                df = ranged_avg_rank(df, c, f"_rk_{c}",
+                                     bounds=all_bounds[c])
         src = {c: f"_rk_{c}" for c in colnames}
     else:
         src = {c: c for c in colnames}

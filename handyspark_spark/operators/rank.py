@@ -143,7 +143,8 @@ _BKT = "_rar_bkt"
 
 
 def ranged_avg_rank(df: DataFrame, col: str, name: str,
-                    num_partitions: int | None = None) -> DataFrame:
+                    num_partitions: int | None = None,
+                    bounds: list[float] | None = None) -> DataFrame:
     """Fractional (average) ranks of a NUMERIC ``col`` attached to every
     ROW — `scipy.stats.rankdata(method='average')` semantics, distributed.
 
@@ -166,11 +167,16 @@ def ranged_avg_rank(df: DataFrame, col: str, name: str,
     function of the value), so average ranks are exact regardless of how
     balanced the sampled boundaries are.
 
-    NULLs get a NULL rank and do not occupy rank positions."""
+    NULLs get a NULL rank and do not occupy rank positions.
+
+    ``bounds``: precomputed boundary values (callers ranking several
+    columns batch ONE ``approxQuantile([cols...])`` pass instead of one
+    job per column)."""
     c = F.col(col)
     n = _num_partitions(df, num_partitions)
-    probs = [i / n for i in range(1, n)]
-    bounds = df.stat.approxQuantile(col, probs, max(0.25 / n, 1e-4))
+    if bounds is None:
+        probs = [i / n for i in range(1, n)]
+        bounds = df.stat.approxQuantile(col, probs, max(0.25 / n, 1e-4))
     uniq = sorted(set(bounds))
     if uniq:
         arr = F.array(*[F.lit(float(b)) for b in uniq])
