@@ -1218,6 +1218,72 @@ def q_tumbling_window(spark, sf_dir):
     return out.drop("window_end")
 
 
+@query("stream_band_join", """
+WITH c AS (
+  SELECT user_id AS uid, ts, event_id FROM events
+  WHERE event_type = 'click'
+), v AS (
+  SELECT user_id AS uid, ts, value AS v FROM events
+  WHERE event_type = 'view'
+)
+SELECT c.uid, c.ts, c.event_id, v.ts AS ts_r, v.v
+FROM c JOIN v
+  ON c.uid = v.uid
+ AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE
+              AND c.ts + INTERVAL 10 MINUTE
+""")
+def q_stream_band_join(spark, sf_dir):
+    """Event-time band join (the batch twin of the stream-stream join —
+    identical plan minus state management; streaming==batch pinned in
+    tests/test_streaming.py). The band lives in the join condition, which
+    is what bounds state in streaming mode."""
+    from .streaming.windows import stream_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("uid"), "ts", "event_id"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("uid"), "ts",
+                     F.col("value").alias("v")))
+    return stream_join(clicks, views, ["uid"], "ts", "ts",
+                       tolerance="10 minutes")
+
+
+@query("funnel", """
+WITH s1 AS (
+  SELECT user_id AS u, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.u
+  JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM s3
+)
+""")
+def q_funnel(spark, sf_dir):
+    """First-touch view -> click -> purchase funnel with a 7-day
+    conversion window — per-step min-aggregations chained by
+    co-partitioned user joins."""
+    from .streaming.windows import funnel_counts
+    df = _t(spark, sf_dir, "events")
+    return funnel_counts(df, ["view", "click", "purchase"],
+                         within="7 days")
+
+
 @query("session_counts", """
 WITH o AS (
   SELECT user_id, ts,

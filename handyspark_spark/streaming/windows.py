@@ -163,3 +163,50 @@ def stream_join(left: DataFrame, right: DataFrame, keys: list[str],
     rest = ([left[c] for c in left.columns if c not in keys]
             + [r[c] for c in r.columns if c not in keys])
     return out.select(*key_cols, *rest)
+
+
+def funnel_counts(df: DataFrame, steps: list[str], ts_col: str = "ts",
+                  user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  within: str | None = None) -> DataFrame:
+    """First-touch conversion funnel: for each step k, the number of
+    users who performed ``steps[0..k]`` IN ORDER — step k's timestamp is
+    the MIN event time strictly after the user's step-(k-1) timestamp
+    (and, when ``within`` is set, no later than step-1's timestamp +
+    ``within`` — the classic conversion window).
+
+    Plan: one filtered min-aggregation per step, chained by equi-joins on
+    the user key — after the first shuffle every join is co-partitioned
+    on ``user_col``, so the funnel costs one wide exchange plus
+    |users|-sized joins regardless of event volume; the final counts
+    collapse to a single row unpivoted to (step, step_name, n_users)."""
+    t_prev = None
+    users = None
+    for k, step in enumerate(steps, start=1):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t"))
+        if users is None:
+            users = ev.groupBy("_u").agg(F.min("_t").alias(f"_t{k}"))
+            if within:
+                users = users.withColumn(
+                    "_deadline",
+                    F.col(f"_t{k}") + F.expr(f"INTERVAL {within}"))
+        else:
+            cond = F.col("_t") > F.col(t_prev)
+            if within:
+                cond = cond & (F.col("_t") <= F.col("_deadline"))
+            nxt = (ev.join(users.select("_u", t_prev,
+                                        *(["_deadline"] if within else [])),
+                           "_u")
+                   .filter(cond)
+                   .groupBy("_u").agg(F.min("_t").alias(f"_t{k}")))
+            users = users.join(nxt, "_u", "left")
+        t_prev = f"_t{k}"
+    counts = users.agg(*[
+        F.count(F.col(f"_t{k}")).alias(f"_n{k}")
+        for k in range(1, len(steps) + 1)])
+    stack = F.expr("stack({}, {})".format(
+        len(steps),
+        ", ".join(f"{k}, '{s}', _n{k}"
+                  for k, s in enumerate(steps, start=1))))
+    return counts.select(stack.alias("step", "step_name", "n_users"))

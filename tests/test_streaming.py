@@ -467,3 +467,31 @@ def test_stream_join_outer_batch(tables, spark):
     rows = {(r.k, r.s, r.v) for r in out.collect()}
     assert rows == {(1, "a", 5.0), (2, "b", None)}
     assert out.columns.count("k") == 1
+
+
+def test_funnel_counts_matches_python(spark):
+    """Funnel ordering + conversion window vs a literal python loop."""
+    import pandas as pd
+
+    from handyspark_spark.streaming.windows import funnel_counts
+    rows = [
+        # u1 completes in order within window
+        (1, "a", "2024-01-01 10:00:00"), (1, "b", "2024-01-01 10:05:00"),
+        (1, "c", "2024-01-01 10:10:00"),
+        # u2: b BEFORE a -> stops at a
+        (2, "b", "2024-01-01 09:00:00"), (2, "a", "2024-01-01 10:00:00"),
+        # u3: completes a->b but c outside the window
+        (3, "a", "2024-01-01 10:00:00"), (3, "b", "2024-01-01 10:30:00"),
+        (3, "c", "2024-01-03 10:00:00"),
+        # u4 never does a
+        (4, "b", "2024-01-01 10:00:00"), (4, "c", "2024-01-01 11:00:00"),
+    ]
+    df = (spark.createDataFrame(rows, "user_id int, event_type string, ts string")
+          .withColumn("ts", F.to_timestamp("ts")))
+    got = {r.step_name: r.n_users for r in
+           funnel_counts(df, ["a", "b", "c"], within="1 day").collect()}
+    assert got == {"a": 3, "b": 2, "c": 1}
+    # no window: u3 converts too
+    got2 = {r.step_name: r.n_users for r in
+            funnel_counts(df, ["a", "b", "c"]).collect()}
+    assert got2 == {"a": 3, "b": 2, "c": 2}
