@@ -267,6 +267,15 @@ class HandyFrame:
         return pd.DataFrame(out, index=["count", "mean", "std", "min",
                                         "25%", "50%", "75%", "max"])
 
+    def profile(self, colnames=None, exact: bool = False) -> pd.DataFrame:
+        """Whole-frame data-quality profile: one row per column with
+        (n, n_null, n_distinct, min, max, mean, std) — ONE wide
+        aggregation (HLL distinct by default, ``exact=True`` for the
+        multi-distinct expand). Beyond-reference surface."""
+        from ..operators import agg as A
+        return (A.profile_plan(self._df, colnames, exact=exact)
+                .toPandas().set_index("column"))
+
     def nunique(self, exact: bool = False) -> pd.Series:
         from ..operators import agg as A
         pdf = A.nunique_plan(self._df, self._df.columns, exact=exact).toPandas()

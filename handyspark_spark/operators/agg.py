@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "summary_plan", "value_counts_plan", "mode_plan", "nunique_plan",
     "isnull_plan", "entropy_plan", "mutual_info_plan", "corr_plan",
-    "percentile_expr",
+    "percentile_expr", "profile_plan",
 ]
 
 
@@ -264,3 +264,45 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         len(pairs),
         ", ".join(f"'{cx}', '{cy}', `{cx}__{cy}`" for cx, cy in pairs)))
     return wide.select(*strata, stack.alias("col_x", "col_y", "corr"))
+
+
+def profile_plan(df: DataFrame, colnames: list[str] | None = None,
+                 exact: bool = False) -> DataFrame:
+    """Whole-frame column profile in ONE wide aggregation: per column a
+    row (column, n, n_null, n_distinct, min, max, mean, std) — the
+    dataset-card / data-quality summary. Numeric columns get the four
+    moment stats (cast to double); other types profile as NULL there.
+
+    ``exact=False`` (default) uses HLL++ distinct counts — a single
+    mergeable-sketch pass with no expand, the 100 TB path. ``exact=True``
+    plans Spark's multi-distinct expand (one job, |cols|× input rows
+    regenerated) — the oracle-grade switch. Output is |cols| rows
+    unpivoted driver-side from the single result row."""
+    from pyspark.sql.types import NumericType
+    cols = colnames or df.columns
+    numeric = {f.name for f in df.schema.fields
+               if isinstance(f.dataType, NumericType)}
+    exprs = []
+    for c in cols:
+        col = F.col(c)
+        exprs += [
+            F.count(col).alias(f"cnt__{c}"),
+            F.count_if(col.isNull()).alias(f"nul__{c}"),
+            (F.countDistinct(col) if exact
+             else F.approx_count_distinct(col)).alias(f"dst__{c}")]
+        if c in numeric:
+            d = col.cast("double")
+            exprs += [F.min(d).alias(f"min__{c}"),
+                      F.max(d).alias(f"max__{c}"),
+                      F.mean(d).alias(f"mean__{c}"),
+                      F.stddev(d).alias(f"std__{c}")]
+        else:
+            exprs += [F.lit(None).cast("double").alias(f"{m}__{c}")
+                      for m in ("min", "max", "mean", "std")]
+    wide = summary_plan(df, exprs)
+    parts = ", ".join(
+        f"'{c}', cnt__{c}, nul__{c}, dst__{c}, "
+        f"min__{c}, max__{c}, mean__{c}, std__{c}" for c in cols)
+    stack = F.expr(f"stack({len(cols)}, {parts})")
+    return wide.select(stack.alias(
+        "column", "n", "n_null", "n_distinct", "min", "max", "mean", "std"))

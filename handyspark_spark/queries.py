@@ -1739,6 +1739,35 @@ def q_tpch_q5(spark, sf_dir):
              .agg(F.round(F.sum(rev), 2).alias("revenue")))
 
 
+_PROFILE_NUM = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"]
+_PROFILE_OTHER = ["l_returnflag", "l_shipdate"]
+
+
+@query("profile", "\nUNION ALL\n".join(
+    [f"""SELECT '{c}' AS "column", COUNT({c}) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       ROUND(MIN({c})::DOUBLE, 4) AS min, ROUND(MAX({c})::DOUBLE, 4) AS max,
+       ROUND(AVG({c})::DOUBLE, 4) AS mean,
+       ROUND(STDDEV_SAMP({c})::DOUBLE, 4) AS std
+FROM lineitem""" for c in _PROFILE_NUM] +
+    [f"""SELECT '{c}', COUNT({c}),
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT {c}),
+       NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
+FROM lineitem""" for c in _PROFILE_OTHER]))
+def q_profile(spark, sf_dir):
+    """Whole-frame column profile — one wide agg, long-form output
+    (exact distinct for the oracle; HLL is the default path)."""
+    df = _t(spark, sf_dir, "lineitem")
+    out = A.profile_plan(df, _PROFILE_NUM + _PROFILE_OTHER, exact=True)
+    return out.select(
+        "column", "n", "n_null", "n_distinct",
+        *[F.round(m, 4).alias(m) for m in ("min", "max", "mean", "std")])
+
+
 @query("tpch_q4", """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders o

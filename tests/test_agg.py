@@ -164,3 +164,28 @@ def test_nan_treated_as_missing_in_pandas_semantics_ops(spark):
     assert mu == mu                           # mean not poisoned by NaN
     import numpy.testing as npt
     npt.assert_almost_equal(mu, 4 / 7)   # ids 3..9: four 1s, three 0s
+
+
+def test_profile_matches_pandas(tables, pdf_tables):
+    """profile(): counts/nulls/distinct for every column + moments for
+    numerics, in one wide agg — vs pandas."""
+    hdf = tables["lineitem"].toHandy()
+    got = hdf.profile(exact=True)
+    pdf = pdf_tables["lineitem"]
+    for c in pdf.columns:
+        r = got.loc[c]
+        assert r["n"] == pdf[c].notna().sum()
+        assert r["n_null"] == pdf[c].isna().sum()
+        assert r["n_distinct"] == pdf[c].nunique()
+    num = pdf.select_dtypes("number")
+    for c in num.columns:
+        r = got.loc[c]
+        assert r["min"] == pytest.approx(num[c].min())
+        assert r["max"] == pytest.approx(num[c].max())
+        assert r["mean"] == pytest.approx(num[c].mean())
+        assert r["std"] == pytest.approx(num[c].std())
+    # approx path: sane tolerances, single job
+    approx = hdf.profile()
+    for c in pdf.columns:
+        assert abs(approx.loc[c, "n_distinct"] - pdf[c].nunique()) \
+            <= max(3, 0.1 * pdf[c].nunique())
