@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "summary_plan", "value_counts_plan", "mode_plan", "nunique_plan",
     "isnull_plan", "entropy_plan", "mutual_info_plan", "corr_plan",
-    "percentile_expr", "profile_plan",
+    "percentile_expr", "profile_plan", "percentile_distributed_plan",
 ]
 
 
@@ -306,3 +306,57 @@ def profile_plan(df: DataFrame, colnames: list[str] | None = None,
     stack = F.expr(f"stack({len(cols)}, {parts})")
     return wide.select(stack.alias(
         "column", "n", "n_null", "n_distinct", "min", "max", "mean", "std"))
+
+
+def percentile_distributed_plan(df: DataFrame, colname: str,
+                                qs: list[float]) -> DataFrame:
+    """EXACT type-7 (linear-interpolation) percentiles computed fully
+    distributed — no single-reducer value buffer.
+
+    Spark's native ``percentile`` aggregate (our fused ``exact=`` path)
+    collects every (value, count) pair into ONE final aggregation buffer:
+    exact, but memory-bounded by |distinct values| on a single reducer.
+    This plan is the selection-by-rank alternative that survives
+    |distinct| ~ |rows| at 100 TB:
+
+    1. value counts — one shuffle, map-side combine;
+    2. distributed cumulative counts over the sorted values
+       (``rank.ranged_cumsum`` on the narrow (v, c) frame);
+    3. the fractional target rank r(q) = 1 + (n-1)·q needs the values at
+       positions ⌊r⌋/⌈r⌉: a broadcast join of the (tiny) target table
+       against the cum frame on ``cum ≥ k AND cum − c < k`` picks each
+       bracketing value, and one |q|-row aggregation interpolates.
+
+    Returns (q, value) with one row per requested quantile."""
+    from .rank import ranged_cumsum
+    counts = (df.select(F.col(colname).cast("double").alias("v"))
+              .dropna()
+              .groupBy("v").agg(F.count(F.lit(1)).alias("c")))
+    cum, ptot = ranged_cumsum(counts, ["v"], ["c"])
+    tot = ptot.agg(F.sum("_tot_c").alias("_n"))
+    spark = df.sparkSession
+    targets = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # fractional 1-based rank of each target under type-7
+    t = (targets.crossJoin(F.broadcast(tot))
+         .select("q", "_n",
+                 (F.lit(1.0) + (F.col("_n") - 1) * F.col("q"))
+                 .alias("_r")))
+    lo = F.floor(F.col("_r")).cast("long")
+    hi = F.ceil(F.col("_r")).cast("long")
+    hit = (cum.join(F.broadcast(t),
+                    ((F.col("_cum_c") >= lo) &
+                     (F.col("_cum_c") - F.col("c") < lo)) |
+                    ((F.col("_cum_c") >= hi) &
+                     (F.col("_cum_c") - F.col("c") < hi))))
+    # a single value row can bracket both positions (lo == hi or both
+    # inside one tie run); min/max within the target group recover the
+    # two bracket values either way
+    vlo = F.min(F.when((F.col("_cum_c") >= lo) &
+                       (F.col("_cum_c") - F.col("c") < lo), F.col("v")))
+    vhi = F.max(F.when((F.col("_cum_c") >= hi) &
+                       (F.col("_cum_c") - F.col("c") < hi), F.col("v")))
+    frac = F.col("_r") - F.floor(F.col("_r"))
+    return (hit.groupBy("q", "_r")
+            .agg(vlo.alias("_vlo"), vhi.alias("_vhi"))
+            .select("q", (F.col("_vlo") + frac *
+                          (F.col("_vhi") - F.col("_vlo"))).alias("value")))

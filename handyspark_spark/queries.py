@@ -1739,6 +1739,26 @@ def q_tpch_q5(spark, sf_dir):
              .agg(F.round(F.sum(rev), 2).alias("revenue")))
 
 
+@query("percentiles_distributed", """
+SELECT q, ROUND(CASE q
+         WHEN 0.25 THEN quantile_cont(l_extendedprice, 0.25)
+         WHEN 0.50 THEN quantile_cont(l_extendedprice, 0.50)
+         WHEN 0.75 THEN quantile_cont(l_extendedprice, 0.75)
+         WHEN 0.99 THEN quantile_cont(l_extendedprice, 0.99)
+       END, 4) AS value
+FROM lineitem, (SELECT unnest([0.25, 0.50, 0.75, 0.99]) AS q)
+GROUP BY q
+""")
+def q_percentiles_distributed(spark, sf_dir):
+    """Exact type-7 percentiles via distributed selection-by-rank (no
+    single-reducer value buffer — the 100 TB exact path; the fused
+    native-``percentile`` form stays for one-pass multi-stat aggs)."""
+    df = _t(spark, sf_dir, "lineitem")
+    out = A.percentile_distributed_plan(df, "l_extendedprice",
+                                        [0.25, 0.50, 0.75, 0.99])
+    return out.select("q", F.round("value", 4).alias("value"))
+
+
 _PROFILE_NUM = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
                 "l_discount"]
 _PROFILE_OTHER = ["l_returnflag", "l_shipdate"]

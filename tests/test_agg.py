@@ -1,5 +1,6 @@
 """Aggregation core vs pandas oracle (the reference's differential-test
 strategy, SURVEY.md §5)."""
+import numpy as np
 import numpy.testing as npt
 import pytest
 
@@ -189,3 +190,18 @@ def test_profile_matches_pandas(tables, pdf_tables):
     for c in pdf.columns:
         assert abs(approx.loc[c, "n_distinct"] - pdf[c].nunique()) \
             <= max(3, 0.1 * pdf[c].nunique())
+
+
+def test_percentile_distributed_matches_numpy(tables, pdf_tables):
+    """Distributed selection-by-rank percentiles == numpy type-7,
+    including endpoints and a heavy-ties column."""
+    from handyspark_spark.operators.agg import percentile_distributed_plan
+    li = tables["lineitem"]
+    pdf = pdf_tables["lineitem"]
+    for col in ["l_extendedprice", "l_quantity"]:       # continuous + ties
+        qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+        got = {r.q: r.value for r in
+               percentile_distributed_plan(li, col, qs).collect()}
+        for q in qs:
+            assert got[q] == pytest.approx(
+                float(np.quantile(pdf[col].to_numpy(), q)), abs=1e-9)
