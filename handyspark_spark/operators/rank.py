@@ -186,7 +186,11 @@ def ranged_avg_rank(df: DataFrame, col: str, name: str,
     d = df.withColumn(_BKT,
                       F.when(c.isNull(), F.lit(-1)).otherwise(bkt))
     w_rank = Window.partitionBy(_BKT).orderBy(c)
-    w_ties = Window.partitionBy(_BKT, c)
+    # tie count as the PEER count of the same sorted window (range frame
+    # (0,0) = rows equal in the order value): shares w_rank's exchange
+    # and sort — a partitionBy(_BKT, c) window would add a second hash
+    # exchange of the full data per ranked column
+    w_ties = w_rank.rangeBetween(Window.currentRow, Window.currentRow)
     local = (d.withColumn("_lrk", F.rank().over(w_rank))
               .withColumn("_ties", F.count(F.lit(1)).over(w_ties)))
     counts = (d.filter(c.isNotNull())
