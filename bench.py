@@ -53,13 +53,41 @@ def main():
         timings[name] = round(dt, 3)
         total += dt if dt == dt else 0.0
 
-    print(json.dumps({
+    payload = {
         "metric": "operator_suite_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # The driver captures only a bounded tail of stdout and json-parses the
+    # final line; a line longer than that buffer is truncated at the FRONT
+    # and becomes unparseable (this bit round 2: 90 queries -> ~3.1k chars >
+    # buffer -> BENCH_r02 "parsed": null). Keep the printed line comfortably
+    # under the buffer, degrading per-query precision first and then
+    # trimming the fastest queries; full detail always lands in
+    # bench_full.json next to this script.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
+    line_budget = 2300
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > line_budget:
+        payload["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > line_budget and payload["queries"]:
+        # drop the fastest remaining query; keep the expensive ones visible
+        slowest = dict(sorted(payload["queries"].items(),
+                              key=lambda kv: -(kv[1] if kv[1] == kv[1] else 1e9)))
+        slowest.popitem()
+        payload["queries"] = slowest
+        payload["queries_shown"] = len(slowest)
+        payload["queries_total"] = len(timings)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -1,6 +1,6 @@
 """Training-data pipeline operators (beyond-reference surface)."""
 from .dedup import (connected_components, decontaminate,
-                    minhash_lsh_star_edges,
+                    minhash_lsh_components, minhash_lsh_star_edges,
                     embedding_neardup_pairs, exact_duplicates,
                     fingerprint_duplicates, minhash_lsh_groups,
                     minhash_lsh_pairs, minhash_signature_arrays,
@@ -20,7 +20,8 @@ from .text import (analyze, chunk, fingerprint, lang_id, pack_sequences,
 __all__ = [
     "exact_duplicates", "fingerprint_duplicates", "ngram_jaccard_pairs",
     "minhash_signatures", "minhash_signature_arrays", "minhash_lsh_pairs",
-    "minhash_lsh_groups", "minhash_lsh_star_edges", "simhash_fingerprints",
+    "minhash_lsh_groups", "minhash_lsh_star_edges", "minhash_lsh_components",
+    "simhash_fingerprints",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs", "connected_components", "decontaminate",
     "brute_force_topk", "neardup_pairs_blas", "lsh_neardup_pairs",

@@ -366,6 +366,47 @@ def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
                     .alias("cluster_id")))
 
 
+def minhash_lsh_components(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4,
+                           max_bucket_size: int | None = None,
+                           hash_fn: str = "md5",
+                           max_iterations: int = 20) -> DataFrame:
+    """Exact LSH duplicate clusters end-to-end: ONE materialized bucket
+    table feeds both the star-edge skeleton AND the seed labels
+    (node -> min bucket-min), then ``connected_components`` finishes the
+    (rare) cross-bucket chains. Seeding from the same persisted buckets
+    costs one extra groupBy but puts the labels within ~1 hop of the
+    fixpoint, so the iterative loop almost always runs a single
+    convergence round — versus ~log(diameter) rounds unseeded, each a
+    multi-join job. At 100 TB the bucket table is the only heavy shuffle;
+    everything after is linear in |docs| + |edges|."""
+    buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands,
+                           max_bucket_size, hash_fn).persist()
+    try:
+        ids = F.col("_ids")
+        n = F.size(ids)
+        star = F.transform(
+            F.slice(ids, 2, F.greatest(n - 1, F.lit(0))),
+            lambda y: F.struct(F.element_at(ids, 1).alias("id_a"),
+                               y.alias("id_b")))
+        edges = (buckets.filter(n >= 2)
+                 .select(F.explode(star).alias("_p"))
+                 .select(F.col("_p.id_a"), F.col("_p.id_b"))
+                 .distinct())
+        seed = (buckets.filter(n >= 2)
+                .select(F.element_at(ids, 1).alias("_min"),
+                        F.explode(ids).alias("node"))
+                .groupBy("node")
+                .agg(F.min("_min").alias("component")))
+        return connected_components(edges, initial=seed,
+                                    max_iterations=max_iterations)
+    finally:
+        # lazy unpersist is safe: connected_components localCheckpoints
+        # the labels, so the returned plan no longer reads the buckets
+        buckets.unpersist()
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document via an Arrow pandas UDF (numpy

@@ -610,7 +610,7 @@ WITH s AS (
     THEN 1.0 ELSE 0.0 END AS is_en
   FROM s
 )
-SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
        ROUND(AVG(q), 4) AS avg_quality,
        ROUND(AVG(is_en), 4) AS pct_en,
        COUNT(DISTINCT fp) AS n_unique,
@@ -675,8 +675,9 @@ WITH c AS (
   FROM cum
 )
 SELECT doc_id, seq_id,
-       GREATEST(seq_id * 512 - tok_offset, 0) AS tok_start,
-       LEAST((seq_id + 1) * 512 - tok_offset, n_tokens) AS tok_end
+       CAST(GREATEST(seq_id * 512 - tok_offset, 0) AS BIGINT) AS tok_start,
+       CAST(LEAST((seq_id + 1) * 512 - tok_offset, n_tokens) AS BIGINT)
+         AS tok_end
 FROM e
 """)
 def q_pack_sequences(spark, sf_dir):
@@ -2089,15 +2090,16 @@ def q_range_join(spark, sf_dir):
 
 @query("pivot_priority", """
 SELECT o_orderstatus,
-       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-         AS urgent,
-       SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
-         AS high,
-       SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
-         AS medium,
-       SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
-         AS notspec,
-       SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+            AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0
+                END) AS BIGINT) AS notspec,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+            AS BIGINT) AS low
 FROM orders GROUP BY o_orderstatus
 """)
 def q_pivot_priority(spark, sf_dir):
@@ -2261,14 +2263,13 @@ def q_dedup_components(spark, sf_dir):
     connected components (transitive closure). Genuinely iterative —
     rows-only per the driver contract for iterative algorithms;
     component validity pinned in tests/test_pipeline.py."""
-    from .pipeline.dedup import connected_components, minhash_lsh_star_edges
+    from .pipeline.dedup import minhash_lsh_components
     df = _t(spark, sf_dir, "documents")
-    # star skeleton, not the full clique pair list: same transitive
-    # closure per bucket, O(|bucket|) edges instead of O(|bucket|²) —
-    # at sf0.1 this is ~7k edges instead of 181k pairs feeding the loop
-    edges = minhash_lsh_star_edges(df, num_hashes=16, bands=2,
-                                   max_bucket_size=500)
-    # unseeded: recomputing the LSH pipeline a second time to build a
-    # seed costs more than the 1-2 extra propagation rounds it saves
-    # (seeding pays off only when the seed is ALREADY materialized)
-    return connected_components(edges)
+    # fused path: ONE persisted bucket table feeds star edges (same
+    # transitive closure as the clique pairs, O(|bucket|) edges) AND the
+    # bucket-min seed labels, so the iterative loop usually needs a
+    # single convergence round; xxhash64 signatures because this result
+    # never leaves Spark (no cross-engine oracle to reproduce md5 for)
+    return minhash_lsh_components(df, num_hashes=16, bands=2,
+                                  max_bucket_size=500,
+                                  hash_fn="xxhash64")

@@ -54,9 +54,8 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         except Exception:  # pragma: no cover - locked conf
             pass
     nanos = _nano_ts_columns(path)
-    if not nanos:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
         # integer div, NOT `/1000` — double division rounds-to-nearest at
@@ -64,6 +63,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         # some timestamps by 1 microsecond vs engines that truncate
         df = df.withColumn(c, F.timestamp_micros(
             F.expr(f"`{c}` div 1000")))
+    return _ntz_to_ltz(df)
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to plain TimestampType.
+
+    Parquet written with isAdjustedToUTC=false infers as TIMESTAMP_NTZ in
+    Spark 4, which many numeric-context expressions refuse (e.g.
+    ``cast(ts as double)`` -> DATATYPE_MISMATCH). With the session TZ
+    pinned to UTC above, the NTZ->LTZ cast preserves wall-clock values
+    exactly, so downstream arithmetic and DuckDB/pandas comparisons are
+    unchanged. Map-only projection, no data pass.
+    """
+    from pyspark.sql import types as T
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

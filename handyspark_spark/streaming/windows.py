@@ -79,10 +79,12 @@ def sessionize(df: DataFrame, ts_col: str, key_col: str,
     w = Window.partitionBy(key_col).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
     # fractional-second epoch diff (cast-to-double), not unix_timestamp
-    # (which truncates to whole seconds and shifts gap boundaries)
-    is_new = (prev.isNull() |
-              (F.col(ts_col).cast("double") - prev.cast("double")
-               > gap_seconds)).cast("long")
+    # (which truncates to whole seconds and shifts gap boundaries); the
+    # intermediate cast("timestamp") is a no-op for LTZ input but keeps
+    # TIMESTAMP_NTZ columns working (NTZ has no direct numeric cast)
+    cur = F.col(ts_col).cast("timestamp").cast("double")
+    prv = prev.cast("timestamp").cast("double")
+    is_new = (prev.isNull() | (cur - prv > gap_seconds)).cast("long")
     return df.withColumn("session_id",
                          F.sum(is_new).over(
                              w.rowsBetween(Window.unboundedPreceding, 0)))

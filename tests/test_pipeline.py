@@ -333,6 +333,22 @@ def test_components_seeded_equals_unseeded(docs):
     assert a == b
 
 
+def test_fused_lsh_components_match_clique_closure(docs):
+    """minhash_lsh_components (persisted buckets -> star edges + seed)
+    yields exactly the components of the full clique pair list."""
+    from handyspark_spark.pipeline.dedup import (connected_components,
+                                                 minhash_lsh_components,
+                                                 minhash_lsh_pairs)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=2,
+                              max_bucket_size=100)
+    want = {r.node: r.component for r in
+            connected_components(pairs).collect()}
+    got = {r.node: r.component for r in
+           minhash_lsh_components(docs, num_hashes=16, bands=2,
+                                  max_bucket_size=100).collect()}
+    assert got == want
+
+
 def test_components_pointer_jumping_long_chain(spark):
     """A 40-node chain converges within the default iteration budget
     thanks to pointer jumping (plain propagation would need 40 rounds)."""
