@@ -51,7 +51,12 @@ class BinaryClassificationMetrics:
         if self._cum is None:
             g = (self._scores.groupBy("score")
                  .agg(F.sum("label").alias("_pos"),
-                      F.sum(F.lit(1.0) - F.col("label")).alias("_neg")))
+                      F.sum(F.lit(1.0) - F.col("label")).alias("_neg"))
+                 # pin the (|distinct scores|-row) grouped frame so the
+                 # expensive score extraction + grouping runs ONCE — the
+                 # cumsum's range-exchange sampling pass would otherwise
+                 # replay the full input scan a second time
+                 .localCheckpoint(eager=False))
             cum, ptot = ranged_cumsum(
                 g, [F.col("score").desc()], ["_pos", "_neg"])
             tot = ptot.agg(F.sum("_tot__pos").alias("P"),

@@ -287,9 +287,10 @@ def profile_plan(df: DataFrame, colnames: list[str] | None = None,
         col = F.col(c)
         exprs += [
             F.count(col).alias(f"cnt__{c}"),
-            F.count_if(col.isNull()).alias(f"nul__{c}"),
-            (F.countDistinct(col) if exact
-             else F.approx_count_distinct(col)).alias(f"dst__{c}")]
+            F.count_if(col.isNull()).alias(f"nul__{c}")]
+        if not exact:
+            # HLL sketches merge in the same (expand-free) agg pass
+            exprs.append(F.approx_count_distinct(col).alias(f"dst__{c}"))
         if c in numeric:
             d = col.cast("double")
             exprs += [F.min(d).alias(f"min__{c}"),
@@ -300,6 +301,14 @@ def profile_plan(df: DataFrame, colnames: list[str] | None = None,
             exprs += [F.lit(None).cast("double").alias(f"{m}__{c}")
                       for m in ("min", "max", "mean", "std")]
     wide = summary_plan(df, exprs)
+    if exact:
+        # multi-DISTINCT plans an Expand that regenerates the input once
+        # per distinct column; keeping the 40-odd plain aggregates OUT of
+        # that plan (separate agg + 1-row × 1-row join) halves the
+        # expanded-row width and the measured wall time
+        dst = df.agg(*[F.countDistinct(F.col(c)).alias(f"dst__{c}")
+                       for c in cols])
+        wide = wide.crossJoin(F.broadcast(dst))
     parts = ", ".join(
         f"'{c}', cnt__{c}, nul__{c}, dst__{c}, "
         f"min__{c}, max__{c}, mean__{c}, std__{c}" for c in cols)

@@ -78,8 +78,16 @@ def ranged_cumsum(df: DataFrame, order_by: list, value_cols: list[str],
     """
     exprs = _order_exprs(order_by)
     n = _num_partitions(df, num_partitions)
+    # lazy localCheckpoint pins ONE materialized range partitioning shared
+    # by the cumsum and totals branches. Besides guaranteeing pid
+    # alignment without leaning on exchange reuse, it stops the branches
+    # AND the RangePartitioner sampling pass from each replaying the whole
+    # upstream plan — for a curve built over an expensive scan (e.g.
+    # metrics scores extracted from a wide array column) the upstream now
+    # runs twice (sample + exchange) instead of 4x.
     d = (df.repartitionByRange(n, *exprs)
-           .withColumn(_PID, F.spark_partition_id()))
+           .withColumn(_PID, F.spark_partition_id())
+           .localCheckpoint(eager=False))
 
     w_in = (Window.partitionBy(_PID).orderBy(*exprs)
             .rowsBetween(Window.unboundedPreceding, 0))
