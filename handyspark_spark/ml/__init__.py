@@ -1,0 +1,1 @@
+from .pca import covariance_plan, pca_fit, pca_project

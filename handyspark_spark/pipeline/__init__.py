@@ -8,7 +8,8 @@ from .dedup import (connected_components, decontaminate,
                     simhash_fingerprints, simhash_neardup_pairs)
 from .sample import (balanced_sample, hash_sample, hash_unit, mix_sources,
                      split_assign, stratified_sample)
-from .ir import bm25_topk, term_frequencies, tfidf, top_ngrams
+from .ir import (bm25_topk, pmi_collocations, term_frequencies, tfidf,
+                 top_ngrams, unigram_logprob)
 from .similarity import (brute_force_topk, ivf_topk, label_centroids,
                          lsh_neardup_pairs, neardup_pairs_blas,
                          quantize_embeddings)
@@ -27,6 +28,7 @@ __all__ = [
     "brute_force_topk", "neardup_pairs_blas", "lsh_neardup_pairs",
     "ivf_topk", "label_centroids",
     "term_frequencies", "tfidf", "bm25_topk", "top_ngrams",
+    "pmi_collocations", "unigram_logprob",
     "analyze", "chunk", "fingerprint", "lang_id", "quality_score",
     "token_count", "repetition_ratio", "pii_counts", "token_df_counts",
     "stop_tokens", "pack_sequences", "source_report", "quantize_embeddings",

@@ -97,6 +97,69 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def pmi_collocations(df: DataFrame, min_count: int = 10,
+                     text_col: str = "text") -> DataFrame:
+    """Collocation discovery: pointwise mutual information of adjacent
+    token pairs, ``pmi = ln( p(ab) / (p(a)·p(b)) )`` with p(ab) over the
+    bigram total and p(·) over the unigram total.
+
+    Plan: ONE corpus pass builds bigrams as array slices (same shape as
+    ``top_ngrams``), a second projection of the same scan counts
+    unigrams; both aggregate map-side to vocabulary-sized tables, join on
+    the token key, totals travel as broadcast 1-row aggregates. The
+    ``min_count`` filter is applied on the bigram table BEFORE the joins
+    — the joined row count is |frequent bigrams|, not |vocab|².
+    Returns (tok_a, tok_b, n_ab, pmi) — deterministic, no top-k ties."""
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+           .otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx, lambda i: F.struct(F.element_at(toks, i).alias("a"),
+                                F.element_at(toks, i + 1).alias("b")))
+    big = (df.select(F.explode(pairs).alias("_p"))
+           .select(F.col("_p.a").alias("tok_a"),
+                   F.col("_p.b").alias("tok_b"))
+           .groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+           .filter(F.col("n_ab") >= min_count))
+    uni = (df.select(F.explode(toks).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    tot = uni.agg(F.sum("n").cast("double").alias("_tu"))
+    nbig = df.select(
+        F.sum(F.greatest(F.size(tokens(text_col)) - F.lit(1), F.lit(0)))
+        .cast("double").alias("_tb"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    pmi = F.log((F.col("n_ab") / F.col("_tb")) /
+                ((F.col("n_a") / F.col("_tu")) *
+                 (F.col("n_b") / F.col("_tu"))))
+    return (big.join(ua, "tok_a").join(ub, "tok_b")
+            .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(nbig))
+            .select("tok_a", "tok_b", "n_ab", F.round(pmi, 6).alias("pmi")))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the cheapest LM-style quality signal (a
+    perplexity proxy: boilerplate scores high, lexical soup scores low).
+
+    Plan: unigram table (one corpus pass, map-side combine), token-keyed
+    join of the exploded corpus against it, per-doc mean. Every token is
+    in-vocabulary by construction so no smoothing is needed. Returns
+    (id_col, n_tokens, avg_logprob)."""
+    toks = tokens(text_col)
+    uni = (df.select(F.explode(toks).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    tot = uni.agg(F.sum("n").cast("double").alias("_t"))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    lp = F.log(F.col("n") / F.col("_t"))
+    return (exploded.join(uni, "tok").crossJoin(F.broadcast(tot))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(lp), 6).alias("avg_logprob")))
+
+
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
                text_col: str = "text") -> DataFrame:
     """Corpus-wide most frequent token n-grams — the language-model count

@@ -2273,3 +2273,149 @@ def q_dedup_components(spark, sf_dir):
     return minhash_lsh_components(df, num_hashes=16, bands=2,
                                   max_bucket_size=500,
                                   hash_fn="xxhash64")
+
+
+# ---------------------------------------------------------------------------
+# Event analytics (operators/events.py) + LM/collocation stats (pipeline/ir)
+# ---------------------------------------------------------------------------
+
+@query("user_features", """
+SELECT event_id, user_id,
+       COUNT(*) OVER w1 AS f_cnt_3600s,
+       ROUND(SUM(value) OVER w1, 6) AS f_sum_3600s,
+       COUNT(*) OVER w7 AS f_cnt_604800s,
+       ROUND(SUM(value) OVER w7, 6) AS f_sum_604800s
+FROM events
+WINDOW
+  w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+  w7 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)
+""")
+def q_user_features(spark, sf_dir):
+    """Point-in-time trailing-window features per event (1h + 7d count
+    and value-sum per user) — the training-data feature-extraction shape:
+    one sorted exchange on user_id shared by all window lengths, leakage-
+    free by frame construction."""
+    from .operators.events import trailing_features
+    df = _t(spark, sf_dir, "events")
+    out = trailing_features(df, "ts", "user_id", "value",
+                            windows_seconds=[3600, 604800])
+    return out.select("event_id", "user_id",
+                      "f_cnt_3600s", "f_sum_3600s",
+                      "f_cnt_604800s", "f_sum_604800s")
+
+
+@query("event_transitions", """
+WITH o AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n
+FROM o WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""")
+def q_event_transitions(spark, sf_dir):
+    """Markov transition counts between consecutive event types per user
+    (one per-user LEAD window + one |types|^2 grouped count); ties on ts
+    broken by event_id for cross-engine determinism."""
+    from .operators.events import event_transitions
+    df = _t(spark, sf_dir, "events")
+    return event_transitions(df, "ts", "user_id", "event_type",
+                             tiebreak_col="event_id")
+
+
+@query("cohort_retention", """
+WITH a AS (
+  SELECT user_id, YEAR(ts) * 12 + MONTH(ts) AS m FROM events
+), f AS (
+  SELECT user_id, MIN(m) AS m0 FROM a GROUP BY user_id
+)
+SELECT CAST(MAKE_DATE(CAST((m0 - 1) // 12 AS INT),
+                 CAST((m0 - 1) % 12 AS INT) + 1, 1) AS TIMESTAMP)
+         AS cohort_month,
+       CAST(m - m0 AS INT) AS month_index,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY cohort_month, month_index
+""")
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity month, distinct
+    actives per months-since-cohort index (integer month arithmetic —
+    portable across engines)."""
+    from .operators.events import cohort_retention
+    df = _t(spark, sf_dir, "events")
+    return cohort_retention(df, "ts", "user_id")
+
+
+@query("pmi_bigrams", """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+        FROM toks),
+big AS (
+  SELECT t[i] AS tok_a, t[i+1] AS tok_b, COUNT(*) AS n_ab
+  FROM idx GROUP BY tok_a, tok_b HAVING COUNT(*) >= 20
+),
+uni AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+),
+tu AS (SELECT SUM(n)::DOUBLE AS tu FROM uni),
+tb AS (SELECT SUM(greatest(len(t) - 1, 0))::DOUBLE AS tb FROM toks)
+SELECT b.tok_a, b.tok_b, b.n_ab,
+       ROUND(LN((b.n_ab / tb) / ((ua.n / tu) * (ub.n / tu))), 6) AS pmi
+FROM big b
+JOIN uni ua ON ua.tok = b.tok_a
+JOIN uni ub ON ub.tok = b.tok_b, tu, tb
+""")
+def q_pmi_bigrams(spark, sf_dir):
+    """Collocation discovery: PMI of adjacent token pairs with count >= 20
+    (min_count filter BEFORE the vocabulary joins; totals broadcast)."""
+    from .pipeline.ir import pmi_collocations
+    df = _t(spark, sf_dir, "documents")
+    return pmi_collocations(df, min_count=20)
+
+
+@query("unigram_logprob", """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT SUM(n)::DOUBLE AS t FROM uni)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(LN(n / t)), 6) AS avg_logprob
+FROM toks JOIN uni USING (tok), tot
+GROUP BY doc_id
+""")
+def q_unigram_logprob(spark, sf_dir):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — LM-style quality signal (perplexity proxy)."""
+    from .pipeline.ir import unigram_logprob
+    df = _t(spark, sf_dir, "documents")
+    return unigram_logprob(df)
+
+
+@query("covariance_matrix", """
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_x, 'l_quantity' AS col_y,
+         ROUND(covar_samp(l_quantity, l_quantity), 4) AS cov FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount',
+         ROUND(covar_samp(l_quantity, l_discount), 4) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax',
+         ROUND(covar_samp(l_quantity, l_tax), 4) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_discount',
+         ROUND(covar_samp(l_discount, l_discount), 4) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax',
+         ROUND(covar_samp(l_discount, l_tax), 4) FROM lineitem
+  UNION ALL SELECT 'l_tax', 'l_tax',
+         ROUND(covar_samp(l_tax, l_tax), 4) FROM lineitem
+)
+""")
+def q_covariance_matrix(spark, sf_dir):
+    """Pairwise sample covariance (upper triangle, long form) — ONE wide
+    aggregation; the k x k matrix that feeds driver-side PCA (ml/pca.py)."""
+    from .ml.pca import covariance_plan
+    df = _t(spark, sf_dir, "lineitem")
+    out = covariance_plan(df, ["l_quantity", "l_discount", "l_tax"])
+    return out.select("col_x", "col_y", F.round("cov", 4).alias("cov"))
