@@ -1,5 +1,7 @@
 """Operator plan builders."""
 from .asof import asof_join
+from .incremental import (finalize_state, merge_states,
+                          partial_aggregate)
 from .events import cohort_retention, event_transitions, trailing_features
 from .rangejoin import range_join
 from .skew import salted_agg, salted_join
@@ -7,4 +9,5 @@ from .stats import KolmogorovSmirnovTest, ks_test, tTest, ttest
 from .upsert import latest_by_key, upsert
 
 __all__ = ["asof_join", "trailing_features", "event_transitions", "cohort_retention", "range_join", "salted_agg", "salted_join", "ttest", "tTest",
-           "ks_test", "KolmogorovSmirnovTest", "latest_by_key", "upsert"]
+           "ks_test", "KolmogorovSmirnovTest", "latest_by_key", "upsert",
+           "partial_aggregate", "merge_states", "finalize_state"]

@@ -2419,3 +2419,71 @@ def q_covariance_matrix(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
     out = covariance_plan(df, ["l_quantity", "l_discount", "l_tax"])
     return out.select("col_x", "col_y", F.round("cov", 4).alias("cov"))
+
+
+@query("incremental_stats", """
+WITH a AS (
+  SELECT user_id, COUNT(value) AS n, SUM(value) AS s,
+         SUM(value * value) AS s2, MIN(value) AS mn, MAX(value) AS mx
+  FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+), b AS (
+  SELECT user_id, COUNT(value) AS n, SUM(value) AS s,
+         SUM(value * value) AS s2, MIN(value) AS mn, MAX(value) AS mx
+  FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+), m AS (
+  SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+         COALESCE(a.n, 0) + COALESCE(b.n, 0) AS n,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS s,
+         COALESCE(a.s2, 0) + COALESCE(b.s2, 0) AS s2,
+         LEAST(COALESCE(a.mn, b.mn), COALESCE(b.mn, a.mn)) AS mn,
+         GREATEST(COALESCE(a.mx, b.mx), COALESCE(b.mx, a.mx)) AS mx
+  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+)
+SELECT user_id, n, ROUND(s, 6) AS total, ROUND(s / n, 6) AS mean,
+       ROUND(CASE WHEN n >= 2
+             THEN SQRT(GREATEST((s2 - s * s / n) / (n - 1), 0)) END, 6)
+         AS std,
+       mn AS min, mx AS max
+FROM m
+""")
+def q_incremental_stats(spark, sf_dir):
+    """Incremental aggregate maintenance: per-user stats from TWO partial
+    state tables (even/odd event slices) merged and finalized — the
+    daily-slice update pattern; algebraic pieces so merge order is
+    irrelevant. Equals a direct aggregation by construction."""
+    from .operators.incremental import (finalize_state, merge_states,
+                                        partial_aggregate)
+    df = _t(spark, sf_dir, "events")
+    a = partial_aggregate(df.filter(F.col("event_id") % 2 == 0),
+                          ["user_id"], "value")
+    b = partial_aggregate(df.filter(F.col("event_id") % 2 == 1),
+                          ["user_id"], "value")
+    return finalize_state(merge_states(a, b, ["user_id"]), ["user_id"])
+
+
+@query("zorder_keys", """
+WITH z AS (
+  SELECT o_orderkey,
+         o_custkey % 256 AS x, (o_orderkey // 7) % 256 AS y
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(list_sum(list_transform(range(0, 8), b ->
+           ((x >> b) & 1) * (1::BIGINT << (2 * b))
+         + ((y >> b) & 1) * (1::BIGINT << (2 * b + 1)))) AS BIGINT)
+         AS zvalue
+FROM z
+""")
+def q_zorder_keys(spark, sf_dir):
+    """Morton/Z-order clustering key over two 8-bit dimensions — the
+    multi-dimensional data-skipping layout (sinks.zorder_by range-
+    partitions + sorts on this value so every parquet file covers a
+    small rectangle of the key space). Pure native bit expression;
+    dimensions are deterministic modular arithmetic so the oracle checks
+    the interleave bit-for-bit."""
+    from .sources.sinks import zorder_value
+    df = _t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = ((F.col("o_orderkey") / 7).cast("long") % 256).cast("long")
+    return df.select("o_orderkey",
+                     zorder_value([x, y], bits=8).alias("zvalue"))
