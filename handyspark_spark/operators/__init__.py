@@ -2,6 +2,8 @@
 from .asof import asof_join
 from .incremental import (finalize_state, merge_states,
                           partial_aggregate)
+from .quality import Check, constraint_report
+from .timeseries import resample, scd2_history
 from .events import cohort_retention, event_transitions, trailing_features
 from .rangejoin import range_join
 from .skew import salted_agg, salted_join
@@ -10,4 +12,5 @@ from .upsert import latest_by_key, upsert
 
 __all__ = ["asof_join", "trailing_features", "event_transitions", "cohort_retention", "range_join", "salted_agg", "salted_join", "ttest", "tTest",
            "ks_test", "KolmogorovSmirnovTest", "latest_by_key", "upsert",
-           "partial_aggregate", "merge_states", "finalize_state"]
+           "partial_aggregate", "merge_states", "finalize_state",
+           "resample", "scd2_history", "Check", "constraint_report"]

@@ -2487,3 +2487,127 @@ def q_zorder_keys(spark, sf_dir):
     y = ((F.col("o_orderkey") / 7).cast("long") % 256).cast("long")
     return df.select("o_orderkey",
                      zorder_value([x, y], bits=8).alias("zvalue"))
+
+
+@query("resample_hourly", """
+WITH e AS (
+  SELECT user_id AS k, epoch_us(ts) // 3600000000 AS b, value AS v
+  FROM events
+), pb AS (
+  SELECT k, b, ROUND(SUM(v), 6) AS val FROM e GROUP BY k, b
+), spans AS (
+  SELECT k, MIN(b) AS lo, MAX(b) AS hi FROM e GROUP BY k
+), grid AS (
+  SELECT k, unnest(range(lo, hi + 1)) AS b FROM spans
+), j AS (
+  SELECT g.k, g.b, pb.val FROM grid g LEFT JOIN pb USING (k, b)
+)
+SELECT k AS user_id, make_timestamp(b * 3600000000) AS bucket_ts,
+       LAST_VALUE(val IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value
+FROM j
+""")
+def q_resample_hourly(spark, sf_dir):
+    """Per-user hourly resample of event values with forward fill —
+    irregular log -> regular grid (F.sequence fan-out, no calendar cross
+    join; ffill via last_value IGNORE NULLS on the keyed exchange)."""
+    from .operators.timeseries import resample
+    df = _t(spark, sf_dir, "events")
+    return resample(df, "ts", "user_id", 3600, "value",
+                    agg="sum", fill="ffill")
+
+
+@query("scd2_history", """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changed AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM o WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to
+FROM changed
+""")
+def q_scd2_history(spark, sf_dir):
+    """SCD2 validity intervals from the event log (state = event_type):
+    change rows via null-safe LAG compare, intervals closed with LEAD —
+    the warehouse dimension-history build, one sorted exchange."""
+    from .operators.timeseries import scd2_history
+    df = _t(spark, sf_dir, "events")
+    return scd2_history(df, "user_id", "ts", ["event_type"],
+                        tiebreak_col="event_id")
+
+
+@query("constraint_report", """
+SELECT * FROM (
+  SELECT 'not_null' AS "constraint", 'o_custkey' AS "column",
+         ROUND(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE
+               / GREATEST(COUNT(*), 1), 6) AS metric,
+         0.0 AS threshold,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE
+           / GREATEST(COUNT(*), 1) <= 1e-12 AS passed
+  FROM orders
+  UNION ALL
+  SELECT 'in_range', 'o_totalprice',
+         ROUND(SUM(CASE WHEN o_totalprice IS NOT NULL AND
+                   (o_totalprice < 0 OR o_totalprice > 1000000)
+                   THEN 1 ELSE 0 END)::DOUBLE / GREATEST(COUNT(*), 1), 6),
+         0.0,
+         SUM(CASE WHEN o_totalprice IS NOT NULL AND
+             (o_totalprice < 0 OR o_totalprice > 1000000)
+             THEN 1 ELSE 0 END)::DOUBLE / GREATEST(COUNT(*), 1) <= 1e-12
+  FROM orders
+  UNION ALL
+  SELECT 'isin', 'o_orderstatus',
+         ROUND(SUM(CASE WHEN o_orderstatus IS NOT NULL AND
+                   o_orderstatus NOT IN ('O','F','P')
+                   THEN 1 ELSE 0 END)::DOUBLE / GREATEST(COUNT(*), 1), 6),
+         0.0,
+         SUM(CASE WHEN o_orderstatus IS NOT NULL AND
+             o_orderstatus NOT IN ('O','F','P')
+             THEN 1 ELSE 0 END)::DOUBLE / GREATEST(COUNT(*), 1) <= 1e-12
+  FROM orders
+  UNION ALL
+  SELECT 'matches', 'o_orderpriority',
+         ROUND(SUM(CASE WHEN o_orderpriority IS NOT NULL AND
+                   regexp_matches(o_orderpriority, '^[1-5]-')
+                   THEN 1 ELSE 0 END)::DOUBLE / GREATEST(COUNT(*), 1), 6),
+         1.0,
+         SUM(CASE WHEN o_orderpriority IS NOT NULL AND
+             regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1 ELSE 0 END)::DOUBLE / GREATEST(COUNT(*), 1)
+           >= 1.0 - 1e-12
+  FROM orders
+  UNION ALL
+  SELECT 'min_rows', '*', COUNT(*)::DOUBLE, 1000.0,
+         COUNT(*) >= 1000 - 1e-12
+  FROM orders
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         ROUND(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE
+               / GREATEST(COUNT(*), 1), 6), 0.0,
+         SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE
+           / GREATEST(COUNT(*), 1) <= 1e-12
+  FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+) ORDER BY "constraint", "column"
+""")
+def q_constraint_report(spark, sf_dir):
+    """Deequ-style declarative data-quality gate: the whole constraint
+    suite (nullability, range, membership, regex shape, row floor)
+    compiles into ONE aggregation pass; exact uniqueness adds its one
+    unavoidable grouped pass."""
+    from .operators.quality import Check, constraint_report
+    df = _t(spark, sf_dir, "orders")
+    chk = (Check()
+           .not_null("o_custkey")
+           .in_range("o_totalprice", 0, 1_000_000)
+           .isin("o_orderstatus", ["O", "F", "P"])
+           .matches("o_orderpriority", "^[1-5]-")
+           .min_rows(1000)
+           .unique("o_orderkey"))
+    return constraint_report(df, chk)
