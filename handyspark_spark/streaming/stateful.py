@@ -58,3 +58,51 @@ def running_user_stats(events: DataFrame,
             .applyInPandasWithState(_update, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def maintain_state_table(stream: DataFrame, state_path: str,
+                         keys: list[str], value_col: str,
+                         checkpoint_path: str,
+                         trigger_available_now: bool = True):
+    """Streaming incremental-aggregate maintenance: fold each micro-batch
+    into a persistent per-key state table (``operators.incremental``
+    pieces) with ``foreachBatch``.
+
+    Every batch: partial-aggregate the new rows (|batch| work), merge
+    with the stored |keys|-sized state, atomically replace it. The state
+    stays servable between batches via ``finalize_state``. This is the
+    standard lakehouse pattern when the aggregate must survive restarts
+    and be readable OUTSIDE the streaming job — the in-flight
+    alternative (``applyInPandasWithState``) keeps state hostage to the
+    query's checkpoint.
+
+    Restart semantics: foreachBatch gives at-least-once delivery, and
+    this merge is NOT idempotent by itself — a replayed batch would
+    double-count. The checkpoint makes replays rare (only the batch
+    in-flight at a crash); exactly-once needs a transactional table
+    format recording the batch id, out of scope for plain parquet.
+
+    Returns the started StreamingQuery."""
+    from ..operators.incremental import merge_states, partial_aggregate
+
+    def _fold(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        part = partial_aggregate(batch, keys, value_col)
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = merge_states(prev, part, keys)
+        except Exception:           # first batch: no state yet
+            merged = part
+        # two-phase write: parquet can't read+overwrite the same path in
+        # one job; land the merge next to the state, then swap
+        tmp = state_path.rstrip("/") + "._next"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+        shutil.rmtree(state_path, ignore_errors=True)
+        shutil.move(tmp, state_path)
+
+    w = (stream.writeStream.foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_path))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

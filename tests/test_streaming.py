@@ -495,3 +495,42 @@ def test_funnel_counts_matches_python(spark):
     got2 = {r.step_name: r.n_users for r in
             funnel_counts(df, ["a", "b", "c"]).collect()}
     assert got2 == {"a": 3, "b": 2, "c": 2}
+
+
+def test_maintain_state_table_matches_batch(spark, tables, tmp_path):
+    """foreachBatch incremental state maintenance: after draining the
+    stream (multiple micro-batches), the finalized state table equals
+    the direct batch aggregation over the same data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from handyspark_spark.operators.incremental import finalize_state
+    from handyspark_spark.streaming.stateful import maintain_state_table
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    ev = tables["events"].limit(3000).select("user_id", "value")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    state = str(tmp_path / "state")
+    q = maintain_state_table(stream, state, ["user_id"], "value",
+                             checkpoint_path=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {r.user_id: r.asDict() for r in
+           finalize_state(spark.read.parquet(state),
+                          ["user_id"]).collect()}
+    exp = {r.user_id: r.asDict() for r in
+           (ev.groupBy("user_id")
+            .agg(F.count("value").alias("n"),
+                 F.round(F.sum("value"), 6).alias("total"),
+                 F.round(F.avg("value"), 6).alias("mean"),
+                 F.round(F.stddev("value"), 6).alias("std"),
+                 F.min("value").alias("min"),
+                 F.max("value").alias("max"))).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k]["n"] == exp[k]["n"]
+        for f in ("total", "mean", "min", "max"):
+            assert abs(got[k][f] - exp[k][f]) < 1e-4, (k, f)
