@@ -50,7 +50,8 @@ def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
 
 def ranged_cumsum(df: DataFrame, order_by: list, value_cols: list[str],
                   num_partitions: int | None = None,
-                  prefix: str = "_cum_") -> tuple[DataFrame, DataFrame]:
+                  prefix: str = "_cum_",
+                  pin: bool = True) -> tuple[DataFrame, DataFrame]:
     """Global cumulative sums of ``value_cols`` over the total order
     ``order_by`` (list of column names or Column sort expressions, e.g.
     ``[F.col("score").desc()]``), without a single-partition window.
@@ -86,8 +87,13 @@ def ranged_cumsum(df: DataFrame, order_by: list, value_cols: list[str],
     # metrics scores extracted from a wide array column) the upstream now
     # runs twice (sample + exchange) instead of 4x.
     d = (df.repartitionByRange(n, *exprs)
-           .withColumn(_PID, F.spark_partition_id())
-           .localCheckpoint(eager=False))
+           .withColumn(_PID, F.spark_partition_id()))
+    if pin:
+        # the checkpoint swaps the SQL subplan for a LogicalRDD, so the
+        # range exchange stops being visible in downstream plan strings;
+        # pin=False keeps the plain plan for tests/plan inspection (at
+        # the cost of branch replay + reuse-dependent pid alignment)
+        d = d.localCheckpoint(eager=False)
 
     w_in = (Window.partitionBy(_PID).orderBy(*exprs)
             .rowsBetween(Window.unboundedPreceding, 0))

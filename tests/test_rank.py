@@ -96,7 +96,13 @@ def test_cumsum_plan_has_no_global_data_window(spark, skewed_pdf):
     df = spark.createDataFrame(skewed_pdf)
     cum, _ = ranged_cumsum(df, ["x"], ["w"], num_partitions=8)
     assert_no_global_window_on(cum, "x", "w")
-    plan = cum._jdf.queryExecution().executedPlan().toString()
+    # the default (pinned) path hides the exchange inside the
+    # checkpointed subplan; inspect the un-pinned plan for the
+    # distributed sort exchange shape
+    cum_plain, _ = ranged_cumsum(df, ["x"], ["w"], num_partitions=8,
+                                 pin=False)
+    assert_no_global_window_on(cum_plain, "x", "w")
+    plan = cum_plain._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan  # the distributed sort exchange
 
 
