@@ -184,3 +184,40 @@ class BinaryClassificationMetrics:
     def print_confusion_matrix(self, threshold: float = 0.5):
         print(self.confusionMatrix(threshold))
         return self.confusionMatrix(threshold)
+
+
+def grouped_auc(df, group_cols, score_col="score", label_col="label",
+                round_to: int = 6):
+    """Per-group ROC AUC in ONE plan — model evaluation sliced by segment
+    (the fairness/debugging loop: AUC per source, per language, per
+    cohort) without a per-group driver loop.
+
+    Same lag-free trapezoid as ``BinaryClassificationMetrics``: group
+    scores within each segment, cumulative tp via a segment-partitioned
+    (score-desc) window, per-segment totals from a window over the whole
+    segment; AUC = Σ Δfpr·mean-tpr. The windows are keyed by the group
+    columns, so no single-partition stage exists at any segment count.
+    Degenerate segments (single class) yield NULL, matching sklearn's
+    refusal to score them."""
+    from pyspark.sql import Window
+
+    g = (df.groupBy(*group_cols,
+                    F.col(score_col).cast("double").alias("_s"))
+         .agg(F.sum(F.col(label_col).cast("double")).alias("_pos"),
+              F.sum(F.lit(1.0) - F.col(label_col).cast("double"))
+              .alias("_neg")))
+    w_cum = (Window.partitionBy(*group_cols).orderBy(F.desc("_s"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.partitionBy(*group_cols)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    c = (g.withColumn("_tp", F.sum("_pos").over(w_cum))
+          .withColumn("_P", F.sum("_pos").over(w_all))
+          .withColumn("_N", F.sum("_neg").over(w_all)))
+    seg = F.when((F.col("_P") > 0) & (F.col("_N") > 0),
+                 (F.col("_neg") / F.col("_N")) *
+                 (2 * F.col("_tp") - F.col("_pos")) / (2 * F.col("_P")))
+    return (c.groupBy(*group_cols)
+            .agg(F.round(F.sum(seg), round_to).alias("auc"),
+                 F.max("_P").cast("long").alias("n_pos"),
+                 F.max("_N").cast("long").alias("n_neg")))

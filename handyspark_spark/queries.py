@@ -2489,9 +2489,9 @@ def q_zorder_keys(spark, sf_dir):
                      zorder_value([x, y], bits=8).alias("zvalue"))
 
 
-@query("resample_hourly", """
+@query("resample_4h", """
 WITH e AS (
-  SELECT user_id AS k, epoch_us(ts) // 3600000000 AS b, value AS v
+  SELECT user_id AS k, epoch_us(ts) // 14400000000 AS b, value AS v
   FROM events
 ), pb AS (
   SELECT k, b, ROUND(SUM(v), 6) AS val FROM e GROUP BY k, b
@@ -2502,19 +2502,19 @@ WITH e AS (
 ), j AS (
   SELECT g.k, g.b, pb.val FROM grid g LEFT JOIN pb USING (k, b)
 )
-SELECT k AS user_id, make_timestamp(b * 3600000000) AS bucket_ts,
+SELECT k AS user_id, make_timestamp(b * 14400000000) AS bucket_ts,
        LAST_VALUE(val IGNORE NULLS) OVER (
          PARTITION BY k ORDER BY b
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value
 FROM j
 """)
-def q_resample_hourly(spark, sf_dir):
-    """Per-user hourly resample of event values with forward fill —
+def q_resample_4h(spark, sf_dir):
+    """Per-user 4-hour resample of event values with forward fill —
     irregular log -> regular grid (F.sequence fan-out, no calendar cross
     join; ffill via last_value IGNORE NULLS on the keyed exchange)."""
     from .operators.timeseries import resample
     df = _t(spark, sf_dir, "events")
-    return resample(df, "ts", "user_id", 3600, "value",
+    return resample(df, "ts", "user_id", 14400, "value",
                     agg="sum", fill="ffill")
 
 
@@ -2611,3 +2611,153 @@ def q_constraint_report(spark, sf_dir):
            .min_rows(1000)
            .unique("o_orderkey"))
     return constraint_report(df, chk)
+
+
+@query("auc_by_group", """
+WITH g AS (
+  SELECT event_type, ROUND(value, 6) AS s,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1.0 ELSE 0.0 END) AS pos,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 0.0 ELSE 1.0 END) AS neg
+  FROM events GROUP BY event_type, s
+), c AS (
+  SELECT event_type, s, pos, neg,
+         SUM(pos) OVER (PARTITION BY event_type ORDER BY s DESC
+                        ROWS UNBOUNDED PRECEDING) AS tp,
+         SUM(pos) OVER (PARTITION BY event_type) AS P,
+         SUM(neg) OVER (PARTITION BY event_type) AS N
+  FROM g
+)
+SELECT event_type,
+       ROUND(SUM(CASE WHEN P > 0 AND N > 0
+                 THEN (neg / N) * (2 * tp - pos) / (2 * P) END), 6) AS auc,
+       CAST(MAX(P) AS BIGINT) AS n_pos, CAST(MAX(N) AS BIGINT) AS n_neg
+FROM c GROUP BY event_type
+""")
+def q_auc_by_group(spark, sf_dir):
+    """Segment-sliced model evaluation: ROC AUC per event_type in ONE
+    plan (group-partitioned cumulative windows, lag-free trapezoid) —
+    no per-segment driver loop, no single-partition stage."""
+    from .ml.evaluation import grouped_auc
+    df = _t(spark, sf_dir, "events")
+    scored = df.select("event_type",
+                       F.round("value", 6).alias("score"),
+                       (F.col("user_id") % 2 == 1).cast("double")
+                       .alias("label"))
+    return grouped_auc(scored, ["event_type"])
+
+
+@query("dup_cluster_histogram", """
+WITH fp AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+             string_split(LOWER(text), ' '))), ' ')) AS f
+  FROM documents
+), sizes AS (
+  SELECT f, COUNT(*) AS sz FROM fp GROUP BY f
+)
+SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+FROM sizes GROUP BY sz
+""")
+def q_dup_cluster_histogram(spark, sf_dir):
+    """Dedup diagnostics: fingerprint-duplicate cluster-size histogram
+    (two keyed aggregations, output |distinct sizes| rows) — the number
+    you read before choosing dedup strategy and cap sizes."""
+    from .pipeline.text import fingerprint
+    df = _t(spark, sf_dir, "documents")
+    return (df.select(fingerprint("text").alias("f"))
+            .groupBy("f").agg(F.count(F.lit(1)).alias("sz"))
+            .groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
+@query("tpch_q7", """
+SELECT supp_nation, cust_nation, yr, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         YEAR(l.l_shipdate) AS yr,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+) GROUP BY supp_nation, cust_nation, yr
+""")
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): fact-fact join on orderkey shuffles;
+    customer/supplier/nation dims broadcast; the nation-pair disjunction
+    is pushed below the aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+          .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+          .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+          .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+          .filter(((F.col("supp_nation") == "NATION_1") &
+                   (F.col("cust_nation") == "NATION_2")) |
+                  ((F.col("supp_nation") == "NATION_2") &
+                   (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("yr"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@query("tpch_q13", """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+""")
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join keeps
+    order-less customers (count 0); predicate lives IN the join
+    condition, not a post-filter (a WHERE would drop the NULL rows the
+    query exists to count)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, (c.c_custkey == o.o_custkey) &
+               (o.o_orderpriority != "1-URGENT"), "left")
+    return (j.groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@query("tpch_q17", """
+WITH avg_qty AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN avg_qty a ON l.l_partkey = a.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.threshold
+""")
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the per-part average is
+    a self-aggregation joined back on partkey — co-partitioned with the
+    fact scan (same key), part dim broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = (l.groupBy(F.col("l_partkey").alias("a_key"))
+             .agg((F.lit(0.2) * F.avg("l_quantity")).alias("threshold")))
+    j = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+          .join(avg_q, l.l_partkey == F.col("a_key"))
+          .filter(F.col("l_quantity") < F.col("threshold")))
+    return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+                 .alias("avg_yearly"))
