@@ -2761,3 +2761,401 @@ def q_tpch_q17(spark, sf_dir):
           .filter(F.col("l_quantity") < F.col("threshold")))
     return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
                  .alias("avg_yearly"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H round 3: Q2 Q8 Q9 Q11 Q12 Q15 Q16 Q20 Q21 (adapted — this schema
+# has no partsupp table, so lineitem's (l_partkey, l_suppkey) pairs serve
+# as the supply relation, and no commit/receipt dates, so ship-delay vs
+# order date stands in for lateness).
+# ---------------------------------------------------------------------------
+
+@query("tpch_q2", """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), costs AS (
+  SELECT p.p_partkey, p.p_name, eu.s_acctbal, eu.s_name, eu.n_name,
+         ps_supplycost,
+         MIN(ps_supplycost) OVER (PARTITION BY p.p_partkey) AS mincost
+  FROM part p
+  JOIN supply ON p.p_partkey = ps_partkey
+  JOIN eu ON ps_suppkey = eu.s_suppkey
+  WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       p_partkey, p_name, ROUND(ps_supplycost, 4) AS supplycost
+FROM costs WHERE ps_supplycost = mincost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+""")
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier (adapted: supply cost derives from
+    lineitem unit prices; ref has no Spark analogue — correlated MIN
+    subquery becomes a partitioned window over the part key, so the
+    argmin is computed inside the existing partkey shuffle instead of a
+    re-scanning subquery per row. Dims (region->nation->supplier)
+    collapse via broadcast; only the supply aggregation shuffles."""
+    from pyspark.sql import Window
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+    l = _t(spark, sf_dir, "lineitem")
+    supply = (l.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                        F.col("l_suppkey").alias("ps_suppkey"))
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("ps_supplycost")))
+    j = (supply.join(F.broadcast(p),
+                     supply.ps_partkey == p.p_partkey)
+         .join(F.broadcast(s.select("s_suppkey", "s_acctbal", "s_name",
+                                    "n_name")),
+               supply.ps_suppkey == F.col("s_suppkey")))
+    w = Window.partitionBy("p_partkey")
+    best = (j.withColumn("mincost", F.min("ps_supplycost").over(w))
+            .filter(F.col("ps_supplycost") == F.col("mincost")))
+    return (best.select(F.round("s_acctbal", 2).alias("s_acctbal"),
+                        "s_name", "n_name", "p_partkey", "p_name",
+                        F.round("ps_supplycost", 4).alias("supplycost"))
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+@query("tpch_q8", """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem l
+  JOIN orders o    ON l.l_orderkey = o.o_orderkey
+  JOIN customer c  ON o.o_custkey = c.c_custkey
+  JOIN nation n1   ON c.c_nationkey = n1.n_nationkey
+  JOIN region r    ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+  JOIN part p      ON l.l_partkey = p.p_partkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                          AND TIMESTAMP '1997-12-31'
+) GROUP BY o_year
+""")
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share — all dims broadcast (part is the
+    largest at 2k rows; at TPC-H scale part would shuffle-join instead,
+    the code is unchanged because AQE picks the strategy from sizes);
+    the only large-large shuffles are lineitem x orders on the order key
+    and the customer join."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n1.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp")))
+    l = _t(spark, sf_dir, "lineitem")
+    j = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+         .join(F.broadcast(s.select("s_suppkey", "nation")),
+               l.l_suppkey == F.col("s_suppkey"))
+         .join(o, l.l_orderkey == o.o_orderkey)
+         .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = j.select(F.year("o_orderdate").cast("int").alias("o_year"),
+                 vol.alias("volume"), "nation")
+    share = F.sum(F.when(F.col("nation") == "NATION_5",
+                         F.col("volume")).otherwise(F.lit(0.0)))
+    return (j.groupBy("o_year")
+            .agg(F.round(share / F.sum("volume"), 6).alias("mkt_share")))
+
+
+@query("tpch_q9", """
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.5 * p.p_retailprice * l.l_quantity AS amount
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  WHERE p.p_name LIKE '%bolt%'
+) GROUP BY nation, o_year
+""")
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit (adapted: 0.5 * p_retailprice stands
+    in for ps_supplycost) — the part-name filter prunes the broadcast
+    part side before the fact join; the single large shuffle is
+    lineitem x orders on the order key."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation"))
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    j = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+         .join(F.broadcast(sn), l.l_suppkey == F.col("s_suppkey"))
+         .join(o, l.l_orderkey == o.o_orderkey)
+         .select("nation", F.year("o_orderdate").cast("int").alias("o_year"),
+                 amount.alias("amount")))
+    return (j.groupBy("nation", "o_year")
+            .agg(F.round(F.sum("amount"), 2).alias("sum_profit")))
+
+
+@query("tpch_q11", """
+WITH val AS (
+  SELECT l.l_partkey, SUM(l.l_quantity * p.p_retailprice) AS value
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, ROUND(value, 2) AS value
+FROM val, (SELECT SUM(value) AS total FROM val)
+WHERE value > 0.001 * total
+""")
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock (adapted: inventory value = shipped
+    quantity x retail price for one nation's suppliers) — the HAVING
+    scalar is a 1-row aggregate broadcast as a cross join, not a
+    re-computation; the nation filter reaches the supplier broadcast
+    before any lineitem rows move."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    val = (l.join(F.broadcast(s.select("s_suppkey")),
+                  l.l_suppkey == F.col("s_suppkey"))
+           .join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                 l.l_partkey == F.col("p_partkey"))
+           .groupBy("l_partkey")
+           .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice"))
+                .alias("value")))
+    total = val.agg(F.sum("value").alias("total"))
+    return (val.crossJoin(F.broadcast(total))
+            .filter(F.col("value") > 0.001 * F.col("total"))
+            .select("l_partkey", F.round("value", 2).alias("value")))
+
+
+@query("tpch_q12", """
+SELECT CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) > 365
+            THEN 'slow'
+            WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) > 60
+            THEN 'medium' ELSE 'fast' END AS ship_speed,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY ship_speed
+""")
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping-mode priority (adapted: ship-delay buckets
+    stand in for shipmode, commit/receipt dates absent) — one fact-fact
+    shuffle on the order key, conditional counts in a single grouped
+    pass over 3 output rows."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    delay = F.datediff(F.col("l_shipdate").cast("date"),
+                       F.col("o_orderdate").cast("date"))
+    speed = (F.when(delay > 365, "slow")
+             .when(delay > 60, "medium").otherwise("fast"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    return (j.select(speed.alias("ship_speed"), high.alias("_high"))
+            .groupBy("ship_speed")
+            .agg(F.sum(F.when(F.col("_high"), 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(~F.col("_high"), 1).otherwise(0))
+                 .alias("low_line_count")))
+
+
+@query("tpch_q15", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+FROM supplier s, revenue r
+WHERE s.s_suppkey = r.supplier_no
+  AND r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""")
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier — the revenue view is computed ONCE and
+    cached; its max is a 1-row broadcast, so the view is not rebuilt
+    for the scalar subquery the way a naive SQL translation would."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    rev = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("total_revenue")))
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    out = (rev.crossJoin(F.broadcast(mx))
+           .filter(F.col("total_revenue") == F.col("mx"))
+           .join(F.broadcast(s),
+                 F.col("supplier_no") == F.col("s_suppkey"))
+           .select("s_suppkey", "s_name",
+                   F.round("total_revenue", 2).alias("total_revenue"))
+           .orderBy("s_suppkey"))
+    return out
+
+
+@query("tpch_q16", """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 5, 9, 14, 20, 28, 36, 45)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""")
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 supplier count by part attributes (adapted: negative
+    account balance stands in for the complaints filter; supply relation
+    = lineitem) — NOT IN over a provably non-null key set becomes a
+    LEFT ANTI broadcast join; distinct count is exact, one shuffle."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "MEDIUM") &
+        F.col("p_size").isin(1, 5, 9, 14, 20, 28, 36, 45))
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey"))
+    l = _t(spark, sf_dir, "lineitem")
+    j = (l.join(F.broadcast(bad), "l_suppkey", "left_anti")
+         .join(F.broadcast(p), l.l_partkey == p.p_partkey))
+    return (j.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@query("tpch_q20", """
+SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_7'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE 'small%'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_suppkey HAVING SUM(l.l_quantity) > 50)
+ORDER BY s.s_name
+""")
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 potential part promotion (adapted) — the inner
+    aggregation runs once over the pruned fact scan; its surviving
+    supplier keys LEFT SEMI-join the (tiny, nation-filtered) supplier
+    dim. At TPC-H scale the semi-join side is |suppliers|, so the probe
+    broadcasts."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    qualifying = (l.join(F.broadcast(p.select("p_partkey")),
+                         l.l_partkey == F.col("p_partkey"))
+                  .groupBy("l_suppkey")
+                  .agg(F.sum("l_quantity").alias("_q"))
+                  .filter(F.col("_q") > 50)
+                  .select(F.col("l_suppkey").alias("s_suppkey")))
+    return (s.join(qualifying, "s_suppkey", "left_semi")
+            .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+            .orderBy("s_name"))
+
+
+@query("tpch_q21", """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND DATE_DIFF('day', o.o_orderdate, l.l_shipdate) > 365
+), stats AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY l_orderkey
+), late_stats AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_late,
+         MIN(l_suppkey) AS only_late
+  FROM late GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN stats st       ON l1.l_orderkey = st.l_orderkey
+JOIN late_stats lst ON l1.l_orderkey = lst.l_orderkey
+JOIN supplier s     ON l1.l_suppkey = s.s_suppkey
+WHERE st.n_supp >= 2 AND lst.n_late = 1 AND lst.only_late = l1.l_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name LIMIT 100
+""")
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: late =
+    shipped >365 days after the order date on a finished order). The
+    textbook EXISTS / NOT EXISTS pair of correlated self-joins is
+    rewritten as per-order aggregates: an order qualifies when it has
+    >= 2 suppliers but exactly ONE late supplier — same semantics, and
+    the rewrite replaces two extra passes over lineitem with one
+    grouped job each, all co-partitioned on the order key."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate").cast("date"),
+                       F.col("o_orderdate").cast("date"))
+    late = (l.join(o, l.l_orderkey == o.o_orderkey)
+            .filter(delay > 365)
+            .select("l_orderkey", "l_suppkey"))
+    late = late.persist()
+    stats = (l.groupBy("l_orderkey")
+             .agg(F.countDistinct("l_suppkey").alias("n_supp")))
+    late_stats = (late.groupBy(F.col("l_orderkey").alias("lo_key"))
+                  .agg(F.countDistinct("l_suppkey").alias("n_late"),
+                       F.min("l_suppkey").alias("only_late")))
+    s = _t(spark, sf_dir, "supplier")
+    j = (late.join(stats, "l_orderkey")
+         .join(late_stats, late.l_orderkey == F.col("lo_key"))
+         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1) &
+                 (F.col("only_late") == F.col("l_suppkey")))
+         .join(F.broadcast(s), late.l_suppkey == s.s_suppkey))
+    return (j.groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name").limit(100))
