@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranged_avg_rank", "ranged_cumsum", "ranged_row_number"]
+__all__ = ["grouped_ranged_cumsum", "ranged_avg_rank", "ranged_cumsum",
+           "ranged_row_number"]
 
 _PID = "_rcs_pid"
 
@@ -224,3 +225,51 @@ def ranged_avg_rank(df: DataFrame, col: str, name: str,
                           + (F.col("_ties") - 1) / 2.0))
            .drop(_BKT, "_lrk", "_ties", "_off"))
     return out
+
+
+def grouped_ranged_cumsum(df: DataFrame, group_cols: list[str],
+                          order_by: list, value_cols: list[str],
+                          num_partitions: int | None = None,
+                          prefix: str = "_cum_") -> DataFrame:
+    """Per-group cumulative sums that stay parallel when ONE group holds
+    most of the data. ``Window.partitionBy(group)`` puts an entire
+    group's rows in a single task — for a training corpus where one
+    source is 90% of rows that is the same single-reducer failure mode
+    as a global ``Window.orderBy``. Instead: range-partition on
+    ``(group, order)`` so a big group SPANS partitions (one wide
+    exchange, same as the window would need), per-(pid, group) local
+    cumsums, and per-group prefix offsets from a totals table bounded by
+    ``num_partitions x |groups spanning a boundary|`` — broadcast-joined
+    back. Same two-pass shape as ``ranged_cumsum``; lazy localCheckpoint
+    pins one materialized partitioning for both branches."""
+    gexprs = [F.col(g) for g in group_cols]
+    oexprs = _order_exprs(order_by)
+    exprs = gexprs + oexprs
+    n = _num_partitions(df, num_partitions)
+    d = (df.repartitionByRange(n, *exprs)
+           .withColumn(_PID, F.spark_partition_id())
+           .localCheckpoint(eager=False))
+    w_in = (Window.partitionBy(_PID, *group_cols).orderBy(*oexprs)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = d.select(
+        "*", *[F.sum(c).over(w_in).alias(f"{prefix}{c}__local")
+               for c in value_cols])
+    ptot = d.groupBy(_PID, *group_cols).agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in value_cols])
+    # offsets within each group across pids: the totals table is tiny
+    # (<= partitions x groups rows), so the per-group window is bounded
+    # by cluster parallelism, not data size
+    w_off = (Window.partitionBy(*group_cols).orderBy(_PID)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = ptot.select(
+        _PID, *group_cols,
+        *[F.coalesce(F.sum(f"_tot_{c}").over(w_off), F.lit(0))
+          .alias(f"_off_{c}") for c in value_cols])
+    out = cum.join(F.broadcast(off), on=[_PID, *group_cols], how="left")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.col(f"{prefix}{c}__local") + F.col(f"_off_{c}"))
+    drop = [_PID] + [f"{prefix}{c}__local" for c in value_cols] \
+        + [f"_off_{c}" for c in value_cols]
+    return out.drop(*drop)

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -332,14 +332,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
                        bands: int = 4,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       hash_fn: str = "md5") -> DataFrame:
     """Scale-path LSH dedup output: (doc_id, cluster_id) with cluster_id =
     the smallest doc id sharing any LSH bucket — LINEAR output size,
     unlike the pair list which is quadratic inside each duplicate group.
     (One min-propagation round: exact for transitive-via-shared-bucket
     clusters, which covers identical and near-identical documents; chains
     longer than one hop need iterating.)"""
-    banded = _banded(df, text_col, id_col, num_hashes, bands)
+    banded = _banded(df, text_col, id_col, num_hashes, bands, hash_fn)
     all_ids = banded.select(id_col).distinct()
     if max_bucket_size is not None:
         # same bucket universe as capped minhash_lsh_pairs — REQUIRED when
@@ -628,3 +629,66 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         return labels
     finally:
         edges.unpersist()
+
+
+def dedup_keep_best(df: DataFrame, quality: Column | str | None = None,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    num_hashes: int = 16, bands: int = 2,
+                    max_bucket_size: int | None = 500,
+                    hash_fn: str = "md5") -> DataFrame:
+    """Near-dup dedup that KEEPS the best document of every duplicate
+    cluster (instead of an arbitrary one): LSH groups -> per-cluster
+    argmax of ``quality`` (default: text length) with id tie-break.
+    Docs outside any bucket form singleton clusters and always survive.
+
+    This is the last step of the dedup ladder (SCALE.md): linear
+    (doc, cluster) labels from ``minhash_lsh_groups``, one broadcast-able
+    join back to the corpus, one ``row_number`` window partitioned by
+    cluster (bounded groups — cluster size <= bucket cap). Returns the
+    surviving rows with their ``cluster_id`` and the quality value used.
+    """
+    q = (F.length(F.col(text_col)) if quality is None
+         else (F.col(quality) if isinstance(quality, str) else quality))
+    groups = minhash_lsh_groups(df, id_col=id_col, text_col=text_col,
+                                num_hashes=num_hashes, bands=bands,
+                                max_bucket_size=max_bucket_size,
+                                hash_fn=hash_fn)
+    lab = (df.join(groups, id_col, "left")
+           .withColumn("cluster_id",
+                       F.coalesce(F.col("cluster_id"), F.col(id_col)))
+           .withColumn("_q", q))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_q"), F.asc(id_col))
+    return (lab.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumnRenamed("_q", "quality"))
+
+
+def decontaminate_bloom(df: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str | None = None,
+                        m_bits: int = 1 << 22, k: int = 5) -> DataFrame:
+    """Decontamination for benchmark sets too large to broadcast as an
+    exact key list: Bloom-filter prefilter + exact verification of the
+    maybe-set. Result is IDENTICAL to ``decontaminate(method=
+    'fingerprint')`` — Bloom has no false negatives, so every true
+    collision reaches the exact join, and the exact join discards the
+    false positives. At 100 TB the corpus-side cost is one scan + a
+    broadcast word-table probe; the exact join's build side shrinks from
+    |benchmark| to |maybe-set|."""
+    from ..operators.bloom import bloom_build, bloom_probe_col
+    from .text import fingerprint
+    bcol = bench_text_col or text_col
+    keyed = df.withColumn("_k", fingerprint(text_col))
+    bkeys = benchmark.select(fingerprint(bcol).alias("_k")).distinct()
+    bloom = bloom_build(bkeys, "_k", m_bits=m_bits, k=k)
+    probed = bloom_probe_col(keyed, "_k", bloom, m_bits=m_bits, k=k)
+    # definite non-members pass straight through; maybe-members get the
+    # exact anti-join (its build side is only the true benchmark keys,
+    # but its PROBE side is now the small maybe-set)
+    clean = probed.filter(~F.col("_maybe")).drop("_maybe", "_k")
+    maybe = probed.filter(F.col("_maybe")).drop("_maybe")
+    verified = (maybe.join(F.broadcast(bkeys), "_k", "left_anti")
+                .drop("_k"))
+    return clean.unionByName(verified)

@@ -110,3 +110,34 @@ def mix_sources(sources: list[tuple[DataFrame, float]],
     if out is None:
         raise ValueError("no source with positive fraction")
     return out
+
+
+def token_budget_sample(df: DataFrame, key_col: str, weight_col,
+                        budget: float, by: str | None = None,
+                        salt: str = "",
+                        keep_cum: bool = False) -> DataFrame:
+    """Deterministic budgeted sample: rows are taken in stable-hash
+    priority order until the running total of ``weight_col`` (tokens,
+    bytes, ...) INCLUDING the current row reaches ``budget`` — per
+    ``by`` group when given (e.g. a per-source token budget), else
+    globally. The standard 'cap each source at N tokens' step of a
+    training-data mix.
+
+    Membership depends only on (key, salt, budget and the group's
+    weight distribution): stable across cluster layouts and reruns.
+    The running total uses ``grouped_ranged_cumsum`` — one wide range
+    exchange, N-way parallel even when one group dominates the corpus
+    (a per-group window would funnel that group into a single task)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = hash_unit(F.col(key_col), salt)
+    group = [by] if by else []
+    narrow = df.select(*group, F.col(key_col).alias("_tbs_key"),
+                       u.alias("_tbs_u"), w.alias("_tbs_w"))
+    from ..operators.rank import grouped_ranged_cumsum
+    cum = grouped_ranged_cumsum(
+        narrow, group, [F.col("_tbs_u"), F.col("_tbs_key")], ["_tbs_w"])
+    kept = (cum.filter(F.col("_cum__tbs_w") <= budget)
+            .select(F.col("_tbs_key").alias(key_col),
+                    F.col("_cum__tbs_w").alias("_tbs_cum")))
+    out = df.join(kept, key_col, "inner")
+    return out if keep_cum else out.drop("_tbs_cum")

@@ -305,3 +305,35 @@ def source_report(df: DataFrame, text_col: str = "text",
         F.countDistinct("_fp").alias("n_unique"),
         F.round(F.lit(1.0) - F.countDistinct("_fp")
                 / F.count(F.lit(1)), 4).alias("dup_ratio")))
+
+
+def normalize_text(col) -> Column:
+    """Canonical text normalization for dedup/fingerprint preprocessing:
+    lowercase, strip non-alphanumerics to spaces, collapse runs of
+    spaces, trim. Pure projection (whole-stage codegen); the regexes are
+    RE2-compatible so the DuckDB oracle reproduces them verbatim."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lower(c)
+    out = F.regexp_replace(out, "[^a-z0-9 ]", " ")
+    out = F.regexp_replace(out, " +", " ")
+    return F.trim(out)
+
+
+PII_REDACTIONS = [
+    # order matters and is part of the contract: URLs first (they may
+    # contain digit runs and @), then emails, then bare long digit runs
+    ("n_urls", "<URL>"),
+    ("n_emails", "<EMAIL>"),
+    ("n_long_digits", "<ID>"),
+]
+
+
+def pii_redact(col) -> Column:
+    """Replace PII-shaped substrings (same patterns ``pii_counts``
+    reports) with typed placeholder tokens — the redaction step a
+    training pipeline runs after gating. One chained ``regexp_replace``
+    projection, map-only."""
+    out = F.col(col) if isinstance(col, str) else col
+    for name, repl in PII_REDACTIONS:
+        out = F.regexp_replace(out, PII_PATTERNS[name], repl)
+    return out

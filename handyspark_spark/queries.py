@@ -3159,3 +3159,117 @@ def q_tpch_q21(spark, sf_dir):
     return (j.groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name").limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline round 3: budgeted sampling, normalization, redaction,
+# keep-best dedup, Bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+@query("token_budget_sample", """
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#'), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok
+FROM c WHERE cum <= 20000
+""")
+def q_token_budget_sample(spark, sf_dir):
+    """Per-source token-budget cap: deterministic hash-priority order,
+    distributed per-group running totals (grouped_ranged_cumsum — no
+    per-source single-task window)."""
+    from .pipeline.sample import token_budget_sample
+    from .pipeline.text import token_count
+    df = (_t(spark, sf_dir, "documents")
+          .withColumn("n_tok", token_count("text").cast("long")))
+    out = token_budget_sample(df, "doc_id", "n_tok", 20000, by="source")
+    return out.select("doc_id", "source",
+                      F.col("n_tok").cast("int").alias("n_tok"))
+
+
+@query("normalize_text", """
+SELECT doc_id,
+       TRIM(regexp_replace(regexp_replace(LOWER(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+FROM documents
+""")
+def q_normalize_text(spark, sf_dir):
+    """Canonical normalization (lower/strip/collapse) — dedup prep,
+    pure codegen projection."""
+    from .pipeline.text import normalize_text
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", normalize_text("text").alias("norm"))
+
+
+@query("pii_redact", """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         'https?://[^ ]+', '<URL>', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{9,}', '<ID>', 'g') AS redacted
+FROM documents
+""")
+def q_pii_redact(spark, sf_dir):
+    """PII redaction with typed placeholders (URL -> EMAIL -> ID order is
+    the contract) — chained regexp_replace, map-only."""
+    from .pipeline.text import pii_redact
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", pii_redact("text").alias("redacted"))
+
+
+@query("dedup_keep_best", f"""
+WITH {_LSH_BANDED_SQL},
+bm AS (
+  SELECT doc_id, band, bv,
+         MIN(doc_id) OVER (PARTITION BY band, bv) AS bucket_min
+  FROM banded
+), groups AS (
+  SELECT doc_id, MIN(bucket_min) AS cluster_id FROM bm GROUP BY doc_id
+), lab AS (
+  SELECT d.doc_id, COALESCE(g.cluster_id, d.doc_id) AS cluster_id,
+         LENGTH(d.text) AS quality
+  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, doc_id) AS rn
+  FROM lab
+)
+SELECT doc_id, cluster_id, CAST(quality AS INT) AS quality
+FROM best WHERE rn = 1
+""")
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup dedup keeping the BEST doc per cluster (longest text,
+    id tie-break) — LSH groups + bounded per-cluster argmax window."""
+    from .pipeline.dedup import dedup_keep_best
+    df = _t(spark, sf_dir, "documents")
+    out = dedup_keep_best(df, num_hashes=16, bands=2,
+                          max_bucket_size=None)
+    return out.select("doc_id", "cluster_id",
+                      F.col("quality").cast("int").alias("quality"))
+
+
+@query("decontaminate_bloom", """
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+           string_split(LOWER(text), ' '))), ' ')) AS k
+  FROM documents
+), bench AS (SELECT DISTINCT k FROM fp WHERE doc_id % 17 = 0)
+SELECT doc_id FROM fp
+WHERE k NOT IN (SELECT k FROM bench)
+""")
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — same oracle as the exact path
+    (no false negatives + exact verify of the maybe-set == identical
+    result); the Bloom word table replaces the broadcast key list when
+    the excluded set is itself huge."""
+    from .pipeline.dedup import decontaminate_bloom
+    df = _t(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate_bloom(df, bench, m_bits=1 << 20, k=5) \
+        .select("doc_id")

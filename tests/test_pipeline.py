@@ -664,3 +664,148 @@ def test_source_report_matches_pandas(docs, pdf_tables):
             lambda t: " ".join(sorted(set(t.lower().split(" ")))))
         assert r.n_unique == fps.nunique()
         assert abs(r.dup_ratio - (1 - fps.nunique() / len(g))) < 5e-5
+
+
+# ---------------------------------------------------------------------------
+# round 3: bloom filter, token-budget sampling, keep-best dedup,
+# normalization/redaction
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.bloom import (bloom_build,
+                                                  bloom_probe_col)
+    docs = tables["documents"].select(
+        F.md5(F.col("text")).alias("k")).distinct()
+    members = docs.filter(F.xxhash64("k") % 3 == 0)
+    m_bits, k = 1 << 18, 5
+    bloom = bloom_build(members, "k", m_bits=m_bits, k=k)
+    probed = bloom_probe_col(docs, "k", bloom, m_bits, k)
+    member_keys = {r["k"] for r in members.collect()}
+    rows = probed.collect()
+    fp = fn = 0
+    for r in rows:
+        truth = r["k"] in member_keys
+        if truth and not r["_maybe"]:
+            fn += 1
+        if not truth and r["_maybe"]:
+            fp += 1
+    assert fn == 0, "bloom filter must never produce false negatives"
+    n_non = sum(1 for r in rows if r["k"] not in member_keys)
+    # m/n ~ 2^18 / ~170 members -> fp rate should be tiny; allow slack
+    assert fp / max(n_non, 1) < 0.05
+
+
+def test_decontaminate_bloom_equals_exact(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.dedup import (decontaminate,
+                                                 decontaminate_bloom)
+    df = tables["documents"]
+    bench = df.filter(F.col("doc_id") % 13 == 0)
+    exact = {r["doc_id"] for r in
+             decontaminate(df, bench).select("doc_id").collect()}
+    # small filter on purpose: false positives are likely, so this also
+    # exercises the exact-verify leg
+    bloomed = {r["doc_id"] for r in
+               decontaminate_bloom(df, bench, m_bits=1 << 12, k=3)
+               .select("doc_id").collect()}
+    assert bloomed == exact
+
+
+def test_token_budget_sample_matches_pandas(spark, tables, pdf_tables):
+    import hashlib
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.sample import token_budget_sample
+    from handyspark_spark.pipeline.text import token_count
+    budget = 5000
+    df = (tables["documents"]
+          .withColumn("n_tok", token_count("text").cast("long")))
+    got = sorted(r["doc_id"] for r in
+                 token_budget_sample(df, "doc_id", "n_tok", budget,
+                                     by="source").select("doc_id")
+                 .collect())
+
+    pdf = pdf_tables["documents"].copy()
+    pdf["n_tok"] = pdf["text"].str.split(" ").map(len)
+    pdf["u"] = [int(hashlib.md5(f"{i}#".encode()).hexdigest()[:8], 16)
+                / 2**32 for i in pdf["doc_id"]]
+    want = []
+    for _, grp in pdf.groupby("source"):
+        g = grp.sort_values(["u", "doc_id"])
+        want.extend(g.loc[g["n_tok"].cumsum() <= budget, "doc_id"])
+    assert got == sorted(want)
+
+
+def test_token_budget_sample_layout_independent(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.sample import token_budget_sample
+    from handyspark_spark.pipeline.text import token_count
+    df = (tables["documents"]
+          .withColumn("n_tok", token_count("text").cast("long")))
+    a = {r["doc_id"] for r in
+         token_budget_sample(df, "doc_id", "n_tok", 3000, by="source")
+         .select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         token_budget_sample(df.repartition(17), "doc_id", "n_tok", 3000,
+                             by="source").select("doc_id").collect()}
+    assert a == b and a
+
+
+def test_grouped_ranged_cumsum_matches_pandas(spark, tables, pdf_tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.rank import grouped_ranged_cumsum
+    df = tables["orders"].select("o_custkey", "o_orderkey", "o_totalprice")
+    out = grouped_ranged_cumsum(df, ["o_custkey"], ["o_orderkey"],
+                                ["o_totalprice"])
+    got = {(r["o_custkey"], r["o_orderkey"]):
+           round(r["_cum_o_totalprice"], 4) for r in out.collect()}
+    pdf = pdf_tables["orders"].sort_values(["o_custkey", "o_orderkey"])
+    pdf["cum"] = pdf.groupby("o_custkey")["o_totalprice"].cumsum()
+    want = {(r.o_custkey, r.o_orderkey): round(r.cum, 4)
+            for r in pdf.itertuples()}
+    assert got == want
+
+
+def test_dedup_keep_best_valid(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.dedup import (dedup_keep_best,
+                                                 minhash_lsh_groups)
+    df = tables["documents"]
+    kept = dedup_keep_best(df, num_hashes=16, bands=2,
+                           max_bucket_size=None)
+    rows = kept.collect()
+    # one survivor per cluster
+    clusters = [r["cluster_id"] for r in rows]
+    assert len(clusters) == len(set(clusters))
+    # survivor quality is the cluster max; survivors cover every doc's
+    # cluster
+    groups = minhash_lsh_groups(df, num_hashes=16, bands=2)
+    lab = (df.join(groups, "doc_id", "left")
+           .withColumn("cluster_id",
+                       F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+           .withColumn("q", F.length("text")))
+    best = {r["cluster_id"]: r["mx"] for r in
+            lab.groupBy("cluster_id").agg(F.max("q").alias("mx"))
+            .collect()}
+    assert set(clusters) == set(best)
+    for r in rows:
+        assert r["quality"] == best[r["cluster_id"]]
+
+
+def test_normalize_and_redact_match_python_re(spark, tables):
+    import re
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.text import (PII_PATTERNS,
+                                                normalize_text, pii_redact)
+    df = tables["documents"].limit(200)
+    rows = df.select("text", normalize_text("text").alias("norm"),
+                     pii_redact("text").alias("red")).collect()
+    for r in rows:
+        want_norm = re.sub(" +", " ",
+                           re.sub("[^a-z0-9 ]", " ",
+                                  r["text"].lower())).strip()
+        assert r["norm"] == want_norm
+        red = re.sub(PII_PATTERNS["n_urls"], "<URL>", r["text"])
+        red = re.sub(PII_PATTERNS["n_emails"], "<EMAIL>", red)
+        red = re.sub(PII_PATTERNS["n_long_digits"], "<ID>", red)
+        assert r["red"] == red
