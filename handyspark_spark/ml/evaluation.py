@@ -221,3 +221,32 @@ def grouped_auc(df, group_cols, score_col="score", label_col="label",
             .agg(F.round(F.sum(seg), round_to).alias("auc"),
                  F.max("_P").cast("long").alias("n_pos"),
                  F.max("_N").cast("long").alias("n_neg")))
+
+
+def brier_score(df: DataFrame, score_col: str = "score",
+                label_col: str = "label") -> DataFrame:
+    """Mean squared error of probabilistic predictions — the standard
+    proper scoring rule complementing threshold metrics. One aggregation
+    pass, no windows."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    return df.agg(F.avg((s - y) * (s - y)).alias("brier"),
+                  F.count(F.lit(1)).alias("n"))
+
+
+def calibration_bins(df: DataFrame, score_col: str = "score",
+                     label_col: str = "label",
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-curve bins: equal-width score buckets with mean
+    predicted score vs observed positive rate — the grouped aggregation
+    a calibration plot reads. Closed-form bucket id (same expression the
+    strata Bucket uses: clamp to the last bin so score=1.0 lands in
+    bin n-1), ONE grouped job at any corpus size."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (df.select(b.alias("bin"), s.alias("_s"), y.alias("_y"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("_s").alias("mean_score"),
+                 F.avg("_y").alias("pos_rate")))

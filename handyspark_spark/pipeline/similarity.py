@@ -17,6 +17,7 @@ Two paths, per the standard ANN playbook:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -351,3 +352,162 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                       .otherwise(F.lit(0.0)).cast("int"))
     return (df.crossJoin(F.broadcast(scales))
             .select(F.col(id_col), q.alias("qvec"), "scales"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-bounded approximate search codes
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(df: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id", m: int = 8, nbits: int = 4,
+                 sample_n: int = 2048, iters: int = 5,
+                 seed: int = 42) -> np.ndarray:
+    """Train PQ codebooks on a BOUNDED deterministic sample (hash-ordered
+    ``limit`` — never the full corpus): split the (L2-normalized) vectors
+    into ``m`` subspaces and run a small numpy k-means (2^nbits centroids,
+    ``iters`` Lloyd rounds, seeded init) per subspace. Returns
+    (m, 2^nbits, dim/m). The codebook is driver-tiny (m * k * dsub
+    floats) and broadcast to encoders/searchers."""
+    k = 1 << nbits
+    rows = (df.orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(sample_n)
+            .select(F.col(vec_col).cast("array<double>").alias("_v"))
+            .collect())
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(len(S), size=k, replace=len(S) < k)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(df: DataFrame, books: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              code_col: str = "pq_code") -> DataFrame:
+    """Encode every vector as ``m`` small centroid ids — a pure
+    Arrow-batched projection (one argmin per subspace, vectorized).
+    Output is |docs| x m bytes-ish: the memory-bounded representation
+    ANN search scans instead of the raw vectors."""
+    m, k, dsub = books.shape
+    b_books = df.sparkSession.sparkContext.broadcast(books)
+
+    @F.pandas_udf("array<int>")
+    def _enc(vs: pd.Series) -> pd.Series:
+        B = b_books.value
+        X = np.array(vs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for j in range(m):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    return df.withColumn(
+        code_col, _enc(F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 8, nbits: int = 4, sample_n: int = 2048,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            seed: int = 42, rerank: int | None = None) -> DataFrame:
+    """PQ/ADC approximate top-k: corpus scanned as codes, each query
+    precomputes an (m x 2^nbits) inner-product lookup table against the
+    codebooks, score = sum of table entries addressed by the code —
+    asymmetric distance computation. Per Arrow batch the score matrix is
+    a vectorized LUT gather; each batch emits only its local top-k per
+    query (output k x |queries| rows per batch, NEVER the full cross
+    product), then one window takes the global top-k. The exact
+    ``brute_force_topk`` is the oracle; recall is pinned in tests.
+
+    ``rerank=C`` is the production pattern: ADC selects the top C
+    candidates per query (C >> k), then ONLY those C rows are re-scored
+    with exact cosine against the raw vectors — recall approaches exact
+    at C/|corpus| of the exact cost. Without it, pure ADC recall is
+    bounded by quantization error (worst on unclustered vectors)."""
+    books = pq_codebooks(df, vec_col, id_col, m=m, nbits=nbits,
+                         sample_n=sample_n, seed=seed)
+    enc = pq_encode(df, books, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_code")
+
+    qrows = (queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).cast("array<double>")
+                            .alias("_q")).collect())
+    qids = np.array([r["query_id"] for r in qrows])
+    Q = np.array([r["_q"] for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    mm, kk, dsub = books.shape
+    # LUT[q, j, c] = <q_subj, books[j, c]>
+    lut = np.einsum("qjd,jcd->qjc",
+                    Q.reshape(len(Q), mm, dsub), books)
+    sc = df.sparkSession.sparkContext
+    b_lut, b_qids = sc.broadcast(lut), sc.broadcast(qids)
+
+    out_schema = ("query_id long, neighbor_id long, score double")
+
+    def _batch_topk(it):
+        L, ids = b_lut.value, b_qids.value
+        nq = len(ids)
+        take = max(k, rerank or 0)
+        for pdf in it:
+            codes = np.array(pdf["pq_code"].tolist(), dtype=np.int64)
+            nb = np.asarray(pdf["neighbor_id"])
+            # scores: (nq, rows) = sum_j LUT[:, j, codes[:, j]]
+            s = np.zeros((nq, len(codes)))
+            for j in range(mm):
+                s += L[:, j, codes[:, j]]
+            kk_local = min(take, len(codes))
+            top = np.argpartition(-s, kk_local - 1, axis=1)[:, :kk_local]
+            res = {"query_id": np.repeat(ids, kk_local),
+                   "neighbor_id": nb[top.ravel()],
+                   "score": np.take_along_axis(s, top, axis=1).ravel()}
+            yield pd.DataFrame(res)
+
+    cand = enc.mapInPandas(_batch_topk, out_schema)
+    cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    if rerank is None:
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.round("score", 6).alias("score"), "rank"))
+    # exact re-rank of the (|queries| x rerank)-row candidate set: join
+    # raw vectors back in (hash join keyed on the corpus id — touches
+    # only candidate rows) and score true cosine; the broadcast query
+    # frame carries the query vectors
+    shortlist = (cand.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= rerank)
+                 .select("query_id", "neighbor_id"))
+    c = with_norm(
+        df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).cast("array<double>").alias("_c0")),
+        F.col("_c0"), "_cv", "_cn").drop("_c0")
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_q0")),
+        F.col("_q0"), "_qv", "_qn").drop("_q0")
+    scored = (shortlist.join(c, "neighbor_id")
+              .join(F.broadcast(q), "query_id"))
+    cos = dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return (scored.select("query_id", "neighbor_id",
+                          F.round(cos, 6).alias("cosine"))
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .withColumnRenamed("cosine", "score"))

@@ -3273,3 +3273,120 @@ def q_decontaminate_bloom(spark, sf_dir):
     bench = df.filter(F.col("doc_id") % 17 == 0)
     return decontaminate_bloom(df, bench, m_bits=1 << 20, k=5) \
         .select("doc_id")
+
+
+@query("quality_logit", """
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + EXP(-(-1.5
+         + 0.002 * LENGTH(text)
+         + 3.0 * (len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','and','of','to','in','is','it','that',
+                                 'a','an','for','on','with','as'], t)))
+             * 1.0 / len(string_split(text, ' ')))))), 6) AS p_keep
+FROM documents
+""")
+def q_quality_logit(spark, sf_dir):
+    """Model-based quality scoring at scale: a (pre-trained) logistic
+    model evaluated as a pure codegen projection — the shape any
+    classifier-based corpus filter (fastText-style quality, toxicity)
+    compiles to once its features are columnar. No UDF, no shuffle."""
+    from .pipeline.text import char_count, stopword_ratio
+    df = _t(spark, sf_dir, "documents")
+    z = (F.lit(-1.5) + 0.002 * char_count("text").cast("double")
+         + 3.0 * stopword_ratio("text"))
+    return df.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p_keep"))
+
+
+@query("brier_score", """
+SELECT ROUND(AVG(POW(ROUND(embedding[1]::DOUBLE, 6)
+                 - CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END, 2)), 6)
+         AS brier,
+       COUNT(*) AS n
+FROM embeddings
+""")
+def q_brier_score(spark, sf_dir):
+    """Proper scoring rule for probabilistic predictions — one agg."""
+    from .ml.evaluation import brier_score
+    df = _t(spark, sf_dir, "embeddings").select(
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+        (F.col("label") >= 5).cast("double").alias("label"))
+    out = brier_score(df)
+    return out.select(F.round("brier", 6).alias("brier"), "n")
+
+
+@query("calibration_curve", """
+SELECT CAST(LEAST(FLOOR(ROUND(embedding[1]::DOUBLE, 6) * 10), 9) AS INT)
+         AS bin,
+       COUNT(*) AS n,
+       ROUND(AVG(ROUND(embedding[1]::DOUBLE, 6)), 6) AS mean_score,
+       ROUND(AVG(CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END), 6)
+         AS pos_rate
+FROM embeddings
+GROUP BY bin
+""")
+def q_calibration_curve(spark, sf_dir):
+    """Reliability curve — closed-form equal-width bins, ONE grouped
+    job (the scalable calibration-plot input)."""
+    from .ml.evaluation import calibration_bins
+    df = _t(spark, sf_dir, "embeddings").select(
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+        (F.col("label") >= 5).cast("double").alias("label"))
+    out = calibration_bins(df, n_bins=10)
+    return out.select("bin", "n",
+                      F.round("mean_score", 6).alias("mean_score"),
+                      F.round("pos_rate", 6).alias("pos_rate"))
+
+
+@query("leakage_safe_split", f"""
+WITH {_LSH_BANDED_SQL},
+bm AS (
+  SELECT doc_id, band, bv,
+         MIN(doc_id) OVER (PARTITION BY band, bv) AS bucket_min
+  FROM banded
+), groups AS (
+  SELECT doc_id, MIN(bucket_min) AS cluster_id FROM bm GROUP BY doc_id
+), lab AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(g.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id
+), sp AS (
+  SELECT source, cluster_id,
+         CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR || '#'), 1, 8))
+                   ::BIGINT / 4294967296.0 < 0.9
+              THEN 'train' ELSE 'holdout' END AS split
+  FROM lab
+)
+SELECT split, source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters
+FROM sp GROUP BY split, source
+""")
+def q_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware train/holdout split: the split key is the NEAR-DUP
+    CLUSTER id, not the doc id, so near-duplicates can never straddle
+    the split boundary (the classic eval-leakage bug). Composition of
+    minhash_lsh_groups + split_assign; one grouped report."""
+    from .pipeline.dedup import minhash_lsh_groups
+    from .pipeline.sample import split_assign
+    df = _t(spark, sf_dir, "documents")
+    groups = minhash_lsh_groups(df, num_hashes=16, bands=2)
+    lab = (df.join(groups, "doc_id", "left")
+           .withColumn("cluster_id",
+                       F.coalesce(F.col("cluster_id"), F.col("doc_id"))))
+    sp = split_assign(lab, "cluster_id",
+                      {"train": 0.9, "holdout": 0.1})
+    return (sp.groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("cluster_id").alias("n_clusters")))
+
+
+@query("ann_pq")
+def q_ann_pq(spark, sf_dir):
+    """PQ/ADC approximate top-k (rows-only: k-means codebooks are
+    iterative, not SQL-expressible; recall vs brute force pinned in
+    tests/test_pipeline.py)."""
+    from .pipeline.similarity import pq_topk
+    df = _t(spark, sf_dir, "embeddings")
+    queries_df = df.filter(F.col("vec_id") % 50 == 0)
+    return pq_topk(df, queries_df, k=5, m=16, nbits=4, rerank=50)

@@ -809,3 +809,69 @@ def test_normalize_and_redact_match_python_re(spark, tables):
         red = re.sub(PII_PATTERNS["n_emails"], "<EMAIL>", red)
         red = re.sub(PII_PATTERNS["n_long_digits"], "<ID>", red)
         assert r["red"] == red
+
+
+def test_pq_topk_recall_vs_brute_force(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.similarity import (brute_force_topk,
+                                                      pq_topk)
+    df = tables["embeddings"]
+    qs = df.filter(F.col("vec_id") % 25 == 0)
+    exact = brute_force_topk(df, qs, k=5)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # pure ADC: bounded by quantization error (synthetic unclustered
+    # vectors are PQ's worst case — this pin is deliberately loose)
+    adc = pq_topk(df, qs, k=5, m=16, nbits=4)
+    a = {}
+    for r in adc.collect():
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(a) == set(e)
+    hits = sum(len(e[q] & a[q]) for q in e)
+    total = sum(len(e[q]) for q in e)
+    assert hits / total >= 0.25, f"ADC recall@5 too low: {hits}/{total}"
+    # ADC shortlist + exact re-rank (the production config): near-exact
+    rr = pq_topk(df, qs, k=5, m=16, nbits=4, rerank=50)
+    a2 = {}
+    for r in rr.collect():
+        a2.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits2 = sum(len(e[q] & a2[q]) for q in e)
+    assert hits2 / total >= 0.85, \
+        f"reranked PQ recall@5 too low: {hits2}/{total}"
+
+
+def test_pq_encode_deterministic(spark, tables):
+    from handyspark_spark.pipeline.similarity import (pq_codebooks,
+                                                      pq_encode)
+    df = tables["embeddings"]
+    books = pq_codebooks(df, m=8, nbits=4)
+    a = {r["vec_id"]: r["pq_code"] for r in
+         pq_encode(df, books).select("vec_id", "pq_code").collect()}
+    b = {r["vec_id"]: r["pq_code"] for r in
+         pq_encode(df.repartition(7), books)
+         .select("vec_id", "pq_code").collect()}
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+               for c in a.values())
+
+
+def test_brier_and_calibration_vs_pandas(spark, tables, pdf_tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.ml.evaluation import (brier_score,
+                                                calibration_bins)
+    df = tables["embeddings"].select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        (F.col("label") >= 5).cast("double").alias("label"))
+    pdf = pdf_tables["embeddings"].copy()
+    pdf["score"] = pdf["embedding"].map(lambda v: float(v[0]))
+    pdf["label"] = (pdf["label"] >= 5).astype(float)
+    got = brier_score(df).collect()[0]
+    want = ((pdf["score"] - pdf["label"]) ** 2).mean()
+    assert abs(got["brier"] - want) < 1e-9
+    bins = {r["bin"]: r for r in calibration_bins(df, n_bins=10).collect()}
+    pdf["bin"] = (pdf["score"] * 10).apply(
+        lambda x: min(int(x // 1), 9))
+    for b, grp in pdf.groupby("bin"):
+        assert bins[b]["n"] == len(grp)
+        assert abs(bins[b]["pos_rate"] - grp["label"].mean()) < 1e-9
