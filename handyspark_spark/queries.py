@@ -3390,3 +3390,40 @@ def q_ann_pq(spark, sf_dir):
     df = _t(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") % 50 == 0)
     return pq_topk(df, queries_df, k=5, m=16, nbits=4, rerank=50)
+
+
+@query("image_stats", """
+WITH pos AS (SELECT unnest(range(256)) AS p),
+px AS (
+  SELECT d.doc_id, pos.p,
+         ord(substr(d.text,
+             CAST((3 * pos.p + 0) % LENGTH(d.text) AS INT) + 1, 1)) AS r,
+         ord(substr(d.text,
+             CAST((3 * pos.p + 1) % LENGTH(d.text) AS INT) + 1, 1)) AS g,
+         ord(substr(d.text,
+             CAST((3 * pos.p + 2) % LENGTH(d.text) AS INT) + 1, 1)) AS b
+  FROM documents d, pos
+)
+SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+       ROUND(AVG(r), 6) AS mean_r,
+       ROUND(AVG(g), 6) AS mean_g,
+       ROUND(AVG(b), 6) AS mean_b,
+       ROUND((AVG(r) + AVG(g) + AVG(b)) / 3.0, 6) AS brightness
+FROM px GROUP BY doc_id
+""")
+def q_image_stats(spark, sf_dir):
+    """REAL image decode, oracle-checked: text payloads become actual
+    24-bit BMP blobs (numpy encoder), image_stats DECODES them with the
+    numpy BMP reader and aggregates channel means — while DuckDB
+    reproduces the same numbers from the byte-tiling definition without
+    ever seeing a BMP. Proves the whole binary-media path (encode ->
+    binary column -> Arrow batch -> decode -> features) end-to-end."""
+    from .pipeline.multimodal import attach_bmp_media, image_stats
+    df = _t(spark, sf_dir, "documents")
+    media = attach_bmp_media(df, "doc_id", "text", width=16, height=16)
+    out = image_stats(media)
+    return out.select("media_id", "width", "height",
+                      F.round("mean_r", 6).alias("mean_r"),
+                      F.round("mean_g", 6).alias("mean_g"),
+                      F.round("mean_b", 6).alias("mean_b"),
+                      F.round("brightness", 6).alias("brightness"))

@@ -875,3 +875,60 @@ def test_brier_and_calibration_vs_pandas(spark, tables, pdf_tables):
     for b, grp in pdf.groupby("bin"):
         assert bins[b]["n"] == len(grp)
         assert abs(bins[b]["pos_rate"] - grp["label"].mean()) < 1e-9
+
+
+def test_bmp_wav_codec_roundtrips():
+    import numpy as np
+    from handyspark_spark.pipeline.multimodal import (
+        decode_bmp, decode_wav, encode_bmp, encode_wav, resize_nearest)
+    rng = np.random.default_rng(7)
+    # odd width exercises BMP row padding
+    px = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+    s = rng.integers(-32768, 32767, 4097).astype(np.int16)
+    s2, rate = decode_wav(encode_wav(s, 22050))
+    assert (s2 == s).all() and rate == 22050
+    r = resize_nearest(px, 3, 5)
+    assert r.shape == (5, 3, 3)
+    # upscale keeps corner pixel
+    up = resize_nearest(px, 14, 22)
+    assert (up[0, 0] == px[0, 0]).all()
+
+
+def test_image_stats_matches_numpy(spark, tables):
+    import numpy as np
+    from handyspark_spark.pipeline.multimodal import (attach_bmp_media,
+                                                      image_stats)
+    df = tables["documents"].limit(50)
+    media = attach_bmp_media(df, "doc_id", "text", width=8, height=8)
+    got = {r["media_id"]: r for r in image_stats(media).collect()}
+    for row in df.select("doc_id", "text").collect():
+        raw = row["text"].encode()
+        n = 8 * 8 * 3
+        tiled = (raw * (n // max(len(raw), 1) + 1))[:n]
+        px = np.frombuffer(tiled, dtype=np.uint8).reshape(8, 8, 3)
+        g = got[row["doc_id"]]
+        assert g["width"] == 8 and g["height"] == 8
+        means = px.reshape(-1, 3).mean(axis=0)
+        assert abs(g["mean_r"] - means[0]) < 1e-9
+        assert abs(g["brightness"] - means.mean()) < 1e-9
+
+
+def test_media_decode_real_formats_no_fake_needed(spark):
+    import numpy as np
+    from handyspark_spark.pipeline.multimodal import (
+        _decode, encode_bmp, encode_wav)
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    out = _decode(encode_bmp(px), None, fake=False)   # no raise: real
+    assert out.shape == (16, 3)
+    wav = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    out = _decode(wav, None, fake=False)
+    assert out.shape == (100, 1)
+    # compressed/unknown still gated
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        _decode(b"\x89PNG\r\n\x1a\n" + b"x" * 64, None, fake=False)
+    # a text blob that merely starts with 'BM' is NOT misrouted
+    fake_feat = _decode(b"BM just some text", None, fake=True)
+    assert fake_feat.shape == (8, 8)
