@@ -141,3 +141,29 @@ def token_budget_sample(df: DataFrame, key_col: str, weight_col,
                     F.col("_cum__tbs_w").alias("_tbs_cum")))
     out = df.join(kept, key_col, "inner")
     return out if keep_cum else out.drop("_tbs_cum")
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col,
+                    n: int, by: str | None = None,
+                    salt: str = "") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis): priority = u^(1/w) with u the stable unit
+    hash — take the n highest priorities (per ``by`` group when given).
+    Inclusion probability is proportional to weight, membership is
+    reproducible across layouts/engines, and no rejection loop exists.
+
+    Global form compiles to TakeOrderedAndProject (distributed top-n,
+    no single-partition window); grouped form is one window over the
+    group key."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = hash_unit(F.col(key_col), salt)
+    pri = F.pow(u, F.lit(1.0) / w.cast("double"))
+    if by is None:
+        return (df.withColumn("_pri", pri)
+                .orderBy(F.desc("_pri"), F.col(key_col))
+                .limit(n).drop("_pri"))
+    from pyspark.sql import Window
+    win = Window.partitionBy(by).orderBy(F.desc("_pri"), F.col(key_col))
+    return (df.withColumn("_pri", pri)
+            .withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= n).drop("_pri", "_rn"))

@@ -337,3 +337,30 @@ def pii_redact(col) -> Column:
     for name, repl in PII_REDACTIONS:
         out = F.regexp_replace(out, PII_PATTERNS[name], repl)
     return out
+
+
+def top_ngram_fraction(col, n: int = 2) -> Column:
+    """Gopher-style repetition signal: the fraction of all n-gram
+    occurrences claimed by the single MOST FREQUENT n-gram of the
+    document. Computed as the longest run in the sorted gram array via
+    one ``F.aggregate`` fold — pure projection, no explode, no shuffle;
+    docs shorter than ``n`` tokens score 0."""
+    toks = tokens(col)
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = F.array_sort(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    state = F.named_struct(
+        F.lit("prev"), F.lit(""), F.lit("run"), F.lit(0),
+        F.lit("best"), F.lit(0))
+    step = lambda acc, x: F.named_struct(
+        F.lit("prev"), x,
+        F.lit("run"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        F.lit("best"),
+        F.greatest(acc["best"],
+                   F.when(x == acc["prev"], acc["run"] + 1)
+                   .otherwise(F.lit(1))))
+    best = F.aggregate(grams, state, step)["best"]
+    return F.when(m > 0, best.cast("double") / m).otherwise(F.lit(0.0))

@@ -3427,3 +3427,57 @@ def q_image_stats(spark, sf_dir):
                       F.round("mean_g", 6).alias("mean_g"),
                       F.round("mean_b", 6).alias("mean_b"),
                       F.round("brightness", 6).alias("brightness"))
+
+
+@query("weighted_sample", """
+WITH t AS (
+  SELECT doc_id, source,
+         POW(('0x' || substr(md5(doc_id::VARCHAR || '#'), 1, 8))::BIGINT
+               / 4294967296.0,
+             1.0 / len(string_split(text, ' '))) AS pri
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY pri DESC, doc_id) AS rn
+  FROM t
+)
+SELECT doc_id, source FROM r WHERE rn <= 20
+""")
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis priorities over stable hashes): 20 docs per
+    source with inclusion odds proportional to token count."""
+    from .pipeline.sample import weighted_sample
+    from .pipeline.text import token_count
+    df = (_t(spark, sf_dir, "documents")
+          .withColumn("n_tok", token_count("text")))
+    out = weighted_sample(df, "doc_id", "n_tok", 20, by="source")
+    return out.select("doc_id", "source")
+
+
+@query("top_ngram_fraction", """
+WITH g AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) - 1 AS m,
+         unnest(range(1, len(string_split(text, ' ')))) AS i,
+         string_split(text, ' ') AS toks
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), grams AS (
+  SELECT doc_id, m, array_to_string(toks[i:i+1], ' ') AS gram FROM g
+), counts AS (
+  SELECT doc_id, m, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, m, gram
+)
+SELECT doc_id, ROUND(MAX(c) * 1.0 / m, 6) AS top2_frac
+FROM counts GROUP BY doc_id, m
+""")
+def q_top_ngram_fraction(spark, sf_dir):
+    """Gopher-style repetition: fraction of 2-gram occurrences claimed
+    by the most frequent 2-gram — longest-run fold over the sorted gram
+    array, zero shuffle (DuckDB oracle counts grams the explicit way)."""
+    from .pipeline.text import top_ngram_fraction
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id",
+                     F.round(top_ngram_fraction("text", 2), 6)
+                     .alias("top2_frac"))

@@ -932,3 +932,41 @@ def test_media_decode_real_formats_no_fake_needed(spark):
     # a text blob that merely starts with 'BM' is NOT misrouted
     fake_feat = _decode(b"BM just some text", None, fake=True)
     assert fake_feat.shape == (8, 8)
+
+
+def test_weighted_sample_deterministic_and_biased(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.sample import weighted_sample
+    from handyspark_spark.pipeline.text import token_count
+    df = tables["documents"].withColumn("n_tok", token_count("text"))
+    a = {r["doc_id"] for r in
+         weighted_sample(df, "doc_id", "n_tok", 30).collect()}
+    b = {r["doc_id"] for r in
+         weighted_sample(df.repartition(13), "doc_id", "n_tok",
+                         30).collect()}
+    assert a == b and len(a) == 30
+    # weight bias: sampled docs should skew heavier than the corpus mean
+    mean_all = df.agg(F.avg("n_tok")).first()[0]
+    mean_sample = (df.filter(F.col("doc_id").isin(list(a)))
+                   .agg(F.avg("n_tok")).first()[0])
+    assert mean_sample > mean_all
+    # grouped form: exact n per group
+    g = weighted_sample(df, "doc_id", "n_tok", 5, by="lang")
+    counts = {r["lang"]: r["count"] for r in
+              g.groupBy("lang").count().collect()}
+    assert all(v == 5 for v in counts.values())
+
+
+def test_top_ngram_fraction_matches_python(spark, tables):
+    from collections import Counter
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.text import top_ngram_fraction
+    df = tables["documents"].limit(100)
+    got = {r["doc_id"]: r["f"] for r in
+           df.select("doc_id",
+                     top_ngram_fraction("text", 2).alias("f")).collect()}
+    for row in df.select("doc_id", "text").collect():
+        toks = row["text"].split(" ")
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        want = (max(Counter(grams).values()) / len(grams)) if grams else 0.0
+        assert abs(got[row["doc_id"]] - want) < 1e-12
