@@ -540,15 +540,52 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     raise ValueError(f"unknown method {method!r}")
 
 
+def _components_unionfind(edge_rows) -> dict:
+    """Exact driver-side union-find (path halving + union by label):
+    node -> min reachable node id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union toward the smaller id so the root IS the min label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 20,
-                         initial: DataFrame | None = None) -> DataFrame:
+                         initial: DataFrame | None = None,
+                         small_graph_threshold: int = 2_000_000
+                         ) -> DataFrame:
     """Exact duplicate clusters from a pair list: iterative min-label
     propagation to a fixpoint (the transitive closure one-round
     ``minhash_lsh_groups`` approximates). Genuinely iterative — each round
     is one join + one groupBy; rounds needed = graph diameter in
     min-label hops (log-ish for typical dup clusters).
+
+    ADAPTIVE physical strategy: after dedup pruning (LSH buckets emit
+    star edges, not cliques) the edge list is often tiny relative to the
+    corpus — when it fits ``small_graph_threshold`` rows, an exact
+    driver-side union-find replaces the iterative loop: one collect of
+    the (already persisted, already distinct) edges versus
+    ~log(diameter) multi-join rounds, each a full Spark job. 2M edges
+    ≈ tens of MB on the driver. Pass ``small_graph_threshold=0`` to
+    force the distributed loop; results are identical (tests pin it).
 
     ``initial``: optional seed labels with columns (node, component) —
     e.g. ``minhash_lsh_groups(...).withColumnRenamed("doc_id", "node")
@@ -566,6 +603,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                        F.col(id_a).alias("dst")))
              .distinct()
              .persist())          # reused every iteration — compute once
+    if small_graph_threshold:
+        # limit-probe: costs one job over the persisted edges and never
+        # materializes more than threshold+1 rows on the driver
+        probe = edges.limit(small_graph_threshold + 1).count()
+        if probe <= small_graph_threshold:
+            rows = edges.collect()
+            comp = _components_unionfind(
+                (r["src"], r["dst"]) for r in rows)
+            edges.unpersist()
+            spark = pairs.sparkSession
+            out = spark.createDataFrame(
+                list(comp.items()),
+                schema=pairs.select(F.col(id_a).alias("node"),
+                                    F.col(id_a).alias("component")).schema)
+            return out
     nodes = edges.select(F.col("src").alias("node")).distinct()
     if initial is not None:
         labels = (nodes.join(initial.select(

@@ -377,7 +377,10 @@ def test_components_raise_on_nonconvergence(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(pairs, max_iterations=1)
+        # force the distributed loop: the driver union-find fast path
+        # has no iteration limit to trip
+        connected_components(pairs, max_iterations=1,
+                             small_graph_threshold=0)
 
 
 def test_decontaminate_methods(spark, docs):
@@ -970,3 +973,17 @@ def test_top_ngram_fraction_matches_python(spark, tables):
         grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
         want = (max(Counter(grams).values()) / len(grams)) if grams else 0.0
         assert abs(got[row["doc_id"]] - want) < 1e-12
+
+
+def test_components_driver_path_equals_distributed(spark, tables):
+    from handyspark_spark.pipeline.dedup import (connected_components,
+                                                 minhash_lsh_pairs)
+    pairs = minhash_lsh_pairs(tables["documents"], num_hashes=16,
+                              bands=2).persist()
+    fast = {(r["node"], r["component"]) for r in
+            connected_components(pairs).collect()}
+    slow = {(r["node"], r["component"]) for r in
+            connected_components(pairs,
+                                 small_graph_threshold=0).collect()}
+    assert fast == slow and fast
+    pairs.unpersist()
