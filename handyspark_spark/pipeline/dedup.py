@@ -418,15 +418,24 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
+        # token -> ±1 bit vector memo: corpora have vocabulary ≪ token
+        # occurrences, so each distinct token pays its md5 ONCE per
+        # python worker instead of once per containing document
+        memo: dict = {}
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             if t is None:
                 continue
             acc = np.zeros(64, dtype=np.int64)
             for tok in set(t.split(" ")):
-                digest = hashlib.md5(tok.encode()).digest()[:8]
-                bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
-                acc += bits.astype(np.int64) * 2 - 1
+                sign = memo.get(tok)
+                if sign is None:
+                    digest = hashlib.md5(tok.encode()).digest()[:8]
+                    bits = np.unpackbits(
+                        np.frombuffer(digest, dtype=np.uint8))
+                    sign = bits.astype(np.int64) * 2 - 1
+                    memo[tok] = sign
+                acc += sign
             fp_bytes = np.packbits((acc > 0).astype(np.uint8)).tobytes()
             out[i] = int.from_bytes(fp_bytes, "big", signed=True)
         return pd.Series(out)
