@@ -159,3 +159,75 @@ def test_incremental_merge_is_order_insensitive(spark):
     ba = {r.k: (r.n, r.s, r.mn, r.mx)
           for r in merge_states(s2, s1, ["k"]).collect()}
     assert ab == ba
+
+
+# ---------------------------------------------------------------------------
+# text-format sources (JSONL / CSV ingestion)
+# ---------------------------------------------------------------------------
+
+def test_read_jsonl_corrupt_capture_and_roundtrip(spark, tmp_path):
+    import gzip
+    import json
+    d = tmp_path / "jl"
+    d.mkdir()
+    rows = [{"doc_id": i, "text": f"doc {i}", "n": i * 2} for i in range(20)]
+    with open(d / "a.jsonl", "w") as f:
+        for r in rows[:10]:
+            f.write(json.dumps(r) + "\n")
+        f.write("{not valid json\n")
+    with gzip.open(d / "b.jsonl.gz", "wt") as f:
+        for r in rows[10:]:
+            f.write(json.dumps(r) + "\n")
+    from handyspark_spark.sources.textsource import (corrupt_records,
+                                                     read_jsonl,
+                                                     valid_records)
+    df = read_jsonl(spark, str(d),
+                    schema="doc_id long, text string, n long")
+    good = valid_records(df)
+    assert good.count() == 20          # gz + plain both read
+    assert {r["doc_id"] for r in good.collect()} == set(range(20))
+    bad = corrupt_records(df).collect()
+    assert len(bad) == 1 and "not valid" in bad[0][0]
+
+
+def test_read_jsonl_infer_and_csv(spark, tmp_path):
+    import json
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"a": i, "b": f"x{i}"}) + "\n")
+    from handyspark_spark.sources.textsource import read_csv, read_jsonl
+    inferred = read_jsonl(spark, str(p))
+    assert set(inferred.columns) == {"a", "b"} and inferred.count() == 5
+    c = tmp_path / "t.csv"
+    c.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(c), infer=True)
+    assert [r["a"] for r in df.orderBy("a").collect()] == [1, 2]
+    assert dict(df.dtypes)["a"] == "int"
+
+
+def test_write_jsonl_roundtrip_and_stream(spark, tmp_path, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.sources.textsource import (read_jsonl,
+                                                     stream_jsonl,
+                                                     write_jsonl)
+    src = tables["documents"].select("doc_id", "source", "n_chars")
+    out = str(tmp_path / "out")
+    write_jsonl(src, out, num_files=2)
+    back = read_jsonl(spark, out,
+                      schema="doc_id long, source string, n_chars long")
+    from handyspark_spark.sources.textsource import valid_records
+    assert valid_records(back).count() == src.count()
+    # streaming file-source over the same directory, one batch
+    stream = stream_jsonl(spark, out,
+                          "doc_id long, source string, n_chars long")
+    agg = stream.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    q = (agg.writeStream.format("memory").queryName("tsrc")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["source"]: r["n"] for r in
+           spark.sql("SELECT * FROM tsrc").collect()}
+    want = {r["source"]: r["n"] for r in
+            src.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    assert got == want
