@@ -145,6 +145,44 @@ def main():
           stream_join(clicks, views, ["uid"], "ts", "ts",
                       tolerance="10 minutes").count())
 
+    print("\n== Round-3: budgeted/weighted sampling + keep-best dedup ==")
+    from handyspark_spark.pipeline.sample import (token_budget_sample,
+                                                  weighted_sample)
+    from handyspark_spark.pipeline.text import token_count
+    docs_tok = docs.withColumn("n_tok", token_count("text"))
+    capped = token_budget_sample(docs_tok, "doc_id", "n_tok", 2000,
+                                 by="source")
+    print("token-budget sample:", capped.count(), "docs within budget")
+    ws = weighted_sample(docs_tok, "doc_id", "n_tok", 10)
+    print("weighted sample mean tokens:",
+          round(ws.agg(F.avg("n_tok")).first()[0], 1), "vs corpus",
+          round(docs_tok.agg(F.avg("n_tok")).first()[0], 1))
+    from handyspark_spark.pipeline.dedup import (dedup_keep_best,
+                                                 decontaminate_bloom)
+    kept = dedup_keep_best(docs, max_bucket_size=None)
+    print("keep-best dedup:", docs.count(), "->", kept.count(), "docs")
+    bench_docs = docs.filter(F.col("doc_id") % 17 == 0)
+    clean = decontaminate_bloom(docs, bench_docs, m_bits=1 << 18, k=5)
+    print("bloom decontaminate:", clean.count(), "clean docs")
+
+    print("\n== Round-3: PQ search + calibration + real image decode ==")
+    from handyspark_spark.pipeline.similarity import pq_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    q3 = emb.filter(F.col("vec_id") % 100 == 0)
+    pq = pq_topk(emb, q3, k=3, m=16, nbits=4, rerank=25)
+    print("PQ reranked top-3 sample:", pq.limit(3).collect())
+    from handyspark_spark.ml.evaluation import (brier_score,
+                                                calibration_bins)
+    scored = emb.select(F.col("embedding")[0].cast("double").alias("score"),
+                        (F.col("label") >= 5).cast("double").alias("label"))
+    print("brier:", brier_score(scored).first()["brier"])
+    print("calibration bins:", calibration_bins(scored, n_bins=5)
+          .orderBy("bin").collect())
+    from handyspark_spark.pipeline.multimodal import (attach_bmp_media,
+                                                      image_stats)
+    media = attach_bmp_media(docs.limit(20), "doc_id", "text", 8, 8)
+    print("decoded image stats:", image_stats(media).limit(2).collect())
+
     spark.stop()
 
 
