@@ -173,7 +173,9 @@ def main():
     print("PQ reranked top-3 sample:", pq.limit(3).collect())
     from handyspark_spark.ml.evaluation import (brier_score,
                                                 calibration_bins)
-    scored = emb.select(F.col("embedding")[0].cast("double").alias("score"),
+    prob = F.lit(1.0) / (F.lit(1.0) +
+                         F.exp(-3.0 * F.col("embedding")[0].cast("double")))
+    scored = emb.select(prob.alias("score"),
                         (F.col("label") >= 5).cast("double").alias("label"))
     print("brier:", brier_score(scored).first()["brier"])
     print("calibration bins:", calibration_bins(scored, n_bins=5)

@@ -3300,38 +3300,47 @@ def q_quality_logit(spark, sf_dir):
 
 
 @query("brier_score", """
-SELECT ROUND(AVG(POW(ROUND(embedding[1]::DOUBLE, 6)
+SELECT ROUND(AVG(POW(ROUND(1.0 / (1.0 + EXP(-3.0 * embedding[1]::DOUBLE)), 6)
                  - CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END, 2)), 6)
          AS brier,
        COUNT(*) AS n
 FROM embeddings
 """)
 def q_brier_score(spark, sf_dir):
-    """Proper scoring rule for probabilistic predictions — one agg."""
+    """Proper scoring rule for probabilistic predictions — one agg.
+    The raw synthetic score is sigmoid-mapped to a probability first
+    (what a real classifier head emits)."""
     from .ml.evaluation import brier_score
+    s = F.col("embedding")[0].cast("double")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-3.0 * s))
     df = _t(spark, sf_dir, "embeddings").select(
-        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+        F.round(prob, 6).alias("score"),
         (F.col("label") >= 5).cast("double").alias("label"))
     out = brier_score(df)
     return out.select(F.round("brier", 6).alias("brier"), "n")
 
 
 @query("calibration_curve", """
-SELECT CAST(LEAST(FLOOR(ROUND(embedding[1]::DOUBLE, 6) * 10), 9) AS INT)
-         AS bin,
+WITH s AS (
+  SELECT ROUND(1.0 / (1.0 + EXP(-3.0 * embedding[1]::DOUBLE)), 6) AS p,
+         CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+)
+SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INT) AS bin,
        COUNT(*) AS n,
-       ROUND(AVG(ROUND(embedding[1]::DOUBLE, 6)), 6) AS mean_score,
-       ROUND(AVG(CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END), 6)
-         AS pos_rate
-FROM embeddings
-GROUP BY bin
+       ROUND(AVG(p), 6) AS mean_score,
+       ROUND(AVG(y), 6) AS pos_rate
+FROM s GROUP BY bin
 """)
 def q_calibration_curve(spark, sf_dir):
-    """Reliability curve — closed-form equal-width bins, ONE grouped
-    job (the scalable calibration-plot input)."""
+    """Reliability curve over sigmoid-mapped probabilities —
+    closed-form equal-width bins, ONE grouped job (the scalable
+    calibration-plot input)."""
     from .ml.evaluation import calibration_bins
+    s = F.col("embedding")[0].cast("double")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-3.0 * s))
     df = _t(spark, sf_dir, "embeddings").select(
-        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+        F.round(prob, 6).alias("score"),
         (F.col("label") >= 5).cast("double").alias("label"))
     out = calibration_bins(df, n_bins=10)
     return out.select("bin", "n",
