@@ -1,6 +1,7 @@
 """Operator plan builders."""
 from .asof import asof_join
 from .bloom import bloom_build, bloom_filter_maybe, bloom_probe_col
+from .sketch import cms_build, cms_estimate, cms_merge, cms_topk
 from .incremental import (finalize_state, merge_states,
                           partial_aggregate)
 from .rank import (grouped_ranged_cumsum, ranged_avg_rank, ranged_cumsum,
@@ -18,5 +19,6 @@ __all__ = ["asof_join", "trailing_features", "event_transitions", "cohort_retent
            "partial_aggregate", "merge_states", "finalize_state",
            "resample", "scd2_history", "Check", "constraint_report",
            "bloom_build", "bloom_probe_col", "bloom_filter_maybe",
+           "cms_build", "cms_estimate", "cms_merge", "cms_topk",
            "ranged_cumsum", "ranged_row_number", "ranged_avg_rank",
            "grouped_ranged_cumsum"]

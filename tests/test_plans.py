@@ -248,3 +248,58 @@ def test_tpch_new_queries_plan_shapes(tables, spark):
     import re
     assert re.search(r"PushedFilters: \[[^\]]*l_quantity", q19), \
         "quantity range not pushed to the lineitem scan"
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+def test_cms_never_underestimates_and_tightens(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.sketch import cms_build, cms_estimate
+    df = tables["documents"].select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    truth = {r["tok"]: r["n"] for r in
+             df.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    items = df.select("tok").distinct()
+    # tiny sketch: collisions guaranteed -> strictly one-sided error
+    small = cms_build(df, "tok", width=64, depth=3)
+    est_s = {r["tok"]: r["est"] for r in
+             cms_estimate(items, "tok", small, 64, 3).collect()}
+    assert all(est_s[t] >= truth[t] for t in truth)
+    # wide sketch: few collisions -> estimates collapse to the truth
+    wide = cms_build(df, "tok", width=16384, depth=4)
+    est_w = {r["tok"]: r["est"] for r in
+             cms_estimate(items, "tok", wide, 16384, 4).collect()}
+    assert all(est_w[t] >= truth[t] for t in truth)
+    exact_frac = sum(est_w[t] == truth[t] for t in truth) / len(truth)
+    assert exact_frac > 0.9
+
+
+def test_cms_merge_equals_single_build(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.sketch import cms_build, cms_merge
+    df = tables["documents"].select(
+        F.explode(F.split("text", " ")).alias("tok"),
+        F.col("doc_id"))
+    a = cms_build(df.filter("doc_id % 2 = 0"), "tok", 256, 3)
+    b = cms_build(df.filter("doc_id % 2 = 1"), "tok", 256, 3)
+    merged = {(r["d"], r["w_idx"]): r["cnt"] for r in
+              cms_merge(a, b).collect()}
+    whole = {(r["d"], r["w_idx"]): r["cnt"] for r in
+             cms_build(df, "tok", 256, 3).collect()}
+    assert merged == whole
+
+
+def test_cms_topk_finds_heavy_hitters(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.sketch import cms_topk
+    df = tables["documents"].select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    exact = [r["tok"] for r in
+             df.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.desc("n"), F.asc("tok")).limit(5).collect()]
+    got = [r["tok"] for r in
+           cms_topk(df, "tok", k=5, width=16384, depth=4,
+                    candidate_fraction=0.1).collect()]
+    assert set(got) == set(exact)
