@@ -7,7 +7,7 @@ from .incremental import (finalize_state, merge_states,
 from .rank import (grouped_ranged_cumsum, ranged_avg_rank, ranged_cumsum,
                    ranged_row_number)
 from .quality import Check, constraint_report
-from .timeseries import resample, scd2_history
+from .timeseries import resample, rolling_zscore, scd2_history
 from .events import cohort_retention, event_transitions, trailing_features
 from .rangejoin import range_join
 from .skew import salted_agg, salted_join
@@ -17,7 +17,7 @@ from .upsert import latest_by_key, upsert
 __all__ = ["asof_join", "trailing_features", "event_transitions", "cohort_retention", "range_join", "salted_agg", "salted_join", "ttest", "tTest",
            "ks_test", "KolmogorovSmirnovTest", "latest_by_key", "upsert",
            "partial_aggregate", "merge_states", "finalize_state",
-           "resample", "scd2_history", "Check", "constraint_report",
+           "resample", "rolling_zscore", "scd2_history", "Check", "constraint_report",
            "bloom_build", "bloom_probe_col", "bloom_filter_maybe",
            "cms_build", "cms_estimate", "cms_merge", "cms_topk",
            "ranged_cumsum", "ranged_row_number", "ranged_avg_rank",

@@ -95,3 +95,32 @@ def scd2_history(df: DataFrame, key_col: str, ts_col: str,
             .select(key_col, *attr_cols,
                     F.col(ts_col).alias("valid_from"),
                     F.lead(ts_col).over(w2).alias("valid_to")))
+
+
+def rolling_zscore(df: DataFrame, ts_col: str, key_col: str,
+                   value_col: str, lookback: int = 20,
+                   min_points: int = 5, threshold: float = 3.0,
+                   tiebreak_col: str | None = None) -> DataFrame:
+    """Per-entity rolling-window anomaly score: z = (x - mean) / std over
+    the PREVIOUS ``lookback`` points (the current row is excluded, so a
+    spike cannot mask itself), NULL until ``min_points`` of history
+    exist. One keyed sort exchange shared by both window aggregates;
+    per-entity frames keep everything parallel at any entity count —
+    the skew risk is a single hot entity, same as every keyed window
+    here. Appends ``zscore`` and ``is_anomaly``."""
+    from pyspark.sql import Window
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        # same-ts events otherwise enter the frame in nondeterministic
+        # order — part of the determinism contract (see event_transitions)
+        order.append(F.col(tiebreak_col).asc())
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-lookback, -1))
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    npts = F.count(value_col).over(w)
+    z = F.when((npts >= min_points) & (std > 0),
+               (F.col(value_col) - mean) / std)
+    return (df.withColumn("zscore", z)
+            .withColumn("is_anomaly",
+                        F.when(z.isNotNull(), F.abs(z) > threshold)))

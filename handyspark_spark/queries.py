@@ -3490,3 +3490,37 @@ def q_top_ngram_fraction(spark, sf_dir):
     return df.select("doc_id",
                      F.round(top_ngram_fraction("text", 2), 6)
                      .alias("top2_frac"))
+
+
+@query("anomaly_zscore", """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         AVG(value) OVER prev AS m,
+         STDDEV_SAMP(value) OVER prev AS s,
+         COUNT(value) OVER prev AS np
+  FROM events
+  WINDOW prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id,
+       ROUND(CASE WHEN np >= 5 AND s > 0 THEN (value - m) / s END, 6)
+         AS zscore,
+       COALESCE(CASE WHEN np >= 5 AND s > 0
+                     THEN ABS((value - m) / s) > 3.0 END, FALSE)
+         AS is_anomaly
+FROM w
+""")
+def q_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags over the event stream — trailing
+    window excludes the current row so spikes can't mask themselves;
+    one keyed sort exchange."""
+    from .operators.timeseries import rolling_zscore
+    df = _t(spark, sf_dir, "events")
+    out = rolling_zscore(df, "ts", "user_id", "value", lookback=20,
+                         min_points=5, threshold=3.0,
+                         tiebreak_col="event_id")
+    # NULL booleans render as None/NaN differently across engines —
+    # "insufficient history" maps to not-flagged on both sides
+    return out.select("event_id", F.round("zscore", 6).alias("zscore"),
+                      F.coalesce("is_anomaly", F.lit(False))
+                      .alias("is_anomaly"))

@@ -111,3 +111,34 @@ def test_constraint_report_single_job_for_row_constraints(spark):
     # one scan of the range source feeding one partial/final agg pair
     assert len(re.findall(r"Scan|Range", plan)) <= 3
     assert rep.count() == 4
+
+
+def test_rolling_zscore_matches_pandas(spark, tables, pdf_tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.timeseries import rolling_zscore
+    ev = tables["events"]
+    got = {r["event_id"]: (r["zscore"], r["is_anomaly"]) for r in
+           rolling_zscore(ev, "ts", "user_id", "value", lookback=10,
+                          min_points=3, threshold=2.0,
+                          tiebreak_col="event_id")
+           .select("event_id", "zscore", "is_anomaly").collect()}
+    pdf = pdf_tables["events"].sort_values(["user_id", "ts", "event_id"])
+    for _, g in pdf.groupby("user_id"):
+        vals = g["value"].tolist()
+        ids = g["event_id"].tolist()
+        for i in range(len(vals)):
+            window = vals[max(0, i - 10):i]
+            z, flag = None, None
+            if len(window) >= 3:
+                import statistics
+                m = statistics.fmean(window)
+                s = statistics.stdev(window)
+                if s > 0:
+                    z = (vals[i] - m) / s
+                    flag = abs(z) > 2.0
+            gz, gf = got[ids[i]]
+            if z is None:
+                assert gz is None
+            else:
+                assert gz is not None and abs(gz - z) < 1e-9
+                assert gf == flag
