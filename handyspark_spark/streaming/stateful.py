@@ -106,3 +106,36 @@ def maintain_state_table(stream: DataFrame, state_path: str,
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def maintain_cms_sketch(stream: DataFrame, col: str, state_path: str,
+                        checkpoint_path: str, width: int = 8192,
+                        depth: int = 4,
+                        trigger_available_now: bool = True):
+    """Streaming count-min maintenance: each micro-batch's sketch
+    (bounded: depth x width cells built from |batch| rows) merges
+    additively into the persisted cell table — the incremental
+    frequency-stats pattern for data that is gone after ingestion.
+    Same two-phase swap and at-least-once caveats as
+    ``maintain_state_table``."""
+    from ..operators.sketch import cms_build, cms_merge
+
+    def _fold(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        part = cms_build(batch, col, width, depth)
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = cms_merge(prev, part)
+        except Exception:           # first batch: no state yet
+            merged = part
+        tmp = state_path.rstrip("/") + "._next"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+        shutil.rmtree(state_path, ignore_errors=True)
+        shutil.move(tmp, state_path)
+
+    w = (stream.writeStream.foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_path))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -534,3 +534,34 @@ def test_maintain_state_table_matches_batch(spark, tables, tmp_path):
         assert got[k]["n"] == exp[k]["n"]
         for f in ("total", "mean", "min", "max"):
             assert abs(got[k][f] - exp[k][f]) < 1e-4, (k, f)
+
+
+def test_maintain_cms_sketch_matches_batch_build(spark, tables, tmp_path):
+    """Incremental streamed sketch == one-shot batch sketch (additive
+    merge), and estimates from it match exact counts at low collision."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.sketch import (cms_build,
+                                                   cms_estimate)
+    from handyspark_spark.streaming.stateful import maintain_cms_sketch
+    toks = tables["documents"].select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    src = str(tmp_path / "toks")
+    toks.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("tok string")
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    state = str(tmp_path / "cms_state")
+    q = maintain_cms_sketch(stream, "tok", state,
+                            str(tmp_path / "ckpt"), width=4096, depth=3)
+    q.awaitTermination(120)
+    streamed = {(r["d"], r["w_idx"]): r["cnt"] for r in
+                spark.read.parquet(state).collect()}
+    whole = {(r["d"], r["w_idx"]): r["cnt"] for r in
+             cms_build(toks, "tok", 4096, 3).collect()}
+    assert streamed == whole
+    truth = {r["tok"]: r["n"] for r in
+             toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    est = {r["tok"]: r["est"] for r in
+           cms_estimate(toks.select("tok").distinct(), "tok",
+                        spark.read.parquet(state), 4096, 3).collect()}
+    assert all(est[t] >= truth[t] for t in truth)
