@@ -250,3 +250,50 @@ def calibration_bins(df: DataFrame, score_col: str = "score",
             .agg(F.count(F.lit(1)).alias("n"),
                  F.avg("_s").alias("mean_score"),
                  F.avg("_y").alias("pos_rate")))
+
+
+def retrieval_metrics(results: DataFrame, relevance: DataFrame,
+                      k: int = 10, query_col: str = "query_id",
+                      doc_col: str = "neighbor_id",
+                      rank_col: str = "rank",
+                      rel_col: str = "rel") -> DataFrame:
+    """Ranking-quality metrics per query from a ranked result table and
+    a (query, doc, rel) relevance table: recall@k, MRR@k, nDCG@k.
+    Gains may be graded in the DCG numerator, but the ideal-DCG
+    normalizer assumes UNIFORM gain (binary relevance) — the common
+    retrieval-eval case. Two grouped jobs (per-query result fold +
+    per-query relevant-total), one broadcast-able join; the ideal-DCG
+    normalizer is a closed-form ``aggregate`` fold over
+    ``sequence(1, min(R, k))`` — no per-query sort of the ideal list."""
+    r = results.filter(F.col(rank_col) <= k)
+    j = (r.join(relevance.select(query_col, doc_col,
+                                 F.col(rel_col).cast("double").alias("_g")),
+                [query_col, doc_col], "left")
+         .withColumn("_g", F.coalesce(F.col("_g"), F.lit(0.0))))
+    per_q = (j.groupBy(query_col)
+             .agg(F.sum((F.col("_g") > 0).cast("int")).alias("_hits"),
+                  F.sum(F.col("_g") /
+                        F.log2(F.col(rank_col).cast("double") + 1))
+                  .alias("_dcg"),
+                  F.min(F.when(F.col("_g") > 0, F.col(rank_col)))
+                  .alias("_first")))
+    totals = (relevance.filter(F.col(rel_col) > 0)
+              .groupBy(query_col)
+              .agg(F.count(F.lit(1)).alias("_R"),
+                   # graded ideal gains would need the top-k gains; for
+                   # binary relevance the ideal list is R ones
+                   F.max(F.col(rel_col).cast("double")).alias("_gmax")))
+    out = per_q.join(totals, query_col, "left")
+    rk = F.least(F.coalesce(F.col("_R"), F.lit(0)), F.lit(k)).cast("int")
+    idcg = F.aggregate(
+        F.when(rk > 0, F.sequence(F.lit(1), rk))
+        .otherwise(F.array().cast("array<int>")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.col("_gmax") /
+        F.log2(i.cast("double") + 1))
+    return out.select(
+        query_col,
+        (F.col("_hits") / F.col("_R")).alias("recall"),
+        F.coalesce(1.0 / F.col("_first"), F.lit(0.0)).alias("mrr"),
+        F.when(idcg > 0, F.col("_dcg") / idcg).otherwise(F.lit(0.0))
+        .alias("ndcg"))

@@ -3524,3 +3524,69 @@ def q_anomaly_zscore(spark, sf_dir):
     return out.select("event_id", F.round("zscore", 6).alias("zscore"),
                       F.coalesce("is_anomaly", F.lit(False))
                       .alias("is_anomaly"))
+
+
+@query("retrieval_ndcg", """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id < 8),
+res AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           q.label AS qlab, c.label AS clab,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                            c.embedding::DOUBLE[]), 6) DESC, c.vec_id ASC)
+             AS INT) AS rank
+    FROM embeddings c CROSS JOIN q
+    WHERE q.vec_id != c.vec_id
+  ) WHERE rank <= 5
+), gains AS (
+  SELECT query_id, rank,
+         CASE WHEN qlab = clab THEN 1.0 ELSE 0.0 END AS g
+  FROM res
+), per_q AS (
+  SELECT query_id,
+         SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS hits,
+         SUM(g / log2(rank + 1.0)) AS dcg,
+         MIN(CASE WHEN g > 0 THEN rank END) AS first_rel
+  FROM gains GROUP BY query_id
+), totals AS (
+  SELECT q.vec_id AS query_id, COUNT(*) AS R
+  FROM q JOIN embeddings c
+    ON q.label = c.label AND q.vec_id != c.vec_id
+  GROUP BY q.vec_id
+), ideal AS (
+  SELECT query_id, SUM(1.0 / log2(i + 1.0)) AS idcg
+  FROM (SELECT query_id,
+               unnest(range(1, CAST(LEAST(R, 5) AS INT) + 1)) AS i
+        FROM totals)
+  GROUP BY query_id
+)
+SELECT p.query_id,
+       ROUND(hits * 1.0 / t.R, 6) AS recall,
+       ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS mrr,
+       ROUND(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+FROM per_q p JOIN totals t USING (query_id)
+             JOIN ideal USING (query_id)
+""")
+def q_retrieval_ndcg(spark, sf_dir):
+    """Retrieval evaluation at scale: exact top-5 results scored against
+    label-match relevance — recall@5 / MRR@5 / nDCG@5 per query, the
+    metrics an embedding-search pipeline reports."""
+    from .ml.evaluation import retrieval_metrics
+    from .pipeline.similarity import brute_force_topk
+    df = _t(spark, sf_dir, "embeddings")
+    qs = df.filter(F.col("vec_id") < 8)
+    res = brute_force_topk(df, qs, k=5)
+    rel = (qs.select(F.col("vec_id").alias("query_id"),
+                     F.col("label").alias("_ql"))
+           .join(df.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("label").alias("_cl")),
+                 F.col("_ql") == F.col("_cl"))
+           .filter(F.col("query_id") != F.col("neighbor_id"))
+           .select("query_id", "neighbor_id", F.lit(1.0).alias("rel")))
+    out = retrieval_metrics(res, rel, k=5)
+    return out.select("query_id", F.round("recall", 6).alias("recall"),
+                      F.round("mrr", 6).alias("mrr"),
+                      F.round("ndcg", 6).alias("ndcg"))

@@ -180,3 +180,42 @@ def test_chi2_independence_detects_dependence(spark):
         obs[a, b] += 1
     e = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
     assert abs(ind["statistic"] - ((obs - e) ** 2 / e).sum()) < 1e-9
+
+
+def test_retrieval_metrics_vs_python(spark, tables):
+    import math
+    from pyspark.sql import functions as F
+    from handyspark_spark.ml.evaluation import retrieval_metrics
+    from handyspark_spark.pipeline.similarity import brute_force_topk
+    emb = tables["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 10)
+    res = brute_force_topk(emb, qs, k=5)
+    rel = (qs.select(F.col("vec_id").alias("query_id"),
+                     F.col("label").alias("_ql"))
+           .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("label").alias("_cl")),
+                 F.col("_ql") == F.col("_cl"))
+           .filter(F.col("query_id") != F.col("neighbor_id"))
+           .select("query_id", "neighbor_id", F.lit(1.0).alias("rel")))
+    got = {r["query_id"]: r for r in
+           retrieval_metrics(res, rel, k=5).collect()}
+    res_rows = {}
+    for r in res.collect():
+        res_rows.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"]))
+    rel_sets = {}
+    for r in rel.collect():
+        rel_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, rows in res_rows.items():
+        R = len(rel_sets[q])
+        ranked = sorted(rows)
+        hits = [rk for rk, d in ranked if d in rel_sets[q]]
+        recall = len(hits) / R
+        mrr = 1.0 / hits[0] if hits else 0.0
+        dcg = sum(1.0 / math.log2(rk + 1) for rk in hits)
+        idcg = sum(1.0 / math.log2(i + 1)
+                   for i in range(1, min(R, 5) + 1))
+        ndcg = dcg / idcg if idcg else 0.0
+        assert abs(got[q]["recall"] - recall) < 1e-9
+        assert abs(got[q]["mrr"] - mrr) < 1e-9
+        assert abs(got[q]["ndcg"] - ndcg) < 1e-9
