@@ -216,7 +216,13 @@ def test_ranged_avg_rank_matches_pandas_and_is_deterministic(spark):
         "pad1": rng.randn(5000), "pad2": rng.randn(5000),  # wide frame
     })
     pdf.loc[::17, "v"] = None
-    sdf = spark.createDataFrame(pdf).repartition(7)
+    # NaN->null explicitly: without Arrow, createDataFrame keeps float
+    # NaN as NaN (a sortable value in Spark) instead of null, and the
+    # rank comparison against pandas (NaN rank = NaN) diverges
+    rows = pdf.astype(object).where(pdf.notna(), None)
+    sdf = spark.createDataFrame(
+        rows, "id long, v double, pad1 double, pad2 double") \
+        .repartition(7)
     exp = pdf.set_index("id")["v"].rank(method="average")
     outs = []
     for _ in range(3):
