@@ -20,7 +20,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_estimate", "cms_merge", "cms_topk"]
+__all__ = ["cms_build", "cms_estimate", "cms_merge", "cms_topk",
+           "hll_state", "hll_merge_estimate", "kll_state",
+           "kll_merge_quantiles", "theta_state", "theta_overlap"]
 
 _SEED0 = 101
 
@@ -92,3 +94,88 @@ def cms_topk(df: DataFrame, col: str, k: int = 10, width: int = 8192,
     cand = df.sample(candidate_fraction, seed=seed).select(col).distinct()
     est = cms_estimate(cand, col, cms, width, depth)
     return (est.orderBy(F.desc("est"), F.asc(col)).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Native Datasketches wrappers (Spark 4 JVM implementations) — binary,
+# mergeable sketch STATE as first-class table columns. These cover the
+# "sketch per slice, merge later" incremental pattern the algebraic
+# (n, s, s2) states in operators/incremental.py cannot: distinct counts
+# (HLL), quantiles (KLL), and set intersections/differences (theta).
+# ---------------------------------------------------------------------------
+
+def hll_state(df: DataFrame, col: str, by: list[str] | None = None,
+              lg_k: int = 12, out_col: str = "hll") -> DataFrame:
+    """Per-group HLL sketch state (binary) — build once per slice (day,
+    source, ...), store next to the slice; |groups| rows out."""
+    g = df.groupBy(*(by or []))
+    return g.agg(F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias(out_col))
+
+
+def hll_merge_estimate(states: DataFrame, by: list[str] | None = None,
+                       state_col: str = "hll",
+                       out_col: str = "n_distinct") -> DataFrame:
+    """Merge slice sketches (any order/grouping) and estimate distinct
+    counts — the O(|slices|) daily-rollup path that never rescans
+    history."""
+    g = states.groupBy(*(by or []))
+    return g.agg(F.hll_sketch_estimate(
+        F.hll_union_agg(F.col(state_col))).alias(out_col))
+
+
+def kll_state(df: DataFrame, col: str, by: list[str] | None = None,
+              k: int = 200, out_col: str = "kll") -> DataFrame:
+    """Per-group KLL quantile-sketch state over a double column."""
+    g = df.groupBy(*(by or []))
+    return g.agg(F.kll_sketch_agg_double(
+        F.col(col).cast("double"), F.lit(k)).alias(out_col))
+
+
+def kll_merge_quantiles(states: DataFrame, probs: list[float],
+                        by: list[str] | None = None,
+                        state_col: str = "kll") -> DataFrame:
+    """Merge KLL slice states and read quantiles — mergeable
+    percentiles for incremental pipelines (native ``percentile_approx``
+    gives one-shot GK sketches but no storable/mergeable state)."""
+    g = states.groupBy(*(by or []))
+    # kll_sketch_merge_double is a BINARY scalar (no aggregate form):
+    # fold the collected slice states — slice count is small by
+    # construction (days/sources), so the per-group list is bounded
+    lst = g.agg(F.collect_list(state_col).alias("_l"))
+    merged = lst.select(
+        *(by or []),
+        F.aggregate(
+            F.slice(F.col("_l"), 2, F.greatest(F.size("_l") - 1,
+                                               F.lit(0))),
+            F.element_at(F.col("_l"), 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x))
+        .alias("_m"))
+    cols = [F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(p))
+            .alias(f"q{str(p).replace('.', '_')}") for p in probs]
+    return merged.select(*(by or []), *cols)
+
+
+def theta_state(df: DataFrame, col: str, by: list[str] | None = None,
+                out_col: str = "theta") -> DataFrame:
+    """Per-group theta sketch state — distinct SETS you can union,
+    intersect, and difference without the raw data."""
+    g = df.groupBy(*(by or []))
+    return g.agg(F.theta_sketch_agg(F.col(col)).alias(out_col))
+
+
+def theta_overlap(a: DataFrame, b: DataFrame, state_col: str = "theta"
+                  ) -> DataFrame:
+    """Overlap report between two single-row theta states: estimated
+    |A|, |B|, |A ∩ B|, |A \\ B| — e.g. user overlap between event types
+    or doc overlap between crawl snapshots, computed from sketches
+    alone."""
+    aa = a.select(F.col(state_col).alias("_a"))
+    bb = b.select(F.col(state_col).alias("_b"))
+    j = aa.crossJoin(F.broadcast(bb))
+    return j.select(
+        F.theta_sketch_estimate(F.col("_a")).alias("n_a"),
+        F.theta_sketch_estimate(F.col("_b")).alias("n_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("_a"), F.col("_b"))).alias("n_and"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("_a"), F.col("_b"))).alias("n_only_a"))

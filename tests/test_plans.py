@@ -303,3 +303,40 @@ def test_cms_topk_finds_heavy_hitters(spark, tables):
            cms_topk(df, "tok", k=5, width=16384, depth=4,
                     candidate_fraction=0.1).collect()]
     assert set(got) == set(exact)
+
+
+def test_native_sketch_states_merge_and_estimate(spark, tables):
+    """HLL/KLL/theta sketch STATE: slice-built sketches merged equal (in
+    estimate) the whole-data build, and estimates track exact values."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.sketch import (hll_merge_estimate,
+                                                   hll_state, kll_state,
+                                                   kll_merge_quantiles,
+                                                   theta_overlap,
+                                                   theta_state)
+    ev = tables["events"]
+    # HLL: distinct user_ids, built per event_type then merged
+    slices = hll_state(ev, "user_id", by=["event_type"])
+    merged = hll_merge_estimate(slices).collect()[0]["n_distinct"]
+    exact = ev.agg(F.countDistinct("user_id")).first()[0]
+    assert abs(merged - exact) / exact < 0.05
+    # KLL: quantiles from per-type slices merged vs exact
+    ks = kll_state(ev, "value", by=["event_type"])
+    q = kll_merge_quantiles(ks, [0.5, 0.9]).collect()[0]
+    exact_q = ev.approxQuantile("value", [0.5, 0.9], 0.0)
+    rng = (ev.agg(F.max("value") - F.min("value")).first()[0])
+    assert abs(q["q0_5"] - exact_q[0]) / rng < 0.05
+    assert abs(q["q0_9"] - exact_q[1]) / rng < 0.05
+    # theta: user overlap between two event types vs exact intersection
+    a = ev.filter(F.col("event_type") == "view")
+    b = ev.filter(F.col("event_type") == "click")
+    rep = theta_overlap(theta_state(a, "user_id"),
+                        theta_state(b, "user_id")).collect()[0]
+    exact_and = (a.select("user_id").distinct()
+                 .join(b.select("user_id").distinct(), "user_id")
+                 .count())
+    assert abs(rep["n_and"] - exact_and) / max(exact_and, 1) < 0.1
+    only_a = (a.select("user_id").distinct()
+              .join(b.select("user_id").distinct(), "user_id",
+                    "left_anti").count())
+    assert abs(rep["n_only_a"] - only_a) / max(only_a, 1) < 0.2
