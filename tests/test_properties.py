@@ -94,3 +94,68 @@ def test_jaccard_strategies_agree(spark, texts):
          ngram_jaccard_pairs(df, threshold=0.3,
                              strategy="inverted").collect()}
     assert a == b
+
+
+@given(budget1=st.integers(min_value=1, max_value=50),
+       budget2_delta=st.integers(min_value=1, max_value=100),
+       weights=st.lists(st.integers(min_value=1, max_value=20),
+                        min_size=4, max_size=40))
+@settings(**SETTINGS)
+def test_token_budget_sample_monotone_and_bounded(spark, budget1,
+                                                  budget2_delta, weights):
+    """Same ordering + running totals => a smaller budget's sample is a
+    SUBSET of a larger one's, and no group exceeds its budget."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.sample import token_budget_sample
+    pdf = pd.DataFrame({
+        "id": range(len(weights)),
+        "g": [i % 2 for i in range(len(weights))],
+        "w": weights})
+    df = spark.createDataFrame(
+        pdf.astype({"id": "int64", "g": "int64", "w": "int64"}))
+    b2 = budget1 + budget2_delta
+    small = {r["id"] for r in
+             token_budget_sample(df, "id", "w", budget1, by="g")
+             .select("id").collect()}
+    big = {r["id"] for r in
+           token_budget_sample(df, "id", "w", b2, by="g")
+           .select("id").collect()}
+    assert small <= big
+    sums = (token_budget_sample(df, "id", "w", budget1, by="g")
+            .groupBy("g").agg(F.sum("w").alias("s")).collect())
+    assert all(r["s"] <= budget1 for r in sums)
+
+
+@given(n1=st.integers(min_value=1, max_value=10),
+       n2_delta=st.integers(min_value=1, max_value=10),
+       weights=st.lists(st.integers(min_value=1, max_value=50),
+                        min_size=3, max_size=30))
+@settings(**SETTINGS)
+def test_weighted_sample_nested_and_sized(spark, n1, n2_delta, weights):
+    """Priorities are fixed per row => top-n1 ⊆ top-(n1+d); output size
+    is min(n, rows)."""
+    from handyspark_spark.pipeline.sample import weighted_sample
+    pdf = pd.DataFrame({"id": range(len(weights)), "w": weights})
+    df = spark.createDataFrame(pdf.astype({"id": "int64", "w": "int64"}))
+    a = {r["id"] for r in weighted_sample(df, "id", "w", n1).collect()}
+    b = {r["id"] for r in
+         weighted_sample(df, "id", "w", n1 + n2_delta).collect()}
+    assert a <= b
+    assert len(a) == min(n1, len(weights))
+
+
+@given(keys=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                     min_size=1, max_size=30, unique=True),
+       m_exp=st.integers(min_value=8, max_value=14),
+       k=st.integers(min_value=1, max_value=6))
+@settings(**SETTINGS)
+def test_bloom_no_false_negatives_any_params(spark, keys, m_exp, k):
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.bloom import (bloom_build,
+                                                  bloom_probe_col)
+    pdf = pd.DataFrame({"k": keys})
+    df = spark.createDataFrame(pdf)
+    m = 1 << m_exp
+    bloom = bloom_build(df, "k", m_bits=m, k=k)
+    probed = bloom_probe_col(df, "k", bloom, m, k)
+    assert all(r["_maybe"] for r in probed.collect())
