@@ -1,5 +1,6 @@
 """Training-data pipeline operators (beyond-reference surface)."""
 from .dedup import (connected_components, decontaminate,
+                    lsh_bucket_state, lsh_incremental_matches,
                     decontaminate_bloom, dedup_keep_best,
                     minhash_lsh_components, minhash_lsh_star_edges,
                     embedding_neardup_pairs, exact_duplicates,
@@ -37,7 +38,8 @@ __all__ = [
     "stop_tokens", "pack_sequences", "source_report", "quantize_embeddings",
     "hash_unit", "hash_sample", "split_assign", "stratified_sample",
     "balanced_sample", "mix_sources",
-    "decontaminate_bloom", "dedup_keep_best", "token_budget_sample",
+    "decontaminate_bloom", "dedup_keep_best", "lsh_bucket_state",
+    "lsh_incremental_matches", "token_budget_sample",
     "weighted_sample", "pq_codebooks", "pq_encode", "pq_topk",
     "normalize_text", "pii_redact", "top_ngram_fraction",
 ]

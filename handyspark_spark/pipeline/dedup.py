@@ -753,3 +753,40 @@ def decontaminate_bloom(df: DataFrame, benchmark: DataFrame,
     verified = (maybe.join(F.broadcast(bkeys), "_k", "left_anti")
                 .drop("_k"))
     return clean.unionByName(verified)
+
+
+def lsh_bucket_state(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", num_hashes: int = 16,
+                     bands: int = 2,
+                     hash_fn: str = "md5") -> DataFrame:
+    """The persistable LSH state for a growing corpus: one (id, band,
+    band_hash) row per band per doc. Store it next to the corpus
+    (bucketed by band_hash for exchange-free probe joins); a new crawl
+    batch only ever computes ITS OWN signatures."""
+    return _banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+
+
+def lsh_incremental_matches(state: DataFrame, new_docs: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_hashes: int = 16, bands: int = 2,
+                            hash_fn: str = "md5") -> DataFrame:
+    """Incremental near-dup dedup — the daily-crawl pattern: band the
+    NEW batch only (map-side), join it against the stored bucket state
+    on (band, band_hash), and report (doc_id, match_id) pairs of new
+    docs that collide with an existing doc. The old corpus is never
+    re-signed and never re-scanned beyond the state table; cost is
+    |batch| signatures + one join whose build side is the (pre-bucketed)
+    state. Typical use: drop matched new docs, then union the survivors'
+    banded rows into the state (plain append — the state is just rows).
+
+    Returns distinct (new id, existing id) collision pairs; a new doc
+    absent from the output has no bucket collision with the old corpus.
+    """
+    new_banded = _banded(new_docs, text_col, id_col, num_hashes, bands,
+                         hash_fn)
+    old = state.select(F.col(id_col).alias("_old_id"), "band",
+                       "band_hash")
+    return (new_banded.join(old, ["band", "band_hash"])
+            .select(id_col, F.col("_old_id").alias("match_id"))
+            .distinct())

@@ -987,3 +987,40 @@ def test_components_driver_path_equals_distributed(spark, tables):
                                  small_graph_threshold=0).collect()}
     assert fast == slow and fast
     pairs.unpersist()
+
+
+def test_lsh_incremental_matches_equal_full_recompute(spark, tables):
+    """Banding new docs against stored state finds exactly the
+    new-vs-old bucket collisions a full recompute would."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.dedup import (_banded,
+                                                 lsh_bucket_state,
+                                                 lsh_incremental_matches)
+    docs = tables["documents"]
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    state = lsh_bucket_state(old, num_hashes=16, bands=2)
+    got = {(r["doc_id"], r["match_id"]) for r in
+           lsh_incremental_matches(state, new, num_hashes=16,
+                                   bands=2).collect()}
+    # full recompute over the whole corpus: new-vs-old pairs sharing a
+    # bucket
+    allb = _banded(docs, "text", "doc_id", 16, 2)
+    a = allb.alias("a")
+    b = allb.alias("b")
+    want = {(r["n"], r["o"]) for r in
+            (a.join(b, ["band", "band_hash"])
+             .filter((F.col("a.doc_id") % 5 == 0) &
+                     (F.col("b.doc_id") % 5 != 0))
+             .select(F.col("a.doc_id").alias("n"),
+                     F.col("b.doc_id").alias("o"))
+             .distinct()).collect()}
+    assert got == want and got
+    # appending survivors keeps the state consistent for the NEXT batch
+    survivors = new.join(
+        spark.createDataFrame([(i,) for i in {g for g, _ in got}],
+                              "doc_id long"), "doc_id", "left_anti")
+    grown = state.unionByName(
+        lsh_bucket_state(survivors, num_hashes=16, bands=2))
+    n_expected = (old.count() + survivors.count()) * 2   # bands=2
+    assert grown.count() == n_expected
