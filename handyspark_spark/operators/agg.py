@@ -369,3 +369,27 @@ def percentile_distributed_plan(df: DataFrame, colname: str,
             .agg(vlo.alias("_vlo"), vhi.alias("_vhi"))
             .select("q", (F.col("_vlo") + frac *
                           (F.col("_vhi") - F.col("_vlo"))).alias("value")))
+
+
+def quantile_normalize_plan(df: DataFrame, value_col: str,
+                            by: str, out_col: str = "qnorm"
+                            ) -> DataFrame:
+    """Within-group quantile normalization: each value maps to its
+    group's empirical CDF (``cume_dist`` semantics: P(X <= x)) — the
+    standard way to make quality scores comparable ACROSS sources whose
+    raw scales differ before mixing on a shared threshold.
+
+    Scalable shape: distinct (group, value) counts first (bounded
+    state), then ``grouped_ranged_cumsum`` for the per-group running
+    totals — a per-group window would put an entire group's rows in one
+    task. Output: (by, value_col, out_col), one row per distinct value;
+    join back on (by, value) to score rows."""
+    from .rank import grouped_ranged_cumsum
+    g = (df.groupBy(F.col(by), F.col(value_col).alias("_v"))
+         .agg(F.count(F.lit(1)).alias("_c")))
+    cum = grouped_ranged_cumsum(g, [by], [F.col("_v")], ["_c"])
+    totals = df.groupBy(by).agg(F.count(value_col).alias("_n"))
+    out = cum.join(F.broadcast(totals), by)
+    return out.select(
+        F.col(by), F.col("_v").alias(value_col),
+        (F.col("_cum__c") / F.col("_n")).alias(out_col))

@@ -8,7 +8,8 @@ from .dedup import (connected_components, decontaminate,
                     minhash_lsh_pairs, minhash_signature_arrays,
                     minhash_signatures, ngram_jaccard_pairs,
                     simhash_fingerprints, simhash_neardup_pairs)
-from .sample import (balanced_sample, hash_sample, hash_unit, mix_sources,
+from .sample import (balanced_sample, hash_sample, hash_unit, kfold_assign,
+                     mix_sources,
                      split_assign, stratified_sample,
                      token_budget_sample, weighted_sample)
 from .ir import (bm25_topk, pmi_collocations, term_frequencies, tfidf,
@@ -39,7 +40,7 @@ __all__ = [
     "hash_unit", "hash_sample", "split_assign", "stratified_sample",
     "balanced_sample", "mix_sources",
     "decontaminate_bloom", "dedup_keep_best", "lsh_bucket_state",
-    "lsh_incremental_matches", "token_budget_sample",
+    "kfold_assign", "lsh_incremental_matches", "token_budget_sample",
     "weighted_sample", "pq_codebooks", "pq_encode", "pq_topk",
     "normalize_text", "pii_redact", "top_ngram_fraction",
 ]

@@ -167,3 +167,17 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col,
     return (df.withColumn("_pri", pri)
             .withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") <= n).drop("_pri", "_rn"))
+
+
+def kfold_assign(df: DataFrame, key_col: str, k: int = 5,
+                 salt: str = "fold", out_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment: fold = floor(u * k) over the
+    stable unit hash — disjoint, near-equal folds, stable under reruns
+    and data growth (a row never changes folds when rows are added).
+    Use a CLUSTER id as the key for leakage-safe folds (see
+    leakage_safe_split)."""
+    u = hash_unit(F.col(key_col), salt)
+    return df.withColumn(
+        out_col,
+        F.when(u.isNotNull(),
+               F.least(F.floor(u * k), F.lit(k - 1)).cast("int")))

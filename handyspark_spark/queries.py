@@ -3590,3 +3590,47 @@ def q_retrieval_ndcg(spark, sf_dir):
     return out.select("query_id", F.round("recall", 6).alias("recall"),
                       F.round("mrr", 6).alias("mrr"),
                       F.round("ndcg", 6).alias("ndcg"))
+
+
+@query("kfold_counts", """
+WITH f AS (
+  SELECT doc_id, source,
+         CAST(LEAST(FLOOR(
+           ('0x' || substr(md5(doc_id::VARCHAR || '#fold'), 1, 8))::BIGINT
+           / 4294967296.0 * 5), 4) AS INT) AS fold
+  FROM documents
+)
+SELECT fold, source, COUNT(*) AS n FROM f GROUP BY fold, source
+""")
+def q_kfold_counts(spark, sf_dir):
+    """Deterministic k-fold assignment (stable under reruns/growth) —
+    fold sizes per source."""
+    from .pipeline.sample import kfold_assign
+    df = _t(spark, sf_dir, "documents")
+    out = kfold_assign(df, "doc_id", k=5)
+    return (out.groupBy("fold", "source")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("quantile_normalize", """
+WITH g AS (
+  SELECT source, len(string_split(text, ' ')) AS v, COUNT(*) AS c
+  FROM documents GROUP BY source, v
+), t AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+SELECT g.source, CAST(g.v AS INT) AS n_tok,
+       ROUND(SUM(c) OVER (PARTITION BY g.source ORDER BY g.v)
+             * 1.0 / t.n, 6) AS qnorm
+FROM g JOIN t ON g.source = t.source
+""")
+def q_quantile_normalize(spark, sf_dir):
+    """Per-source quantile normalization (empirical CDF of token count)
+    — makes quality scores comparable across sources before a shared
+    mixing threshold; distinct-value pre-agg + grouped_ranged_cumsum,
+    never a whole-group single-task window."""
+    from .operators.agg import quantile_normalize_plan
+    from .pipeline.text import token_count
+    df = (_t(spark, sf_dir, "documents")
+          .withColumn("n_tok", token_count("text")))
+    out = quantile_normalize_plan(df, "n_tok", "source")
+    return out.select("source", F.col("n_tok").cast("int").alias("n_tok"),
+                      F.round("qnorm", 6).alias("qnorm"))

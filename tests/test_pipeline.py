@@ -1024,3 +1024,38 @@ def test_lsh_incremental_matches_equal_full_recompute(spark, tables):
         lsh_bucket_state(survivors, num_hashes=16, bands=2))
     n_expected = (old.count() + survivors.count()) * 2   # bands=2
     assert grown.count() == n_expected
+
+
+def test_kfold_assign_disjoint_stable_balanced(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.sample import kfold_assign
+    docs = tables["documents"]
+    out = kfold_assign(docs, "doc_id", k=5)
+    folds = {r["doc_id"]: r["fold"] for r in
+             out.select("doc_id", "fold").collect()}
+    assert set(folds.values()) <= set(range(5))
+    # growth stability: a subset keeps its folds
+    sub = kfold_assign(docs.filter("doc_id < 100"), "doc_id", k=5)
+    for r in sub.select("doc_id", "fold").collect():
+        assert folds[r["doc_id"]] == r["fold"]
+    # rough balance
+    counts = out.groupBy("fold").count().collect()
+    n = docs.count()
+    assert all(0.5 * n / 5 < r["count"] < 1.5 * n / 5 for r in counts)
+
+
+def test_quantile_normalize_matches_pandas_ecdf(spark, tables, pdf_tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.agg import quantile_normalize_plan
+    from handyspark_spark.pipeline.text import token_count
+    df = tables["documents"].withColumn("n_tok", token_count("text"))
+    got = {(r["source"], r["n_tok"]): r["qnorm"] for r in
+           quantile_normalize_plan(df, "n_tok", "source").collect()}
+    pdf = pdf_tables["documents"].copy()
+    pdf["n_tok"] = pdf["text"].str.split(" ").map(len)
+    for src, g in pdf.groupby("source"):
+        vals = g["n_tok"].sort_values()
+        n = len(vals)
+        for v in vals.unique():
+            want = (vals <= v).sum() / n
+            assert abs(got[(src, v)] - want) < 1e-9
