@@ -208,26 +208,13 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         # pair is O(pairs) extra passes and is not done here (documented
         # deviation; identical results on null-free or aligned-null data).
         from pyspark.sql import Window
-
-        from .rank import ranged_avg_rank
-        all_bounds = {}
-        if not strata:
-            # ONE approxQuantile job fetches every column's bucket
-            # boundaries (the API is multi-column); per-column calls
-            # would each scan the input
-            n_part = int(df.sparkSession.conf.get(
-                "spark.sql.shuffle.partitions", "200"))
-            probs = [i / n_part for i in range(1, n_part)]
-            bs = df.stat.approxQuantile(list(colnames), probs,
-                                        max(0.25 / n_part, 1e-4))
-            all_bounds = dict(zip(colnames, bs))
-        for c in colnames:
-            # ranks over NON-NULL values only; NULL values keep a NULL
-            # rank and F.corr then skips them PAIRWISE — the pandas/scipy
-            # convention (listwise-dropping would remove the row from
-            # every other column's correlation too)
-            if strata:
-                # keyed window — already partitioned, no scale issue
+        if strata:
+            for c in colnames:
+                # ranks over NON-NULL values only; NULL values keep a
+                # NULL rank and F.corr then skips them PAIRWISE — the
+                # pandas/scipy convention (listwise-dropping would remove
+                # the row from every other column's correlation too).
+                # Keyed window — already partitioned, no scale issue
                 w = (Window.partitionBy(*strata).orderBy(c)
                      .rowsBetween(Window.unboundedPreceding, -1))
                 counts = (df.filter(F.col(c).isNotNull())
@@ -240,14 +227,14 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
                         (F.col("_before") + (F.col("_cnt") + 1) / 2.0)
                         .alias(f"_rk_{c}")))
                 df = df.join(ranks, on=strata + [c], how="left")
-            else:
-                # unkeyed: row-level partition-offset average ranks — ONE
-                # range exchange per column, no distinct pre-agg and no
-                # join back (for a continuous column |distinct| ~ |rows|,
-                # so the old rank-the-distincts-and-join-back plan paid a
-                # full sort-merge join on top of the range shuffle)
-                df = ranged_avg_rank(df, c, f"_rk_{c}",
-                                     bounds=all_bounds[c])
+        else:
+            # unkeyed: rank ALL columns in one melted pass — exchange
+            # count constant in M (one bucket-window exchange + one
+            # pivot-back), where the old per-column ranged_avg_rank loop
+            # paid one full-table exchange PER column over a frame that
+            # grew a rank column each iteration
+            from .rank import melted_avg_ranks
+            df = melted_avg_ranks(df, list(colnames))
         src = {c: f"_rk_{c}" for c in colnames}
     else:
         src = {c: c for c in colnames}

@@ -65,7 +65,10 @@ def bloom_probe_col(df: DataFrame, key_col: str, bloom: DataFrame,
     key are set (maybe-member), False iff provably absent. The word
     table joins broadcast on word_idx; a key contributes k probe rows,
     re-grouped on the key (duplicate input keys share one verdict).
-    Bit tests use mask AND (no sign traps from the 64th bit)."""
+    Bit tests use mask AND (no sign traps from the 64th bit).
+    NULL keys were never hashed into the filter, so they verdict as
+    False (not-a-member) rather than the NULL a null-keyed join would
+    produce — downstream filters keep such rows in the clean set."""
     keys = df.select(F.col(key_col).alias("_bp_key")).distinct()
     exploded = (keys.select(
         "_bp_key",
@@ -82,7 +85,8 @@ def bloom_probe_col(df: DataFrame, key_col: str, bloom: DataFrame,
                .agg((F.count(F.lit(1)) ==
                      F.sum(F.col("_set").cast("int"))).alias(out_col))
                .select(F.col("_bp_key").alias(key_col), out_col))
-    return df.join(verdict, key_col, "left")
+    return (df.join(verdict, key_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False))))
 
 
 def bloom_filter_maybe(df: DataFrame, key_col: str, bloom: DataFrame,

@@ -29,8 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_ranged_cumsum", "ranged_avg_rank", "ranged_cumsum",
-           "ranged_row_number"]
+__all__ = ["grouped_ranged_cumsum", "melted_avg_ranks", "ranged_avg_rank",
+           "ranged_cumsum", "ranged_row_number"]
 
 _PID = "_rcs_pid"
 
@@ -225,6 +225,84 @@ def ranged_avg_rank(df: DataFrame, col: str, name: str,
                           + (F.col("_ties") - 1) / 2.0))
            .drop(_BKT, "_lrk", "_ties", "_off"))
     return out
+
+
+def melted_avg_ranks(df: DataFrame, cols: list[str],
+                     bounds: dict[str, list[float]] | None = None,
+                     num_partitions: int | None = None,
+                     prefix: str = "_rk_") -> DataFrame:
+    """Fractional (average) ranks of SEVERAL numeric columns in ONE wide
+    exchange — the M-column form of ``ranged_avg_rank``, which pays one
+    full-table bucket exchange PER column (an M-column spearman matrix =
+    M sequential full shuffles, each over a frame one rank-column wider
+    than the last).
+
+    Shape: melt rows to ``(row_id, col_id, value)`` (a projection +
+    ``posexplode`` — no shuffle), bucket every melted row against ITS
+    column's approx-quantile boundaries (value-derived buckets, same
+    tie-safety argument as ``ranged_avg_rank``), rank all columns under
+    a single ``(col_id, bucket)``-keyed window, then pivot ranks back to
+    one row per input row. Exchange count is CONSTANT in M: one M·N-row
+    window exchange, one vocabulary-sized counts aggregation, one M·N-row
+    pivot-back exchange (vs 2M+… growing exchanges for the per-column
+    loop). Total shuffled bytes are ~2× one melt of the ranked columns —
+    but the table's OTHER columns never enter any exchange, while the
+    per-column loop reshuffles the full accumulating frame every time.
+
+    Returns one row per input row that has at least one non-null ranked
+    value: ``(_rid, {prefix}{col}...)`` — rank columns NULL where the
+    input value was NULL (pairwise-skip convention, matching
+    ``ranged_avg_rank``). Rows with every ranked value NULL are absent
+    (they contribute nothing to rank positions or correlations).
+    """
+    n = _num_partitions(df, num_partitions)
+    if bounds is None:
+        probs = [i / n for i in range(1, n)]
+        bs = df.stat.approxQuantile(list(cols), probs,
+                                    max(0.25 / n, 1e-4))
+        bounds = dict(zip(cols, bs))
+    # per-column boundary arrays as ONE nested literal, indexed by col_id
+    blit = F.array(*[
+        F.array(*[F.lit(float(b)) for b in sorted(set(bounds[c]))])
+        for c in cols])
+    vals = F.array(*[F.col(c).cast("double") for c in cols])
+    # the row id MUST be projected BEFORE the generator — evaluated in
+    # the same select as posexplode it runs once per EMITTED row, giving
+    # every melted value its own id and breaking the pivot-back
+    melted = (df.select(F.monotonically_increasing_id().alias("_rid"),
+                        vals.alias("_vals"))
+              .select("_rid", F.posexplode("_vals").alias("_cid", "_v"))
+              .filter(F.col("_v").isNotNull()))
+    arr = F.element_at(blit, F.col("_cid") + 1)
+    # NaN sorts greater than every number in Spark, so b < NaN is true
+    # for all boundaries -> NaN lands in the LAST bucket and ranks after
+    # everything, matching the single-column path
+    melted = melted.withColumn(
+        _BKT, F.size(F.filter(arr, lambda b: b < F.col("_v"))))
+    w_rank = Window.partitionBy("_cid", _BKT).orderBy("_v")
+    w_ties = w_rank.rangeBetween(Window.currentRow, Window.currentRow)
+    local = (melted.withColumn("_lrk", F.rank().over(w_rank))
+             .withColumn("_ties", F.count(F.lit(1)).over(w_ties)))
+    # counts from the POST-window frame: its required distribution
+    # (_cid, bucket) is already satisfied by the window exchange, so this
+    # branch adds no exchange of its own and no second source scan —
+    # Catalyst prunes the unused rank/tie window exprs and reuses the
+    # exchange between the main branch and this broadcast branch
+    counts = local.groupBy("_cid", _BKT).agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    # prefix offsets across each column's buckets: <= M x num_partitions
+    # rows, keyed by column — bounded by parallelism, not data size
+    w_off = (Window.partitionBy("_cid").orderBy(_BKT)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        "_cid", _BKT,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"))
+    ranked = (local.join(F.broadcast(off), on=["_cid", _BKT], how="left")
+              .withColumn("_r", F.col("_off") + F.col("_lrk")
+                          + (F.col("_ties") - 1) / 2.0))
+    aggs = [F.max(F.when(F.col("_cid") == i, F.col("_r")))
+            .alias(f"{prefix}{c}") for i, c in enumerate(cols)]
+    return ranked.groupBy("_rid").agg(*aggs)
 
 
 def grouped_ranged_cumsum(df: DataFrame, group_cols: list[str],

@@ -612,9 +612,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                        F.col(id_a).alias("dst")))
              .distinct()
              .persist())          # reused every iteration — compute once
-    if small_graph_threshold:
+    if small_graph_threshold and initial is None:
         # limit-probe: costs one job over the persisted edges and never
-        # materializes more than threshold+1 rows on the driver
+        # materializes more than threshold+1 rows on the driver.
+        # Skipped when seed labels are supplied: the union-find only sees
+        # the edge list, so a seed from a different edge universe would
+        # yield labels that depend on which physical path ran.
         probe = edges.limit(small_graph_threshold + 1).count()
         if probe <= small_graph_threshold:
             rows = edges.collect()

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -457,7 +458,13 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     sc = df.sparkSession.sparkContext
     b_lut, b_qids = sc.broadcast(lut), sc.broadcast(qids)
 
-    out_schema = ("query_id long, neighbor_id long, score double")
+    # id fields keep the input id column's type (string/int/long ids all
+    # round-trip; a hardcoded long would corrupt non-long ids)
+    _idt = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("query_id", _idt),
+        T.StructField("neighbor_id", _idt),
+        T.StructField("score", T.DoubleType())])
 
     def _batch_topk(it):
         L, ids = b_lut.value, b_qids.value

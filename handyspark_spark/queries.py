@@ -960,7 +960,15 @@ def _metrics(spark, sf_dir):
             F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
             (F.col("label") >= 5).cast("double").alias("label"))
         m = BinaryClassificationMetrics(df, "score", "label").persist()
-        _METRICS_CACHE.clear()      # one live entry; don't leak old caches
+        # one live entry; evicted curves are UNPERSISTED, not just
+        # dropped — otherwise each (spark, sf_dir) ever queried pins a
+        # cached curve in executor memory for the process lifetime
+        for old in _METRICS_CACHE.values():
+            try:
+                old.unpersist()
+            except Exception:
+                pass                # session of the old entry may be gone
+        _METRICS_CACHE.clear()
         _METRICS_CACHE[key] = m
     return m
 

@@ -43,8 +43,12 @@ def read_jsonl(spark: SparkSession, path: str, schema=None,
         # corrupt field declared INSIDE the from_json schema: PERMISSIVE
         # parse fills it with the raw line on malformed input (a bare
         # null struct is not distinguishable from an all-null record)
+        # copy before adding the corrupt field — StructType.add mutates
+        # in place, and the caller's schema object must not grow a
+        # _corrupt_record column as a side effect
         pschema = schema if CORRUPT_COL in schema.fieldNames() \
-            else schema.add(CORRUPT_COL, T.StringType())
+            else T.StructType(list(schema.fields)).add(
+                CORRUPT_COL, T.StringType())
         parsed = raw.select(F.from_json(
             "value", pschema,
             {"mode": "PERMISSIVE",

@@ -60,6 +60,20 @@ def running_user_stats(events: DataFrame,
                                     GroupStateTimeout.NoTimeout))
 
 
+def _read_state(spark, state_path: str) -> DataFrame | None:
+    """Read a persisted state table, or None when it doesn't exist yet.
+
+    Existence is checked explicitly (driver-local path, matching the
+    shutil swap in the writers) so only a genuinely missing path means
+    "first batch" — corrupt state after a crash mid-swap or a
+    permission/FS error propagates instead of silently resetting the
+    accumulated state."""
+    import os
+    if not os.path.exists(state_path):
+        return None
+    return spark.read.parquet(state_path)
+
+
 def maintain_state_table(stream: DataFrame, state_path: str,
                          keys: list[str], value_col: str,
                          checkpoint_path: str,
@@ -82,17 +96,19 @@ def maintain_state_table(stream: DataFrame, state_path: str,
     in-flight at a crash); exactly-once needs a transactional table
     format recording the batch id, out of scope for plain parquet.
 
+    State-path limitation: the two-phase swap below uses driver-local
+    ``shutil`` (rmtree + move), so ``state_path`` must live on a
+    filesystem the driver sees POSIX-style (local disk, NFS); for object
+    stores swap the two lines for the store's atomic-rename primitive.
+
     Returns the started StreamingQuery."""
     from ..operators.incremental import merge_states, partial_aggregate
 
     def _fold(batch: DataFrame, batch_id: int):
         spark = batch.sparkSession
         part = partial_aggregate(batch, keys, value_col)
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = merge_states(prev, part, keys)
-        except Exception:           # first batch: no state yet
-            merged = part
+        prev = _read_state(spark, state_path)
+        merged = merge_states(prev, part, keys) if prev is not None else part
         # two-phase write: parquet can't read+overwrite the same path in
         # one job; land the merge next to the state, then swap
         tmp = state_path.rstrip("/") + "._next"
@@ -116,18 +132,17 @@ def maintain_cms_sketch(stream: DataFrame, col: str, state_path: str,
     (bounded: depth x width cells built from |batch| rows) merges
     additively into the persisted cell table — the incremental
     frequency-stats pattern for data that is gone after ingestion.
-    Same two-phase swap and at-least-once caveats as
-    ``maintain_state_table``."""
+    Same two-phase swap, driver-local-FS, and at-least-once caveats as
+    ``maintain_state_table``. A real read failure on existing state
+    propagates (it is NOT treated as "first batch" — that would silently
+    reset counts and break the CMS never-underestimates guarantee)."""
     from ..operators.sketch import cms_build, cms_merge
 
     def _fold(batch: DataFrame, batch_id: int):
         spark = batch.sparkSession
         part = cms_build(batch, col, width, depth)
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = cms_merge(prev, part)
-        except Exception:           # first batch: no state yet
-            merged = part
+        prev = _read_state(spark, state_path)
+        merged = cms_merge(prev, part) if prev is not None else part
         tmp = state_path.rstrip("/") + "._next"
         merged.write.mode("overwrite").parquet(tmp)
         import shutil

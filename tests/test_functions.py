@@ -265,3 +265,21 @@ def test_between_time_native(spark):
     exp2 = pd.Series(ts).isin(
         pd.Series(ts, index=ts).between_time("22:00", "02:00").values)
     npt.assert_array_equal(got2.values, exp2.values)
+
+
+def test_min_spark_version_guard():
+    """The floor is asserted once at import with a clear message."""
+    import handyspark_spark as hs
+    assert hs.MIN_SPARK == (3, 5)
+    import pyspark
+    ver = tuple(int(p) for p in pyspark.__version__.split(".")[:2])
+    assert ver >= hs.MIN_SPARK
+    # the guard itself raises on a pretend-old version
+    import unittest.mock as mock
+    with mock.patch.object(pyspark, "__version__", "3.4.1"):
+        try:
+            hs._check_spark_version()
+        except ImportError as e:
+            assert "3.5" in str(e)
+        else:
+            raise AssertionError("expected ImportError on pyspark 3.4")

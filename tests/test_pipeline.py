@@ -1059,3 +1059,65 @@ def test_quantile_normalize_matches_pandas_ecdf(spark, tables, pdf_tables):
         for v in vals.unique():
             want = (vals <= v).sum() / n
             assert abs(got[(src, v)] - want) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round 4: ADVICE regression fixes
+# ---------------------------------------------------------------------------
+
+def test_components_seed_respected_on_small_graphs(spark):
+    """A seed label outside the edge universe must win regardless of
+    which physical path runs (the union-find fast path used to ignore
+    ``initial`` and relabel from the edges alone)."""
+    from handyspark_spark.pipeline.dedup import connected_components
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    seed = spark.createDataFrame([(1, 0)], "node long, component long")
+    # default threshold (fast path would fire on 4 edges if allowed)
+    got = {r.node: r.component for r in
+           connected_components(pairs, initial=seed).collect()}
+    want = {r.node: r.component for r in
+            connected_components(pairs, initial=seed,
+                                 small_graph_threshold=0).collect()}
+    assert got == want
+    assert got[1] == 0 and got[2] == 0     # seed label propagated
+    assert got[3] == 3 and got[4] == 3     # unseeded component untouched
+
+
+def test_bloom_probe_null_key_is_not_member(spark):
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.bloom import (bloom_build,
+                                                  bloom_filter_maybe,
+                                                  bloom_probe_col)
+    members = spark.createDataFrame([("a",), ("b",)], "k string")
+    df = spark.createDataFrame([("a",), ("x",), (None,)], "k string")
+    m_bits, k = 1 << 12, 3
+    bloom = bloom_build(members, "k", m_bits=m_bits, k=k)
+    verdicts = {r["k"]: r["_maybe"] for r in
+                bloom_probe_col(df, "k", bloom, m_bits, k).collect()}
+    assert verdicts["a"] is True
+    assert verdicts[None] is False          # never NULL, never dropped
+    clean = bloom_filter_maybe(df, "k", bloom, m_bits, k)
+    kept = {r["k"] for r in clean.collect()}
+    assert "a" in kept and None not in kept
+    # the null row survives in the complement (provably-absent) set
+    probed = bloom_probe_col(df, "k", bloom, m_bits, k)
+    absent = {r["k"] for r in probed.filter(~F.col("_maybe")).collect()}
+    assert None in absent
+
+
+def test_pq_topk_preserves_string_ids(spark, tables):
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.similarity import pq_topk
+    df = (tables["embeddings"].limit(200)
+          .select(F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+                  .alias("vec_id"), "embedding"))
+    qs = df.limit(4)
+    out = pq_topk(df, qs, k=3, m=8, nbits=4)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+    rows = out.collect()
+    assert rows and all(r["neighbor_id"].startswith("doc-") for r in rows)
+    # rerank path goes through the exact-cosine join — same contract
+    rr = pq_topk(df, qs, k=3, m=8, nbits=4, rerank=10)
+    assert dict(rr.dtypes)["neighbor_id"] == "string"
+    assert rr.count() > 0

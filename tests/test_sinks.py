@@ -231,3 +231,17 @@ def test_write_jsonl_roundtrip_and_stream(spark, tmp_path, tables):
             src.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
             .collect()}
     assert got == want
+
+
+def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    import json
+    from pyspark.sql import types as T
+    from handyspark_spark.sources.textsource import read_jsonl
+    p = tmp_path / "m.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"a": 1}) + "\n")
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    before = [f.name for f in schema.fields]
+    read_jsonl(spark, str(p), schema=schema).collect()
+    assert [f.name for f in schema.fields] == before, \
+        "caller schema must not grow a _corrupt_record field"

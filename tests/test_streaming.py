@@ -565,3 +565,16 @@ def test_maintain_cms_sketch_matches_batch_build(spark, tables, tmp_path):
            cms_estimate(toks.select("tok").distinct(), "tok",
                         spark.read.parquet(state), 4096, 3).collect()}
     assert all(est[t] >= truth[t] for t in truth)
+
+
+def test_read_state_distinguishes_missing_from_broken(spark, tmp_path):
+    """Missing state path -> first batch (None); an EXISTING but
+    unreadable path propagates instead of silently resetting counts."""
+    import pytest
+    from handyspark_spark.streaming.stateful import _read_state
+    assert _read_state(spark, str(tmp_path / "nope")) is None
+    broken = tmp_path / "state"
+    broken.mkdir()
+    (broken / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        _read_state(spark, str(broken)).collect()
