@@ -203,23 +203,17 @@ def lsh_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                  .filter(F.col("cosine") >= threshold))
 
 
-def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
-             n_centroids: int = 16, nprobe: int = 4,
-             vec_col: str = "embedding", id_col: str = "vec_id",
-             seed: int = 42, kmeans_iters: int = 0) -> DataFrame:
-    """IVF-flat ANN: deterministic sampled centroids -> assign corpus rows
-    to nearest centroid (one projection) -> each query probes its
-    ``nprobe`` nearest centroids -> exact cosine within probed cells.
-    At 100 TB the cell assignment is written once (partitioned by cell) and
-    queries touch nprobe/n_centroids of the data.
-
-    ``kmeans_iters > 0`` runs that many distributed Lloyd refinement
-    rounds on the coarse quantizer (spherical k-means: assign via the
-    BLAS matmul, recompute cell means via posexplode + one grouped avg,
-    renormalize). Each round is one extra Spark job; the centroid matrix
-    (n_centroids × dim) always stays driver-tiny. Empty cells keep their
-    previous centroid. Refined centroids tighten cells, which raises
-    recall at the same ``nprobe``."""
+def ivf_fit_centroids(df: DataFrame, n_centroids: int = 16,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      kmeans_iters: int = 0) -> np.ndarray:
+    """Fit the IVF coarse quantizer: deterministic hash-ordered sample of
+    ``n_centroids`` corpus vectors, L2-normalized, optionally refined
+    with ``kmeans_iters`` distributed spherical-Lloyd rounds (assign via
+    the BLAS matmul, recompute cell means via posexplode + one grouped
+    avg, renormalize; empty cells keep their previous centroid). The
+    returned (n_centroids × dim) matrix is driver-tiny. At 100 TB this
+    runs ONCE — persist it with ``pipeline.ann_index.IVFIndex`` instead
+    of refitting per query batch."""
     import pandas as pd
 
     cents = (df.orderBy(F.md5(F.col(id_col).cast("string")))
@@ -256,7 +250,30 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                 C_new[cell] = vec / n
         C = C_new
         b_it.destroy()
+    return C
 
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 42, kmeans_iters: int = 0,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF-flat ANN: coarse-quantizer centroids -> assign corpus rows
+    to nearest centroid (one projection) -> each query probes its
+    ``nprobe`` nearest centroids -> exact cosine within probed cells.
+    At 100 TB the cell assignment is written once (partitioned by cell) and
+    queries touch nprobe/n_centroids of the data.
+
+    ``centroids``: a pre-fitted quantizer (e.g. loaded via
+    ``pipeline.ann_index.IVFIndex.load``) — skips the fit entirely, the
+    train-once/probe-many production shape. Without it the quantizer is
+    fitted inline by ``ivf_fit_centroids`` (see it for ``kmeans_iters``)."""
+    import pandas as pd
+
+    C = centroids if centroids is not None else ivf_fit_centroids(
+        df, n_centroids, vec_col, id_col, kmeans_iters)
+    nprobe = min(nprobe, len(C))
+    sc = df.sparkSession.sparkContext
     b_C = sc.broadcast(C)
 
     # centroid assignment as one BLAS matmul per Arrow batch — a literal
@@ -425,7 +442,8 @@ def pq_encode(df: DataFrame, books: np.ndarray,
 def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             m: int = 8, nbits: int = 4, sample_n: int = 2048,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            seed: int = 42, rerank: int | None = None) -> DataFrame:
+            seed: int = 42, rerank: int | None = None,
+            books: np.ndarray | None = None) -> DataFrame:
     """PQ/ADC approximate top-k: corpus scanned as codes, each query
     precomputes an (m x 2^nbits) inner-product lookup table against the
     codebooks, score = sum of table entries addressed by the code —
@@ -439,9 +457,16 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     candidates per query (C >> k), then ONLY those C rows are re-scored
     with exact cosine against the raw vectors — recall approaches exact
     at C/|corpus| of the exact cost. Without it, pure ADC recall is
-    bounded by quantization error (worst on unclustered vectors)."""
-    books = pq_codebooks(df, vec_col, id_col, m=m, nbits=nbits,
-                         sample_n=sample_n, seed=seed)
+    bounded by quantization error (worst on unclustered vectors).
+
+    ``books``: pre-trained codebooks (e.g. loaded via
+    ``pipeline.ann_index.PQIndex.load``) — skips the training sample,
+    the train-once/probe-many production shape."""
+    if books is None:
+        books = pq_codebooks(df, vec_col, id_col, m=m, nbits=nbits,
+                             sample_n=sample_n, seed=seed)
+    else:
+        m, _, _ = books.shape
     enc = pq_encode(df, books, vec_col, id_col).select(
         F.col(id_col).alias("neighbor_id"), "pq_code")
 

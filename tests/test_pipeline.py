@@ -1121,3 +1121,55 @@ def test_pq_topk_preserves_string_ids(spark, tables):
     rr = pq_topk(df, qs, k=3, m=8, nbits=4, rerank=10)
     assert dict(rr.dtypes)["neighbor_id"] == "string"
     assert rr.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# round 4: persistable ANN index (train once, probe many)
+# ---------------------------------------------------------------------------
+
+def test_ivf_index_save_load_roundtrip(spark, tables, tmp_path):
+    """fit -> save -> load -> search must return EXACTLY what searching
+    with the in-memory fitted index returns (no refit on load)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.ann_index import IVFIndex
+    df = tables["embeddings"]
+    qs = df.filter(F.col("vec_id") % 40 == 0)
+    idx = IVFIndex.fit(df, n_centroids=8, kmeans_iters=1)
+    idx.save(str(tmp_path / "ivf"), spark)
+    idx2 = IVFIndex.load(spark, str(tmp_path / "ivf"))
+    np.testing.assert_allclose(idx2.centroids, idx.centroids)
+    assert (idx2.vec_col, idx2.id_col) == (idx.vec_col, idx.id_col)
+    a = {(r.query_id, r.neighbor_id, r.rank)
+         for r in idx.search(df, qs, k=5, nprobe=3).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank)
+         for r in idx2.search(df, qs, k=5, nprobe=3).collect()}
+    assert a == b and len(a) > 0
+    # assign() gives every corpus row a cell in [0, n_centroids)
+    cells = idx2.assign(df).select("_cell").distinct().collect()
+    assert all(0 <= r["_cell"] < 8 for r in cells)
+
+
+def test_pq_index_save_load_roundtrip(spark, tables, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.ann_index import PQIndex
+    df = tables["embeddings"]
+    qs = df.filter(F.col("vec_id") % 40 == 0)
+    idx = PQIndex.fit(df, m=8, nbits=4, sample_n=256)
+    idx.save(str(tmp_path / "pq"), spark)
+    idx2 = PQIndex.load(spark, str(tmp_path / "pq"))
+    np.testing.assert_allclose(idx2.books, idx.books)
+    a = {(r.query_id, r.neighbor_id)
+         for r in idx.search(df, qs, k=5).collect()}
+    b = {(r.query_id, r.neighbor_id)
+         for r in idx2.search(df, qs, k=5).collect()}
+    assert a == b and len(a) > 0
+    # frozen codebooks: encoding a NEW batch stays comparable
+    enc = idx2.encode(df.limit(50))
+    assert enc.select(F.size("pq_code")).first()[0] == 8
+    # kind mismatch is a loud error, not silent garbage
+    import pytest
+    from handyspark_spark.pipeline.ann_index import IVFIndex
+    with pytest.raises(ValueError, match="is a 'pq' artifact"):
+        IVFIndex.load(spark, str(tmp_path / "pq"))
