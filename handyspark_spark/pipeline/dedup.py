@@ -262,6 +262,14 @@ def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
     are dropped when ``max_bucket_size`` is set — enumerate them linearly
     with ``minhash_lsh_groups``, not quadratically."""
     banded = _banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+    return _group_banded_buckets(banded, id_col, max_bucket_size)
+
+
+def _group_banded_buckets(banded: DataFrame, id_col: str,
+                          max_bucket_size: int | None) -> DataFrame:
+    """The grouping stage of ``_lsh_buckets`` on an already-banded frame
+    (callers that persist the banded rows — e.g. the hot-bucket recovery
+    path — reuse them instead of recomputing the md5-heavy signatures)."""
     buckets = (banded.groupBy("band", "band_hash")
                .agg(F.array_sort(F.array_distinct(
                    F.collect_list(id_col))).alias("_ids")))
@@ -270,11 +278,33 @@ def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
     return buckets
 
 
+def _hot_bucket_star_edges(banded: DataFrame, id_col: str,
+                           max_bucket_size: int) -> DataFrame:
+    """Star edges (bucket_min, member) for buckets ABOVE the cap,
+    built join-wise — groupBy (count, min) then join back to the member
+    rows — so no task ever materializes a hot bucket as one array. A
+    100M-doc boilerplate bucket costs 100M ROWS spread across the
+    cluster, not one 100M-element ``collect_list`` in a single task
+    (the reason the array path needs the cap at all). Output is linear:
+    k-1 edges for a k-doc bucket, same closure as the clique."""
+    stats = (banded.groupBy("band", "band_hash")
+             .agg(F.count_distinct(F.col(id_col)).alias("_k"),
+                  F.min(id_col).alias("_min"))
+             .filter(F.col("_k") > max_bucket_size)
+             .drop("_k"))
+    return (banded.join(stats, ["band", "band_hash"])
+            .filter(F.col(id_col) != F.col("_min"))
+            .select(F.col("_min").alias("id_a"),
+                    F.col(id_col).alias("id_b"))
+            .distinct())
+
+
 def minhash_lsh_star_edges(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4,
                            max_bucket_size: int | None = None,
-                           hash_fn: str = "md5") -> DataFrame:
+                           hash_fn: str = "md5",
+                           recover_hot_buckets: bool = False) -> DataFrame:
     """Linear-size connectivity SKELETON of the LSH candidate graph: per
     bucket, the star (bucket_min, member) instead of the full clique. A
     bucket's clique and its star have the SAME transitive closure, so
@@ -283,7 +313,14 @@ def minhash_lsh_star_edges(df: DataFrame, text_col: str = "text",
     O(|bucket|) edges instead of O(|bucket|²). At 100 TB this is the
     input you feed the components loop: a duplicate cluster of k docs
     costs k-1 edges, not k(k-1)/2. Pinned equal-closure in
-    tests/test_pipeline.py."""
+    tests/test_pipeline.py.
+
+    ``recover_hot_buckets=True`` (needs ``max_bucket_size``): buckets
+    ABOVE the cap — exactly the boilerplate near-dup clusters you most
+    want deduped — are re-included via a join-wise star enumeration
+    (``_hot_bucket_star_edges``) that never builds the bucket as one
+    array. The union reaches the UNCAPPED transitive closure while
+    keeping every task's memory bounded."""
     buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands,
                            max_bucket_size, hash_fn)
     ids = F.col("_ids")
@@ -292,10 +329,16 @@ def minhash_lsh_star_edges(df: DataFrame, text_col: str = "text",
         F.slice(ids, 2, F.greatest(n - 1, F.lit(0))),
         lambda y: F.struct(F.element_at(ids, 1).alias("id_a"),
                            y.alias("id_b")))
-    return (buckets.filter(n >= 2)
-            .select(F.explode(star).alias("_p"))
-            .select(F.col("_p.id_a"), F.col("_p.id_b"))
-            .distinct())
+    edges = (buckets.filter(n >= 2)
+             .select(F.explode(star).alias("_p"))
+             .select(F.col("_p.id_a"), F.col("_p.id_b"))
+             .distinct())
+    if recover_hot_buckets and max_bucket_size is not None:
+        banded = _banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+        edges = edges.unionByName(
+            _hot_bucket_star_edges(banded, id_col, max_bucket_size)
+        ).distinct()
+    return edges
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -372,7 +415,8 @@ def minhash_lsh_components(df: DataFrame, text_col: str = "text",
                            bands: int = 4,
                            max_bucket_size: int | None = None,
                            hash_fn: str = "md5",
-                           max_iterations: int = 20) -> DataFrame:
+                           max_iterations: int = 20,
+                           recover_hot_buckets: bool = False) -> DataFrame:
     """Exact LSH duplicate clusters end-to-end: ONE materialized bucket
     table feeds both the star-edge skeleton AND the seed labels
     (node -> min bucket-min), then ``connected_components`` finishes the
@@ -381,9 +425,22 @@ def minhash_lsh_components(df: DataFrame, text_col: str = "text",
     fixpoint, so the iterative loop almost always runs a single
     convergence round — versus ~log(diameter) rounds unseeded, each a
     multi-join job. At 100 TB the bucket table is the only heavy shuffle;
-    everything after is linear in |docs| + |edges|."""
-    buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands,
-                           max_bucket_size, hash_fn).persist()
+    everything after is linear in |docs| + |edges|.
+
+    ``recover_hot_buckets=True``: over-cap buckets contribute join-wise
+    star edges and seeds too (``_hot_bucket_star_edges`` — no task-local
+    arrays), so the result is the UNCAPPED closure with capped memory.
+    Seeding with a SUBSET universe's labels stays sound here because the
+    recovered edge set is a superset — every seeded label remains
+    reachable."""
+    recover = recover_hot_buckets and max_bucket_size is not None
+    banded = (_banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+              .persist() if recover else None)
+    src = banded if recover else df
+    buckets = (_group_banded_buckets(banded, id_col, max_bucket_size)
+               if recover else
+               _lsh_buckets(df, text_col, id_col, num_hashes, bands,
+                            max_bucket_size, hash_fn)).persist()
     try:
         ids = F.col("_ids")
         n = F.size(ids)
@@ -397,15 +454,22 @@ def minhash_lsh_components(df: DataFrame, text_col: str = "text",
                  .distinct())
         seed = (buckets.filter(n >= 2)
                 .select(F.element_at(ids, 1).alias("_min"),
-                        F.explode(ids).alias("node"))
-                .groupBy("node")
-                .agg(F.min("_min").alias("component")))
+                        F.explode(ids).alias("node")))
+        if recover:
+            hot = _hot_bucket_star_edges(banded, id_col, max_bucket_size)
+            edges = edges.unionByName(hot).distinct()
+            seed = seed.unionByName(
+                hot.select(F.col("id_a").alias("_min"),
+                           F.col("id_b").alias("node")))
+        seed = seed.groupBy("node").agg(F.min("_min").alias("component"))
         return connected_components(edges, initial=seed,
                                     max_iterations=max_iterations)
     finally:
         # lazy unpersist is safe: connected_components localCheckpoints
         # the labels, so the returned plan no longer reads the buckets
         buckets.unpersist()
+        if banded is not None:
+            banded.unpersist()
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",

@@ -1173,3 +1173,44 @@ def test_pq_index_save_load_roundtrip(spark, tables, tmp_path):
     from handyspark_spark.pipeline.ann_index import IVFIndex
     with pytest.raises(ValueError, match="is a 'pq' artifact"):
         IVFIndex.load(spark, str(tmp_path / "pq"))
+
+
+def test_hot_bucket_recovery_reaches_uncapped_closure(spark):
+    """A bucket larger than max_bucket_size is dropped by the capped
+    path; with recover_hot_buckets=True its members are reconnected via
+    join-wise star edges and the components equal the UNCAPPED run."""
+    from handyspark_spark.pipeline.dedup import (connected_components,
+                                                 minhash_lsh_components,
+                                                 minhash_lsh_star_edges)
+    # 30 near-identical boilerplate docs (one hot bucket) + distinct docs
+    rows = [(i, "terms of service apply to all users section " + "x " * (i % 3))
+            for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} about topic {i * 7}")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=4)
+    cap = 10
+
+    # the fixture really is hot: capped edges lose the boilerplate links
+    capped = minhash_lsh_star_edges(docs, max_bucket_size=cap, **kw)
+    uncapped = minhash_lsh_star_edges(docs, **kw)
+    assert capped.count() < uncapped.count()
+
+    recovered = minhash_lsh_star_edges(docs, max_bucket_size=cap,
+                                       recover_hot_buckets=True, **kw)
+
+    def comps(pairs):
+        return {r.node: r.component for r in
+                connected_components(pairs).collect()}
+
+    assert comps(recovered) == comps(uncapped)
+
+    # end-to-end: seeded components with recovery == uncapped closure
+    a = {r.node: r.component for r in
+         minhash_lsh_components(docs, max_bucket_size=cap,
+                                recover_hot_buckets=True, **kw).collect()}
+    b = {r.node: r.component for r in
+         minhash_lsh_components(docs, **kw).collect()}
+    assert a == b
+    # and the boilerplate cluster is actually one component
+    assert len({a[i] for i in range(30) if i in a}) <= 3
