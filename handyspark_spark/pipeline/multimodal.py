@@ -53,11 +53,36 @@ def attach_fake_media(df: DataFrame, id_col: str, payload_col: str,
         ).alias("meta"))
 
 
+def codec_capabilities() -> dict:
+    """Runtime codec detection: which OPTIONAL media capabilities this
+    environment has. The multimodal API is identical either way — a
+    codec-bearing environment lights up the real compressed-format
+    paths with no code change, a bare one raises loudly naming the
+    missing capability (contract pinned in tests/test_streaming.py).
+
+    - ``pil``: Pillow importable -> real png/jpeg decode in ``_decode``
+      and compressed-image resize in ``resize_images(fake=False)``.
+    - ``ffmpeg``: ffmpeg binary on PATH -> real frame extraction in
+      ``sample_frames(fake=False)``.
+    BMP/WAV never appear here: their numpy codecs are built in."""
+    caps = {"pil": False, "ffmpeg": False}
+    try:
+        from PIL import Image  # noqa: F401
+        caps["pil"] = True
+    except Exception:
+        pass
+    import shutil
+    caps["ffmpeg"] = shutil.which("ffmpeg") is not None
+    return caps
+
+
 def _decode(data: bytes, meta, fake: bool):
     """Decode dispatch. REAL for uncompressed formats (BMP images,
-    PCM-16 WAV audio — numpy-only codecs below, no PIL/ffmpeg); the
-    deterministic fake (or a loud NotImplementedError) remains for
-    compressed formats this container has no codecs for."""
+    PCM-16 WAV audio — numpy-only codecs below, no PIL/ffmpeg) and,
+    when Pillow is installed (``codec_capabilities()['pil']``), for
+    compressed images too; the deterministic fake (or a loud
+    NotImplementedError naming the missing capability) remains for
+    formats this environment has no codec for."""
     data = data or b""
     # strict sniff (magic + size field must agree with the blob) so a
     # text payload that merely STARTS with 'BM'/'RIFF' can't be
@@ -70,10 +95,18 @@ def _decode(data: bytes, meta, fake: bool):
         samples, _ = decode_wav(bytes(data))
         return samples.astype(np.float32).reshape(-1, 1)
     if not fake:
+        if codec_capabilities()["pil"]:
+            import io
+
+            from PIL import Image
+            px = np.asarray(
+                Image.open(io.BytesIO(data)).convert("RGB"))
+            return px.reshape(-1, 3).astype(np.float32)
         raise NotImplementedError(
-            "compressed-media decode requires an image/audio codec not "
-            "present in this environment; pass fake=True for the "
-            "deterministic stub (BMP/WAV decode is real)")
+            "compressed-media decode needs Pillow "
+            "(codec_capabilities()['pil'] is False in this "
+            "environment); pass fake=True for the deterministic stub "
+            "(BMP/WAV decode is always real)")
     h = hashlib.md5(data or b"").digest()
     rng = np.frombuffer((h * 8)[:64], dtype=np.uint8)
     return rng.reshape(8, 8).astype(np.float32)
@@ -110,10 +143,51 @@ def media_features(df: DataFrame, n_features: int = 8,
 
 def resize_images(df: DataFrame, width: int, height: int,
                   fake: bool = True) -> DataFrame:
-    """Resize stub: plumbing (schema/meta update) is real, pixel work is
-    the deterministic fake."""
+    """Resize over MEDIA_SCHEMA frames.
+
+    ``fake=True``: plumbing only — meta is updated, bytes untouched.
+    ``fake=False``: REAL pixel resize via one ``mapInPandas`` pass —
+    BMP blobs decode/resize/re-encode with the built-in numpy codec
+    (works in every environment); compressed formats go through Pillow
+    when ``codec_capabilities()['pil']`` is True, else raise loudly
+    naming the missing capability. Output schema is MEDIA_SCHEMA either
+    way (contract pinned in tests)."""
     if not fake:
-        raise NotImplementedError("real resize requires PIL")
+        has_pil = codec_capabilities()["pil"]
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                blobs, metas = [], []
+                for data, meta in zip(pdf["data"], pdf["meta"]):
+                    b = bytes(data) if data is not None else b""
+                    if (len(b) >= 54 and b[:2] == b"BM"
+                            and _struct.unpack_from(
+                                "<I", b, 2)[0] == len(b)):
+                        px = resize_nearest(decode_bmp(b), width, height)
+                        blobs.append(encode_bmp(px))
+                        fmt = "bmp"
+                    elif has_pil:
+                        import io
+
+                        from PIL import Image
+                        img = Image.open(io.BytesIO(b)).convert("RGB")
+                        out = io.BytesIO()
+                        img.resize((width, height)).save(out,
+                                                         format="PNG")
+                        blobs.append(out.getvalue())
+                        fmt = "png"
+                    else:
+                        raise NotImplementedError(
+                            "compressed-image resize needs Pillow "
+                            "(codec_capabilities()['pil'] is False); "
+                            "only BMP resizes without it")
+                    m = dict(meta)
+                    m.update(width=width, height=height, format=fmt)
+                    metas.append(m)
+                yield pd.DataFrame({"media_id": pdf["media_id"],
+                                    "data": blobs, "meta": metas})
+
+        return df.mapInPandas(batches, MEDIA_SCHEMA)
     return df.withColumn(
         "meta",
         F.struct(F.col("meta.kind").alias("kind"),
@@ -126,10 +200,19 @@ def resize_images(df: DataFrame, width: int, height: int,
 
 def sample_frames(df: DataFrame, every_n: int = 10,
                   fake: bool = True) -> DataFrame:
-    """Frame-sampling stub for video kind: emits (media_id, frame_idx,
-    frame_bytes) — real plumbing via posexplode over a generated index."""
+    """Frame sampling for video kind: emits (media_id, frame_idx,
+    frame_bytes) — real plumbing via posexplode over a generated index.
+    ``fake=False`` requires the ffmpeg binary
+    (``codec_capabilities()['ffmpeg']``); without it the error names
+    the missing capability instead of pretending."""
     if not fake:
-        raise NotImplementedError("real frame extraction requires ffmpeg")
+        if not codec_capabilities()["ffmpeg"]:
+            raise NotImplementedError(
+                "real frame extraction needs the ffmpeg binary "
+                "(codec_capabilities()['ffmpeg'] is False in this "
+                "environment); pass fake=True for the index-plumbing "
+                "stub")
+        return _sample_frames_ffmpeg(df, every_n)
     idx = F.sequence(F.lit(0),
                      F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
                      F.lit(every_n))
@@ -141,6 +224,48 @@ def sample_frames(df: DataFrame, every_n: int = 10,
                             F.encode(F.col("frame_idx").cast("string"),
                                      "utf-8")), 256))
             .drop("data"))
+
+
+def _sample_frames_ffmpeg(df: DataFrame, every_n: int) -> DataFrame:
+    """Real frame extraction (ffmpeg on PATH): each video blob lands in
+    a worker-local temp file, ffmpeg emits every ``every_n``-th frame as
+    PNG bytes, one output row per frame. Same output schema as the fake
+    path: (media_id, frame_idx, frame_bytes). Only reachable when
+    ``codec_capabilities()['ffmpeg']`` — exercised in codec-bearing
+    environments, capability-gated here."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import glob
+        import os
+        import subprocess
+        import tempfile
+        for pdf in it:
+            rows = {"media_id": [], "frame_idx": [], "frame_bytes": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                with tempfile.TemporaryDirectory() as d:
+                    src = os.path.join(d, "in.bin")
+                    with open(src, "wb") as f:
+                        f.write(bytes(data) if data is not None else b"")
+                    subprocess.run(
+                        ["ffmpeg", "-v", "error", "-i", src,
+                         "-vf", f"select=not(mod(n\\,{every_n}))",
+                         "-vsync", "vfr",
+                         os.path.join(d, "f_%06d.png")],
+                        check=True)
+                    for j, p in enumerate(
+                            sorted(glob.glob(os.path.join(d, "f_*.png")))):
+                        with open(p, "rb") as f:
+                            rows["media_id"].append(mid)
+                            rows["frame_idx"].append(j * every_n)
+                            rows["frame_bytes"].append(f.read())
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "data").mapInPandas(batches, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -166,8 +166,11 @@ def test_media_decode_output_contract(tables):
     assert (r["kind"], r["format"], r["n_frames"], r["sample_rate"]) == \
            (o["kind"], o["format"], o["n_frames"], o["sample_rate"])
     assert bytes(r["data"]) == bytes(o["data"])
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 64, 48, fake=False)
+    # fake=False on a raw (non-BMP, non-image) payload fails at
+    # execution: either "needs Pillow" (bare env) or an unidentified-
+    # image decode error (codec-bearing env) — never a silent fake
+    with pytest.raises(Exception):
+        resize_images(media, 64, 48, fake=False).collect()
 
 
 def test_frame_sampling(tables):
@@ -578,3 +581,54 @@ def test_read_state_distinguishes_missing_from_broken(spark, tmp_path):
     (broken / "part-00000.parquet").write_text("this is not parquet")
     with pytest.raises(Exception):
         _read_state(spark, str(broken)).collect()
+
+
+def test_codec_capabilities_gating(spark, tables):
+    """Capability detection: the same API either lights up (codec
+    present) or raises naming the missing capability — no silent fakes
+    on the fake=False paths."""
+    from handyspark_spark.pipeline.multimodal import (attach_fake_media,
+                                                      codec_capabilities,
+                                                      media_features,
+                                                      resize_images,
+                                                      sample_frames)
+    caps = codec_capabilities()
+    assert set(caps) == {"pil", "ffmpeg"}
+    assert all(isinstance(v, bool) for v in caps.values())
+    media = attach_fake_media(tables["documents"].limit(5),
+                              "doc_id", "text")
+    if not caps["pil"]:
+        with pytest.raises(Exception, match="[Pp]il|Pillow"):
+            media_features(media, fake=False).collect()
+        with pytest.raises(Exception, match="[Pp]il|Pillow"):
+            resize_images(media, 8, 8, fake=False).collect()
+    else:   # codec-bearing env: same calls succeed, same schema
+        assert media_features(media, fake=False).columns == \
+            ["media_id", "byte_len", "sha256", "features"]
+    if not caps["ffmpeg"]:
+        with pytest.raises(Exception, match="ffmpeg"):
+            sample_frames(media, fake=False).collect()
+
+
+def test_real_bmp_resize_without_any_codec(spark, tables):
+    """fake=False resize is REAL for BMP in every environment (numpy
+    codec): bytes change, pixels are the nearest-neighbor resize, and
+    the output schema stays MEDIA_SCHEMA."""
+    from handyspark_spark.pipeline.multimodal import (MEDIA_SCHEMA,
+                                                      attach_bmp_media,
+                                                      decode_bmp,
+                                                      resize_images,
+                                                      resize_nearest)
+    docs = tables["documents"].limit(6)
+    media = attach_bmp_media(docs, "doc_id", "text", width=16, height=16)
+    out = resize_images(media, 8, 4, fake=False)
+    assert out.schema == MEDIA_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert len(rows) == 6
+    for mid, r in rows.items():
+        assert (r["meta"]["width"], r["meta"]["height"]) == (8, 4)
+        got = decode_bmp(bytes(r["data"]))
+        assert got.shape == (4, 8, 3)
+        want = resize_nearest(decode_bmp(bytes(src[mid]["data"])), 8, 4)
+        npt.assert_array_equal(got, want)
