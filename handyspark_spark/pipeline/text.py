@@ -95,17 +95,25 @@ def lang_id(col, profiles: dict[str, list[str]] | None = None) -> Column:
     language code order."""
     profiles = profiles or LANG_PROFILES
     toks = tokens(col)
-    best_score, best_lang = None, None
-    for code in sorted(profiles):
+    codes = sorted(profiles)
+    # argmax over an array of (score, -position) structs: each language's
+    # score expression appears ONCE. The old chained-when formulation
+    # re-embedded every prior score inside each comparison, so the
+    # expression tree grew quadratically with the number of language
+    # profiles (measured as the r2->r3 lang_id bench regression when the
+    # profiles got richer). struct comparison is lexicographic, so on
+    # score ties the LARGEST -position = smallest index = alphabetically
+    # first code wins — the same tie-break as before.
+    entries = []
+    for i, code in enumerate(codes):
         words = F.array(*[F.lit(w) for w in profiles[code]])
         score = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
-        if best_score is None:
-            best_score, best_lang = score, F.lit(code)
-        else:
-            gt = score > best_score
-            best_lang = F.when(gt, F.lit(code)).otherwise(best_lang)
-            best_score = F.when(gt, score).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+        entries.append(F.struct(score.alias("s"),
+                                F.lit(-i).alias("ni")))
+    best = F.array_max(F.array(*entries))
+    code_arr = F.array(*[F.lit(c) for c in codes])
+    return F.when(best["s"] > 0, F.element_at(code_arr, -best["ni"] + 1)) \
+            .otherwise(F.lit("und"))
 
 
 def repetition_ratio(col, k: int = 3) -> Column:
