@@ -2,7 +2,11 @@
 __spark_entry__.queries() entry on Spark and its oracle_sql() in DuckDB at
 the given SF, compare row count + column names + order-insensitive values.
 
-Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+Usage: python tools/verify_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json``: also write a machine-readable artifact (per-query status +
+row counts + summary) — committed per round as ORACLE_FULL_r{N}.json so
+the all-oracles-green claim is recorded, not sampled.
 """
 from __future__ import annotations
 
@@ -34,8 +38,14 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results = {}
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
@@ -61,37 +71,54 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            results[name] = {"status": "fail", "err": "spark_error"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK {name}: rows={len(sdf)} (no oracle)")
+            results[name] = {"status": "weak", "rows": len(sdf),
+                             "err": "no_oracle"}
             n_weak += 1
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            results[name] = {"status": "fail", "err": "duckdb_error"}
             n_fail += 1
             continue
         s, o = normalize(sdf), normalize(odf)
         if len(s) != len(o):
             print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
+            results[name] = {"status": "fail", "err": "row_count",
+                             "rows": len(s), "oracle_rows": len(o)}
             n_fail += 1
             continue
         if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: cols spark={list(s.columns)} "
                   f"oracle={list(o.columns)}")
+            results[name] = {"status": "fail", "err": "columns"}
             n_fail += 1
             continue
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False,
                                           check_exact=True)
             print(f"PASS {name} ({len(s)} rows)")
+            results[name] = {"status": "pass", "rows": len(s)}
             n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name}: values differ: {str(e)[:400]}")
+            results[name] = {"status": "fail", "err": "values"}
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
+                       "n_fail": n_fail, "n_weak": n_weak,
+                       "n_queries": len(results),
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
