@@ -462,8 +462,11 @@ def minhash_lsh_components(df: DataFrame, text_col: str = "text",
                 hot.select(F.col("id_a").alias("_min"),
                            F.col("id_b").alias("node")))
         seed = seed.groupBy("node").agg(F.min("_min").alias("component"))
+        # seeds are bucket minima — every (node, min) has a star edge,
+        # so the union-find fast path stays exact (seeds_from_edges)
         return connected_components(edges, initial=seed,
-                                    max_iterations=max_iterations)
+                                    max_iterations=max_iterations,
+                                    seeds_from_edges=True)
     finally:
         # lazy unpersist is safe: connected_components localCheckpoints
         # the labels, so the returned plan no longer reads the buckets
@@ -643,8 +646,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 20,
                          initial: DataFrame | None = None,
-                         small_graph_threshold: int = 2_000_000
-                         ) -> DataFrame:
+                         small_graph_threshold: int = 2_000_000,
+                         seeds_from_edges: bool = False) -> DataFrame:
     """Exact duplicate clusters from a pair list: iterative min-label
     propagation to a fixpoint (the transitive closure one-round
     ``minhash_lsh_groups`` approximates). Genuinely iterative — each round
@@ -667,6 +670,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     from the same edge universe (same bucket-size cap) or labels may
     cite unreachable nodes.
 
+    ``seeds_from_edges=True`` is the caller's assertion that every seed
+    COMPONENT VALUE is itself a node of ``pairs`` reachable from the
+    seeded node (true for LSH bucket minima: each (node, bucket_min)
+    seed has a matching star edge). Under that assertion the seeds
+    cannot change the fixpoint — the component min already beats or
+    equals every seed — so the union-find fast path (which never looks
+    at ``initial``) stays EXACT and small graphs keep the single-collect
+    physical plan. Foreign seeds (default False) force the distributed
+    loop, where seeding is part of the semantics.
+
     Returns (node, component) with component = min node id reachable.
     Nodes appearing in NO pair are absent from the output — treat a
     missing id as its own singleton component."""
@@ -676,12 +689,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                        F.col(id_a).alias("dst")))
              .distinct()
              .persist())          # reused every iteration — compute once
-    if small_graph_threshold and initial is None:
+    if small_graph_threshold and (initial is None or seeds_from_edges):
         # limit-probe: costs one job over the persisted edges and never
         # materializes more than threshold+1 rows on the driver.
-        # Skipped when seed labels are supplied: the union-find only sees
-        # the edge list, so a seed from a different edge universe would
-        # yield labels that depend on which physical path ran.
+        # Skipped when FOREIGN seed labels are supplied: the union-find
+        # only sees the edge list, so a seed from a different edge
+        # universe would yield labels that depend on which physical path
+        # ran (seeds_from_edges callers assert same-universe seeds).
         probe = edges.limit(small_graph_threshold + 1).count()
         if probe <= small_graph_threshold:
             rows = edges.collect()
