@@ -871,3 +871,104 @@ def lsh_incremental_matches(state: DataFrame, new_docs: DataFrame,
     return (new_banded.join(old, ["band", "band_hash"])
             .select(id_col, F.col("_old_id").alias("match_id"))
             .distinct())
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (CCNet-style, at fixed-token-window granularity)
+# ---------------------------------------------------------------------------
+
+def passage_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  passage_tokens: int = 32) -> DataFrame:
+    """Sub-document deduplication at passage granularity — the CCNet /
+    RefinedWeb pattern where the dedup unit is a paragraph, generalized
+    here to fixed ``passage_tokens``-token windows (the synthetic corpus
+    has no newlines; swap the splitter for ``split(text, '\\n\\n')`` on
+    real text without touching the rest of the plan).
+
+    A passage is kept iff it is the globally FIRST occurrence of its
+    content hash, first = smallest (doc id, passage index) — a total
+    order, so the result is deterministic under any partitioning. Docs
+    are then reassembled from their surviving passages in order.
+
+    Plan shape (the 100 TB story): tokenize + window-slice is a pure
+    projection (no explode until the passage rows are needed); ONE hash
+    exchange on the passage hash decides winners (``min(struct(id,
+    idx)) OVER (PARTITION BY hash)`` — map-side partial min, shuffled
+    bytes ~ |distinct passages|); ONE exchange on the doc id reassembles
+    survivors. No self-join, no driver state; both exchanges are on
+    key-grouped rows, so AQE skew-splitting handles a pathological
+    passage (e.g. the empty string) transparently.
+
+    Returns (id_col, n_passages, n_kept, clean_text) — ``clean_text``
+    is the space-joined surviving passages ('' when everything was a
+    duplicate).
+    """
+    from pyspark.sql import Window
+    from .text import tokens
+
+    k = int(passage_tokens)
+    toks = tokens(text_col)
+    n_pass = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_pass - 1, F.lit(0)))
+    passages = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)))
+
+    p = (df.select(F.col(id_col), F.posexplode(passages)
+                   .alias("_idx", "_passage"))
+         .withColumn("_h", F.md5("_passage")))
+    w = Window.partitionBy("_h")
+    first = F.min(F.struct(F.col(id_col), F.col("_idx"))).over(w)
+    kept = (first[id_col] == F.col(id_col)) & (first["_idx"] == F.col("_idx"))
+    return (p.withColumn("_keep", kept)
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_passages"),
+                 F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+                 F.concat_ws(" ", F.array_sort(F.collect_list(
+                     F.when(F.col("_keep"),
+                            F.struct("_idx", "_passage"))))
+                     .getField("_passage")).alias("clean_text")))
+
+
+# ---------------------------------------------------------------------------
+# Graded n-gram contamination report (benchmark overlap fraction)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(df: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str | None = None,
+                        n: int = 13) -> DataFrame:
+    """Per-document benchmark-overlap score: the fraction of the doc's
+    DISTINCT n-token shingles that appear anywhere in the benchmark set
+    (the graded variant of ``decontaminate(method='ngram')`` — report
+    and threshold instead of hard-dropping on any single collision,
+    the convention used for contamination audits of training corpora).
+
+    Plan shape: benchmark shingle hashes are distinct-ed and BROADCAST
+    (eval sets are thousands of docs — tiny next to a 100 TB corpus);
+    each training doc's distinct shingles explode to rows, the matched
+    count comes from a broadcast left-semi-style flag + ONE groupBy on
+    the doc id. Corpus-side cost: one scan + one keyed exchange of
+    (id, 2 longs) rows.
+
+    Returns (id_col, n_grams, n_matched, contamination) with
+    contamination = n_matched / n_grams rounded to 6 places.
+    """
+    from .text import rolling_hashes
+
+    bcol = bench_text_col or text_col
+    bkeys = (benchmark
+             .select(F.explode(rolling_hashes(bcol, n)).alias("_k"))
+             .distinct()
+             .withColumn("_hit", F.lit(1)))
+    grams = (df.select(F.col(id_col),
+                       F.explode(F.array_distinct(
+                           rolling_hashes(text_col, n))).alias("_k")))
+    return (grams.join(F.broadcast(bkeys), "_k", "left")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_grams"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint")
+                 .alias("n_matched"))
+            .withColumn("contamination",
+                        F.round(F.col("n_matched")
+                                / F.col("n_grams"), 6)))

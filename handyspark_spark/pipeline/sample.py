@@ -181,3 +181,23 @@ def kfold_assign(df: DataFrame, key_col: str, k: int = 5,
         out_col,
         F.when(u.isNotNull(),
                F.least(F.floor(u * k), F.lit(k - 1)).cast("int")))
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str,
+                          salt: str = "shuffle") -> DataFrame:
+    """Global deterministic shuffle for training-data ordering: total
+    order by (md5(key#salt), key) — reproducible across runs, engines
+    and partition layouts, and re-randomizable by changing ``salt``
+    (the standard epoch-reshuffle trick).
+
+    Plan shape: Spark's sort is a range-partitioned distributed sort
+    (sample → range boundaries → per-partition sort) — the TeraSort
+    pattern, linear scalability to any corpus size; writing the result
+    partitioned-by-range yields globally shuffled shards for a trainer.
+    ``LIMIT n`` on it compiles to TakeOrderedAndProject (distributed
+    top-n, nothing funnels to one task)."""
+    key = F.col(key_col)
+    h = F.md5(F.concat_ws("#", key.cast("string"), F.lit(salt)))
+    return (df.withColumn("_shuffle_key", h)
+            .orderBy("_shuffle_key", key_col)
+            .drop("_shuffle_key"))

@@ -543,3 +543,84 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .withColumnRenamed("cosine", "score"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup by cluster-then-prune (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+def sign_cell_expr(vec: Column, sign_bits: int = 6) -> Column:
+    """Deterministic cluster id from the SIGNS of the first ``sign_bits``
+    embedding dimensions — axis-aligned random-projection LSH (the
+    hyperplanes are the coordinate axes, so the oracle can reproduce the
+    cell id with plain SQL, unlike seeded-random hyperplanes). One pure
+    projection."""
+    bits = [
+        (F.element_at(vec, d + 1) >= 0).cast("int") * F.lit(1 << d)
+        for d in range(sign_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def semdedup_pairs(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.93,
+                   sign_bits: int = 6) -> DataFrame:
+    """SemDeDup candidate pairs: embeddings are bucketed into 2^sign_bits
+    sign-cells, and cosine similarity is computed ONLY within a cell —
+    the cluster-then-prune shape of SemDeDup (Abbas et al. 2023), with
+    k-means replaced by a deterministic LSH cell so results are exact,
+    reproducible, and oracle-checkable (swap in ``label_centroids``
+    cluster ids for the k-means variant without touching the join).
+
+    Plan shape: ONE self-join keyed on the cell id (hash exchange both
+    sides on a 1-int key; per-cell pair work is |cell|^2, bounded by the
+    cell granularity you pick — at 100 TB you raise ``sign_bits`` so
+    cells stay ~1e3-1e4 rows, keeping every task's work bounded while
+    total work stays |corpus| x |cell| not |corpus|^2). Cosine is a
+    native zip_with/aggregate expression — whole-stage codegen, no UDF.
+
+    Returns (id_a, id_b, cell, cosine) for intra-cell pairs with
+    cosine >= threshold, id_a < id_b.
+    """
+    e = F.col(vec_col).cast("array<double>")
+    cells = df.select(
+        F.col(id_col), e.alias("_e"),
+        sign_cell_expr(e, sign_bits).alias("cell"))
+    a = cells.select(F.col(id_col).alias("id_a"),
+                     F.col("_e").alias("_ea"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"),
+                     F.col("_e").alias("_eb"), "cell")
+    cos = F.round(cosine_expr(F.col("_ea"), F.col("_eb")), 6)
+    return (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cell", "cosine"))
+
+
+def semdedup_drops(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.93,
+                   sign_bits: int = 6,
+                   quality_col: str | None = None) -> DataFrame:
+    """The SemDeDup drop set: for every intra-cell pair above the cosine
+    threshold, drop the member with the LOWER quality (ties and the
+    default no-quality case: drop the higher id — 'keep the first seen'
+    convention). Distinct ids, one extra projection + distinct over
+    ``semdedup_pairs``; anti-join the result against the corpus to
+    apply. Deterministic regardless of partitioning."""
+    pairs = semdedup_pairs(df, vec_col, id_col, threshold, sign_bits)
+    if quality_col is None:
+        victim = F.col("id_b")
+    else:
+        qa = df.select(F.col(id_col).alias("id_a"),
+                       F.col(quality_col).alias("_qa"))
+        qb = df.select(F.col(id_col).alias("id_b"),
+                       F.col(quality_col).alias("_qb"))
+        pairs = pairs.join(qa, "id_a").join(qb, "id_b")
+        victim = F.when(F.col("_qa") < F.col("_qb"), F.col("id_a")) \
+                  .otherwise(F.col("id_b"))
+    return (pairs.select(victim.alias("dropped"))
+            .distinct())

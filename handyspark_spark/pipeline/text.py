@@ -372,3 +372,47 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
                    .otherwise(F.lit(1))))
     best = F.aggregate(grams, state, step)["best"]
     return F.when(m > 0, best.cast("double") / m).otherwise(F.lit(0.0))
+
+
+def gopher_rules(col, stopwords: list[str] | None = None,
+                 min_words: int = 20, max_words: int = 100_000,
+                 min_mean_wl: float = 2.0, max_mean_wl: float = 12.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> dict[str, Column]:
+    """Gopher-style document quality gates (Rae et al. 2021 §A1.1) as a
+    dict of named boolean Columns plus the conjunction under ``'pass'``
+    — attach whichever subset a pipeline wants with ``withColumns``.
+
+    Rules (all pure projections — scan-bound at any scale, no shuffle):
+      words_ok   : token count in [min_words, max_words]
+      mwl_ok     : mean word length in [min_mean_wl, max_mean_wl]
+      symbols_ok : '#'/ellipsis occurrences per word <= max_symbol_ratio
+      alpha_ok   : fraction of words containing a letter >= min_alpha_frac
+      stop_ok    : at least min_stop_hits stopword occurrences
+
+    Thresholds are parameters (the paper's corpus constants are poor
+    fits for short synthetic docs); every expression is reproducible in
+    ANSI SQL for oracle checks."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks).cast("double")
+    mwl = mean_word_length(c)
+    n_sym = (F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), F.lit(0)))
+             .cast("double"))
+    n_alpha = F.size(F.filter(
+        toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    rules = {
+        "words_ok": (n >= min_words) & (n <= max_words),
+        "mwl_ok": (mwl >= min_mean_wl) & (mwl <= max_mean_wl),
+        "symbols_ok": (n_sym / n) <= max_symbol_ratio,
+        "alpha_ok": (n_alpha / n) >= min_alpha_frac,
+        "stop_ok": n_stop >= min_stop_hits,
+    }
+    out = None
+    for r in rules.values():
+        out = r if out is None else (out & r)
+    rules["pass"] = out
+    return rules

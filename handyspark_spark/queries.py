@@ -3642,3 +3642,143 @@ def q_quantile_normalize(spark, sf_dir):
     out = quantile_normalize_plan(df, "n_tok", "source")
     return out.select("source", F.col("n_tok").cast("int").alias("n_tok"),
                       F.round("qnorm", 6).alias("qnorm"))
+
+
+# ---------------------------------------------------------------------------
+# Round 4: passage dedup, contamination report, SemDeDup, Gopher gates,
+# deterministic global shuffle
+# ---------------------------------------------------------------------------
+
+@query("passage_dedup", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+p AS (
+  SELECT doc_id, CAST(u.i AS INT) AS idx,
+         array_to_string(list_slice(t, u.i*8+1, (u.i+1)*8), ' ') AS passage
+  FROM toks, UNNEST(range(CAST(CEIL(len(t)/8.0) AS BIGINT))) AS u(i)
+),
+k AS (SELECT *, row_number() OVER (PARTITION BY md5(passage)
+                                   ORDER BY doc_id, idx) AS rn FROM p)
+SELECT doc_id, COUNT(*) AS n_passages,
+       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       md5(COALESCE(string_agg(passage, ' ' ORDER BY idx)
+                    FILTER (WHERE rn = 1), '')) AS clean_hash
+FROM k GROUP BY doc_id
+""")
+def q_passage_dedup(spark, sf_dir):
+    """Sub-document (passage-window) dedup: keep each passage's globally
+    first occurrence, reassemble docs. CCNet-style paragraph dedup at
+    fixed 8-token windows."""
+    from .pipeline.dedup import passage_dedup
+    df = _t(spark, sf_dir, "documents")
+    out = passage_dedup(df, passage_tokens=8)
+    return out.select("doc_id", "n_passages", "n_kept",
+                      F.md5("clean_text").alias("clean_hash"))
+
+
+@query("ngram_contamination", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(list_slice(t, u.i+1, u.i+5), ' ')) AS g
+  FROM toks, UNNEST(range(GREATEST(len(t)-5, 0)+1)) AS u(i)
+  WHERE doc_id % 37 = 0
+),
+dg AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(t, u.i+1, u.i+5), ' ')) AS g
+  FROM toks, UNNEST(range(GREATEST(len(t)-5, 0)+1)) AS u(i)
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       SUM(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) AS n_matched,
+       ROUND(SUM(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS contamination
+FROM dg GROUP BY doc_id
+""")
+def q_ngram_contamination(spark, sf_dir):
+    """Graded benchmark-overlap report: fraction of each doc's distinct
+    5-gram shingles found in the (broadcast) benchmark shingle set —
+    benchmark here is the deterministic doc_id % 37 == 0 slice."""
+    from .pipeline.dedup import ngram_contamination
+    df = _t(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") % 37 == 0)
+    return ngram_contamination(df, bench, n=5)
+
+
+@query("semdedup_drops", """
+WITH cells AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + 2*(CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+       + 4*(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+       + 8*(CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)
+       + 16*(CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END)
+       + 32*(CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END) AS cell
+  FROM embeddings)
+SELECT DISTINCT b.vec_id AS dropped
+FROM cells a, cells b
+WHERE a.cell = b.cell AND a.vec_id < b.vec_id
+  AND ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+""")
+def q_semdedup_drops(spark, sf_dir):
+    """SemDeDup drop set: cluster-then-prune semantic dedup — sign-cell
+    bucketing + intra-cell cosine >= 0.4, drop the higher id of each
+    near-duplicate pair."""
+    from .pipeline.similarity import semdedup_drops
+    df = _t(spark, sf_dir, "embeddings")
+    return semdedup_drops(df, threshold=0.4, sign_bits=6)
+
+
+@query("gopher_quality", """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS toks, text FROM documents
+), r AS (
+  SELECT source,
+    (len(toks) BETWEEN 20 AND 100000) AS words_ok,
+    (list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+       BETWEEN 2.0 AND 12.0) AS mwl_ok,
+    (len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 / len(toks)
+       <= 0.1) AS symbols_ok,
+    (len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+       / len(toks) >= 0.8) AS alpha_ok,
+    (len(list_filter(toks, x -> list_contains(
+        ['the','and','of','to','in','is','it','that',
+         'a','an','for','on','with','as'], x))) >= 2) AS stop_ok
+  FROM t
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN words_ok THEN 1 ELSE 0 END) AS n_words_ok,
+       SUM(CASE WHEN mwl_ok THEN 1 ELSE 0 END) AS n_mwl_ok,
+       SUM(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS n_stop_ok,
+       SUM(CASE WHEN words_ok AND mwl_ok AND symbols_ok
+                 AND alpha_ok AND stop_ok THEN 1 ELSE 0 END) AS n_pass
+FROM r GROUP BY source
+""")
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality gate pass rates per source — all five rules
+    as native projections, one grouped agg."""
+    from .pipeline.text import gopher_rules
+    df = _t(spark, sf_dir, "documents")
+    r = gopher_rules("text")
+    return (df.select(
+        "source", r["words_ok"].alias("words_ok"),
+        r["mwl_ok"].alias("mwl_ok"), r["stop_ok"].alias("stop_ok"),
+        r["pass"].alias("ok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.col("words_ok").cast("bigint")).alias("n_words_ok"),
+             F.sum(F.col("mwl_ok").cast("bigint")).alias("n_mwl_ok"),
+             F.sum(F.col("stop_ok").cast("bigint")).alias("n_stop_ok"),
+             F.sum(F.col("ok").cast("bigint")).alias("n_pass")))
+
+
+@query("shuffle_order", """
+SELECT doc_id FROM documents
+ORDER BY md5(doc_id::VARCHAR || '#epoch0'), doc_id LIMIT 20
+""")
+def q_shuffle_order(spark, sf_dir):
+    """Deterministic global training shuffle — first 20 ids of the
+    epoch-0 permutation (range-partitioned distributed sort; LIMIT
+    compiles to TakeOrderedAndProject)."""
+    from .pipeline.sample import deterministic_shuffle
+    df = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(df, "doc_id", salt="epoch0") \
+        .select("doc_id").limit(20)

@@ -1214,3 +1214,101 @@ def test_hot_bucket_recovery_reaches_uncapped_closure(spark):
     assert a == b
     # and the boilerplate cluster is actually one component
     assert len({a[i] for i in range(30) if i in a}) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Round 4: passage dedup / contamination / SemDeDup / Gopher / shuffle
+# ---------------------------------------------------------------------------
+
+def test_passage_dedup_keeps_first_occurrence(spark):
+    from handyspark_spark.pipeline.dedup import passage_dedup
+    # doc 1: passages [A B], doc 2: [B C], doc 3: [A]  (passage = 2 toks)
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "b b c c"), (3, "a a")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           passage_dedup(df, passage_tokens=2).collect()}
+    assert out[1]["n_kept"] == 2 and out[1]["clean_text"] == "a a b b"
+    assert out[2]["n_kept"] == 1 and out[2]["clean_text"] == "c c"
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+
+
+def test_passage_dedup_partition_invariant(spark):
+    from handyspark_spark.pipeline.dedup import passage_dedup
+    rows = [(i, " ".join(["tok%d" % (j % 7) for j in range(i % 11 + 3)]))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(passage_dedup(df, passage_tokens=3).collect())
+    b = sorted(passage_dedup(df.repartition(13), passage_tokens=3)
+               .collect())
+    assert a == b
+
+
+def test_ngram_contamination_bounds(spark):
+    from handyspark_spark.pipeline.dedup import ngram_contamination
+    df = spark.createDataFrame(
+        [(1, "q w e r t y u"), (2, "z x c v b n m")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "q w e r t y u")],
+                                  ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           ngram_contamination(df, bench, n=3).collect()}
+    assert out[1]["contamination"] == 1.0   # fully contained
+    assert out[2]["contamination"] == 0.0   # disjoint
+    assert out[1]["n_grams"] == 5           # 7 tokens -> 5 trigrams
+
+
+def test_semdedup_drops_higher_id_and_respects_quality(spark):
+    from handyspark_spark.pipeline.similarity import (semdedup_drops,
+                                                      semdedup_pairs)
+    v = [1.0] + [0.0] * 7
+    w = [0.0, 1.0] + [0.0] * 6
+    df = spark.createDataFrame(
+        [(1, v, 0.9), (2, v, 0.1), (3, w, 0.5)],
+        ["vec_id", "embedding", "quality"])
+    pairs = semdedup_pairs(df, threshold=0.99, sign_bits=2).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    drops = semdedup_drops(df, threshold=0.99, sign_bits=2).collect()
+    assert [r["dropped"] for r in drops] == [2]       # higher id
+    dq = semdedup_drops(df, threshold=0.99, sign_bits=2,
+                        quality_col="quality").collect()
+    assert [r["dropped"] for r in dq] == [2]          # lower quality
+    df2 = spark.createDataFrame(
+        [(1, v, 0.1), (2, v, 0.9), (3, w, 0.5)],
+        ["vec_id", "embedding", "quality"])
+    dq2 = semdedup_drops(df2, threshold=0.99, sign_bits=2,
+                         quality_col="quality").collect()
+    assert [r["dropped"] for r in dq2] == [1]         # now 1 is worse
+
+
+def test_gopher_rules_flags(spark):
+    from handyspark_spark.pipeline.text import gopher_rules
+    good = " ".join(["the", "and", "table"] * 10)        # 30 words
+    short = "the and"                                    # too few words
+    nostop = " ".join(["zz"] * 30)                       # no stopwords
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, nostop)], ["doc_id", "text"])
+    r = gopher_rules("text")
+    out = {x["doc_id"]: x for x in
+           df.select("doc_id", r["pass"].alias("ok"),
+                     r["words_ok"].alias("w"),
+                     r["stop_ok"].alias("s")).collect()}
+    assert out[1]["ok"] is True
+    assert out[2]["ok"] is False and out[2]["w"] is False
+    assert out[3]["ok"] is False and out[3]["s"] is False
+
+
+def test_deterministic_shuffle_stable_and_salted(spark, docs):
+    from handyspark_spark.pipeline.sample import deterministic_shuffle
+    a = [r["doc_id"] for r in
+         deterministic_shuffle(docs, "doc_id").select("doc_id")
+         .limit(50).collect()]
+    b = [r["doc_id"] for r in
+         deterministic_shuffle(docs.repartition(17), "doc_id")
+         .select("doc_id").limit(50).collect()]
+    assert a == b                       # layout-independent total order
+    c = [r["doc_id"] for r in
+         deterministic_shuffle(docs, "doc_id", salt="epoch1")
+         .select("doc_id").limit(50).collect()]
+    assert a != c                       # re-salt => new permutation
+    assert sorted(a) != a               # actually shuffled

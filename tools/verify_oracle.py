@@ -43,13 +43,18 @@ def main():
     if args and args[0] == "--json":
         json_out = args[1]
         args = args[2:]
+    skip: set[str] = set()
+    if args and args[0] == "--skip":
+        skip = set(args[1].split(","))
+        args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     results = {}
 
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", str(cpus))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
              .config("spark.driver.memory", "8g")
@@ -66,6 +71,10 @@ def main():
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP {name} (excluded on the command line)")
+            results[name] = {"status": "skip", "err": "excluded"}
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
