@@ -70,10 +70,23 @@ def finalize_state(state: DataFrame, keys: list[str],
     n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
     var = (s2 - s * s / n) / (n - F.lit(1))
     std = F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+
+    # IEEE-deterministic rounding: floor(x*10^d + 0.5)/10^d in plain
+    # double ops. Spark's ROUND re-expands the double as BigDecimal and
+    # HALF_UPs the decimal digits; DuckDB rounds in float math — the two
+    # disagree ~1e-5 of the time at representation boundaries (21/100k
+    # user means flipped by exactly 1e-6 at sf1). This formula is the
+    # same three IEEE ops on both engines, so results are bit-identical.
+    p = F.lit(float(10 ** round_to))
+    r6 = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    # mean divides the GRID-SNAPPED total, not the raw sum: the raw
+    # double sum differs between engines/partitionings by a few ulps,
+    # and s/n can land on a rounding boundary; r6(s) snaps both engines
+    # to the same representable double first, making mean deterministic
     return state.select(
         *keys, "n",
-        F.round(s, round_to).alias("total"),
-        F.round(s / n, round_to).alias("mean"),
-        F.round(std, round_to).alias("std"),
+        r6(s).alias("total"),
+        r6(r6(s) / n).alias("mean"),
+        F.when(n >= 2, r6(std)).alias("std"),
         F.col("mn").alias("min"),
         F.col("mx").alias("max"))

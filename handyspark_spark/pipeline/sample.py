@@ -201,3 +201,99 @@ def deterministic_shuffle(df: DataFrame, key_col: str,
     return (df.withColumn("_shuffle_key", h)
             .orderBy("_shuffle_key", key_col)
             .drop("_shuffle_key"))
+
+
+def dsir_weights(df: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 target_text_col: str | None = None,
+                 n: int = 2, buckets: int = 8192,
+                 smoothing: float = 0.5) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023)
+    weights: score each raw document by how much its hashed n-gram
+    feature distribution looks like a TARGET corpus (the public
+    recipe behind quality-targeted pretraining mixes).
+
+    log w(doc) = sum over the doc's n-gram occurrences of
+                 log p_target(bucket) - log q_raw(bucket),
+    with n-grams hashed into ``buckets`` buckets and both bucket
+    distributions add-``smoothing`` (add-half by default) estimated.
+
+    Plan shape (100 TB story): the two bucket histograms are
+    ``buckets``-row aggregates (map-side partial sums; shuffled bytes ~
+    buckets regardless of corpus size), joined into one tiny
+    (bucket, logratio) table that is BROADCAST onto the exploded
+    corpus-side n-gram rows; per-doc summation is ONE keyed exchange of
+    (id, double). Nothing pairwise, nothing driver-side.
+
+    Returns (id_col, n_feats, log_weight) — feed ``log_weight`` (or
+    exp of it, clipped) to ``weighted_sample`` for the resampling step.
+    """
+    from .text import tokens
+
+    tcol = target_text_col or text_col
+
+    def bucketed(frame: DataFrame, col: str, keep_id: bool):
+        toks = tokens(col)
+        m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+        idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+               .otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        b = F.pmod(F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10)
+                   .cast("bigint"), F.lit(buckets))
+        cols = [F.col(id_col)] if keep_id else []
+        return (frame.select(*cols, F.explode(grams).alias("_g"))
+                .select(*cols, b.alias("_b")))
+
+    def hist(frame: DataFrame, col: str) -> DataFrame:
+        return (bucketed(frame, col, keep_id=False)
+                .groupBy("_b").agg(F.count(F.lit(1)).alias("_c")))
+
+    p = hist(target, tcol).withColumnRenamed("_c", "_pc")
+    q = hist(df, text_col).withColumnRenamed("_c", "_qc")
+    pt = p.agg(F.sum("_pc")).collect()[0][0] or 0
+    qt = q.agg(F.sum("_qc")).collect()[0][0] or 0
+    ratio = (p.join(q, "_b", "full")
+             .select("_b",
+                     (F.log((F.coalesce(F.col("_pc"), F.lit(0))
+                             + smoothing)
+                            / F.lit(float(pt + smoothing * buckets)))
+                      - F.log((F.coalesce(F.col("_qc"), F.lit(0))
+                               + smoothing)
+                              / F.lit(float(qt + smoothing * buckets))))
+                     .alias("_lr")))
+    feats = bucketed(df, text_col, keep_id=True)
+    return (feats.join(F.broadcast(ratio), "_b", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+                 F.round(F.sum("_lr"), 6).alias("log_weight")))
+
+
+def temperature_mix_rates(df: DataFrame, source_col: str,
+                          weight_col, alpha: float = 0.7) -> DataFrame:
+    """Temperature-based source mixing rates (the multilingual/multi-
+    corpus sampling rule popularized by multilingual BERT/T5): source i
+    with token mass n_i is sampled with probability proportional to
+    n_i^alpha — alpha<1 up-weights small sources, alpha=1 is natural
+    sampling. Returns (source_col, mass, p_natural, p_mix, boost) where
+    boost = p_mix / p_natural is the per-source oversampling factor.
+
+    ONE grouped agg (|sources| rows) + a broadcast total; apply with
+    ``hash_sample(df_source, key, fraction=rate)`` per source or a join
+    on the rates table."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    mass = df.groupBy(source_col).agg(
+        F.sum(w.cast("double")).alias("mass"))
+    tot = mass.agg(F.sum("mass").alias("_t"),
+                   F.sum(F.pow(F.col("mass"), F.lit(alpha)))
+                   .alias("_ta"))
+    return (mass.crossJoin(F.broadcast(tot))
+            .select(source_col, "mass",
+                    F.round(F.col("mass") / F.col("_t"), 6)
+                    .alias("p_natural"),
+                    F.round(F.pow(F.col("mass"), F.lit(alpha))
+                            / F.col("_ta"), 6).alias("p_mix"),
+                    F.round((F.pow(F.col("mass"), F.lit(alpha))
+                             / F.col("_ta"))
+                            / (F.col("mass") / F.col("_t")), 6)
+                    .alias("boost")))

@@ -2447,10 +2447,13 @@ WITH a AS (
          GREATEST(COALESCE(a.mx, b.mx), COALESCE(b.mx, a.mx)) AS mx
   FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
 )
-SELECT user_id, n, ROUND(s, 6) AS total, ROUND(s / n, 6) AS mean,
-       ROUND(CASE WHEN n >= 2
-             THEN SQRT(GREATEST((s2 - s * s / n) / (n - 1), 0)) END, 6)
-         AS std,
+SELECT user_id, n,
+       FLOOR(s * 1000000 + 0.5) / 1000000 AS total,
+       FLOOR(FLOOR(s * 1000000 + 0.5) / 1000000 / n * 1000000 + 0.5)
+         / 1000000 AS mean,
+       CASE WHEN n >= 2 THEN
+         FLOOR(SQRT(GREATEST((s2 - s * s / n) / (n - 1), 0))
+               * 1000000 + 0.5) / 1000000 END AS std,
        mn AS min, mx AS max
 FROM m
 """)
@@ -2678,11 +2681,13 @@ def q_dup_cluster_histogram(spark, sf_dir):
 
 
 @query("tpch_q7", """
-SELECT supp_nation, cust_nation, yr, ROUND(SUM(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, yr,
+       ROUND(SUM(volume), 2)::DOUBLE AS revenue
 FROM (
   SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          YEAR(l.l_shipdate) AS yr,
-         l.l_extendedprice * (1 - l.l_discount) AS volume
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS volume
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2715,10 +2720,15 @@ def q_tpch_q7(spark, sf_dir):
                    (F.col("cust_nation") == "NATION_2")) |
                   ((F.col("supp_nation") == "NATION_2") &
                    (F.col("cust_nation") == "NATION_1"))))
+    # money sums in exact DECIMAL: double accumulation order differs
+    # between engines (and between partitionings of the same engine) —
+    # at sf1 that flipped rounded cents; decimal sums are exact, so the
+    # result is identical at ANY scale and partition count
+    vol = (F.col("l_extendedprice").cast("decimal(12,2)") *
+           (F.lit(1) - F.col("l_discount").cast("decimal(12,2)")))
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").alias("yr"))
-            .agg(F.round(F.sum(F.col("l_extendedprice") *
-                               (1 - F.col("l_discount"))), 2)
+            .agg(F.round(F.sum(vol), 2).cast("double")
                  .alias("revenue")))
 
 
@@ -2895,12 +2905,15 @@ def q_tpch_q8(spark, sf_dir):
 
 
 @query("tpch_q9", """
-SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+SELECT nation, o_year, ROUND(SUM(amount), 2)::DOUBLE AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount)
-           - 0.5 * p.p_retailprice * l.l_quantity AS amount
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+           - CAST(0.5 AS DECIMAL(2,1))
+             * CAST(p.p_retailprice AS DECIMAL(12,2))
+             * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
   FROM lineitem l
   JOIN part p     ON l.l_partkey = p.p_partkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2921,15 +2934,20 @@ def q_tpch_q9(spark, sf_dir):
         "s_suppkey", F.col("n_name").alias("nation"))
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    # exact DECIMAL money arithmetic — see tpch_q7 note
+    amount = (F.col("l_extendedprice").cast("decimal(12,2)")
+              * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+              - F.lit("0.5").cast("decimal(2,1)")
+              * F.col("p_retailprice").cast("decimal(12,2)")
+              * F.col("l_quantity").cast("decimal(12,2)"))
     j = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
          .join(F.broadcast(sn), l.l_suppkey == F.col("s_suppkey"))
          .join(o, l.l_orderkey == o.o_orderkey)
          .select("nation", F.year("o_orderdate").cast("int").alias("o_year"),
                  amount.alias("amount")))
     return (j.groupBy("nation", "o_year")
-            .agg(F.round(F.sum("amount"), 2).alias("sum_profit")))
+            .agg(F.round(F.sum("amount"), 2).cast("double")
+                 .alias("sum_profit")))
 
 
 @query("tpch_q11", """
@@ -3010,13 +3028,15 @@ def q_tpch_q12(spark, sf_dir):
 @query("tpch_q15", """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate <  TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+SELECT s.s_suppkey, s.s_name,
+       ROUND(r.total_revenue, 2)::DOUBLE AS total_revenue
 FROM supplier s, revenue r
 WHERE s.s_suppkey = r.supplier_no
   AND r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -3029,8 +3049,13 @@ def q_tpch_q15(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
         (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    # exact DECIMAL revenue — with double sums the max-revenue WINNER
+    # itself flipped at sf1 (two suppliers within accumulation noise);
+    # decimal sums make the argmax well-defined at any scale
     rev = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
-           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                      * (F.lit(1) - F.col("l_discount")
+                         .cast("decimal(12,2)")))
                 .alias("total_revenue")))
     rev = rev.persist()
     mx = rev.agg(F.max("total_revenue").alias("mx"))
@@ -3040,7 +3065,8 @@ def q_tpch_q15(spark, sf_dir):
            .join(F.broadcast(s),
                  F.col("supplier_no") == F.col("s_suppkey"))
            .select("s_suppkey", "s_name",
-                   F.round("total_revenue", 2).alias("total_revenue"))
+                   F.round("total_revenue", 2).cast("double")
+                   .alias("total_revenue"))
            .orderBy("s_suppkey"))
     return out
 
