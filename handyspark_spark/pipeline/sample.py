@@ -253,20 +253,21 @@ def dsir_weights(df: DataFrame, target: DataFrame,
     q = hist(df, text_col).withColumnRenamed("_c", "_qc")
     pt = p.agg(F.sum("_pc")).collect()[0][0] or 0
     qt = q.agg(F.sum("_qc")).collect()[0][0] or 0
+    lr = (F.log((F.coalesce(F.col("_pc"), F.lit(0)) + smoothing)
+                / F.lit(float(pt + smoothing * buckets)))
+          - F.log((F.coalesce(F.col("_qc"), F.lit(0)) + smoothing)
+                  / F.lit(float(qt + smoothing * buckets))))
+    # per-bucket log-ratios are snapped to an integer micro-grid so the
+    # per-doc reduction is an EXACT integer sum — identical across
+    # engines, partition counts and add orders (double sums are not)
     ratio = (p.join(q, "_b", "full")
-             .select("_b",
-                     (F.log((F.coalesce(F.col("_pc"), F.lit(0))
-                             + smoothing)
-                            / F.lit(float(pt + smoothing * buckets)))
-                      - F.log((F.coalesce(F.col("_qc"), F.lit(0))
-                               + smoothing)
-                              / F.lit(float(qt + smoothing * buckets))))
-                     .alias("_lr")))
+             .select("_b", F.floor(lr * 1e6 + F.lit(0.5))
+                     .cast("bigint").alias("_lr_u")))
     feats = bucketed(df, text_col, keep_id=True)
     return (feats.join(F.broadcast(ratio), "_b", "left")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-                 F.round(F.sum("_lr"), 6).alias("log_weight")))
+                 (F.sum("_lr_u") / F.lit(1e6)).alias("log_weight")))
 
 
 def temperature_mix_rates(df: DataFrame, source_col: str,

@@ -3808,3 +3808,59 @@ def q_shuffle_order(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return deterministic_shuffle(df, "doc_id", salt="epoch0") \
         .select("doc_id").limit(20)
+
+
+@query("dsir_weights", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(
+              list_slice(t, u.i, u.i+1), ' ')), 1, 8))::BIGINT % 8192 AS b
+  FROM toks, UNNEST(range(1, GREATEST(len(t)-1, 0)+1)) AS u(i)
+),
+ph AS (SELECT b, COUNT(*) AS pc FROM g WHERE doc_id % 37 = 0 GROUP BY b),
+qh AS (SELECT b, COUNT(*) AS qc FROM g GROUP BY b),
+tot AS (SELECT (SELECT COUNT(*) FROM g WHERE doc_id % 37 = 0) AS pt,
+               (SELECT COUNT(*) FROM g) AS qt),
+r AS (
+  SELECT COALESCE(ph.b, qh.b) AS b,
+         CAST(FLOOR((ln((COALESCE(pc, 0) + 0.5) / (pt + 0.5*8192))
+                     - ln((COALESCE(qc, 0) + 0.5) / (qt + 0.5*8192)))
+                    * 1000000 + 0.5) AS BIGINT) AS lru
+  FROM ph FULL JOIN qh ON ph.b = qh.b, tot
+)
+SELECT doc_id, COUNT(*) AS n_feats,
+       SUM(lru) / 1000000.0 AS log_weight
+FROM g JOIN r ON g.b = r.b GROUP BY doc_id
+""")
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: hashed-bigram likelihood ratio of each
+    raw doc against the target slice (doc_id % 37 == 0) — micro-grid
+    integer summation makes the score engine/partitioning-exact."""
+    from .pipeline.sample import dsir_weights
+    df = _t(spark, sf_dir, "documents")
+    target = df.filter(F.col("doc_id") % 37 == 0)
+    return dsir_weights(df, target, n=2, buckets=8192)
+
+
+@query("temperature_mix", """
+WITH mass AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS mass
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(mass) AS t, SUM(POW(mass, 0.7)) AS ta FROM mass
+)
+SELECT source, mass,
+       ROUND(mass / t, 6) AS p_natural,
+       ROUND(POW(mass, 0.7) / ta, 6) AS p_mix,
+       ROUND((POW(mass, 0.7) / ta) / (mass / t), 6) AS boost
+FROM mass, tot
+""")
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing (alpha=0.7): per-source natural
+    vs mixed sampling probability and the oversampling boost."""
+    from .pipeline.sample import temperature_mix_rates
+    from .pipeline.text import token_count
+    df = _t(spark, sf_dir, "documents")
+    return temperature_mix_rates(df, "source", token_count("text"),
+                                 alpha=0.7)

@@ -1312,3 +1312,36 @@ def test_deterministic_shuffle_stable_and_salted(spark, docs):
          .select("doc_id").limit(50).collect()]
     assert a != c                       # re-salt => new permutation
     assert sorted(a) != a               # actually shuffled
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from handyspark_spark.pipeline.sample import dsir_weights
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta " * 5) for i in range(5)],
+        ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 5),      # looks like target
+         (2, "omega psi chi phi " * 5)],          # does not
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["log_weight"]
+           for r in dsir_weights(raw, target).collect()}
+    assert out[1] > out[2]
+
+
+def test_dsir_weights_partition_invariant(spark, docs):
+    from handyspark_spark.pipeline.sample import dsir_weights
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    a = sorted(dsir_weights(docs, target).collect())
+    b = sorted(dsir_weights(docs.repartition(13),
+                            target.repartition(5)).collect())
+    assert a == b
+
+
+def test_temperature_mix_boosts_small_sources(spark):
+    from handyspark_spark.pipeline.sample import temperature_mix_rates
+    df = spark.createDataFrame(
+        [("big", 1.0)] * 90 + [("small", 1.0)] * 10, ["source", "w"])
+    out = {r["source"]: r for r in
+           temperature_mix_rates(df, "source", "w", alpha=0.5).collect()}
+    assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
+    assert abs(out["small"]["p_mix"] + out["big"]["p_mix"] - 1.0) < 1e-5
