@@ -905,14 +905,17 @@ def passage_dedup(df: DataFrame, text_col: str = "text",
     duplicate).
     """
     from pyspark.sql import Window
-    from .text import tokens
+    from .text import let_bound, tokens
 
     k = int(passage_tokens)
-    toks = tokens(text_col)
-    n_pass = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_pass - 1, F.lit(0)))
-    passages = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)))
+
+    def body(tk):
+        n_pass = F.ceil(F.size(tk) / F.lit(float(k))).cast("int")
+        idx = F.sequence(F.lit(0), F.greatest(n_pass - 1, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tk, i * k + 1, k)))
+
+    passages = let_bound(tokens(text_col), body)
 
     p = (df.select(F.col(id_col), F.posexplode(passages)
                    .alias("_idx", "_passage"))

@@ -167,11 +167,15 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
     re-tokenize per gram), exploded, and counted in one grouped job;
     top-k via TakeOrderedAndProject (no global sort materialization).
     Ties broken lexicographically. Returns (ngram, cnt)."""
-    toks = tokens(text_col)
-    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
-           .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    from .text import let_bound
+
+    def body(tk):
+        m = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
+        idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+               .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+    grams = let_bound(tokens(text_col), body)
     return (df.select(F.explode(grams).alias("ngram"))
             .groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("ngram"))

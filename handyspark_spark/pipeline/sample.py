@@ -228,17 +228,18 @@ def dsir_weights(df: DataFrame, target: DataFrame,
     Returns (id_col, n_feats, log_weight) — feed ``log_weight`` (or
     exp of it, clipped) to ``weighted_sample`` for the resampling step.
     """
-    from .text import tokens
+    from .text import let_bound, tokens
 
     tcol = target_text_col or text_col
 
     def bucketed(frame: DataFrame, col: str, keep_id: bool):
-        toks = tokens(col)
-        m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-        idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
-               .otherwise(F.array().cast("array<int>"))
-        grams = F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        def body(tk):
+            m = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
+            idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+                   .otherwise(F.array().cast("array<int>"))
+            return F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        grams = let_bound(tokens(col), body)
         b = F.pmod(F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10)
                    .cast("bigint"), F.lit(buckets))
         cols = [F.col(id_col)] if keep_id else []
@@ -249,8 +250,12 @@ def dsir_weights(df: DataFrame, target: DataFrame,
         return (bucketed(frame, col, keep_id=False)
                 .groupBy("_b").agg(F.count(F.lit(1)).alias("_c")))
 
-    p = hist(target, tcol).withColumnRenamed("_c", "_pc")
-    q = hist(df, text_col).withColumnRenamed("_c", "_qc")
+    # the histograms are <= ``buckets`` rows but COMPUTING one costs a
+    # full corpus gram scan — persist them so the total-count action and
+    # the ratio join reuse one materialization (without this the corpus
+    # is re-tokenized three times: q hist, qt total, feats join)
+    p = hist(target, tcol).withColumnRenamed("_c", "_pc").persist()
+    q = hist(df, text_col).withColumnRenamed("_c", "_qc").persist()
     pt = p.agg(F.sum("_pc")).collect()[0][0] or 0
     qt = q.agg(F.sum("_qc")).collect()[0][0] or 0
     lr = (F.log((F.coalesce(F.col("_pc"), F.lit(0)) + smoothing)

@@ -34,6 +34,21 @@ def tokens(col) -> Column:
     return F.split(c, " ", -1)
 
 
+def let_bound(value: Column, body) -> Column:
+    """Let-binding for a single Column expression: evaluate ``value``
+    ONCE per row and pass it to ``body`` as a bound lambda variable.
+
+    Spark performs no common-subexpression elimination inside
+    higher-order-function lambda bodies, so an expression like
+    ``transform(idx, i -> slice(split(text), i, k))`` re-splits the
+    text for EVERY index — O(len²) work per document (measured 3x the
+    whole n-gram explode cost at sf10). Wrapping the array in a
+    1-element array and transforming over it turns the outer value into
+    a NamedLambdaVariable, which IS evaluated once:
+    ``transform(array(v), x -> body(x))[0]``."""
+    return F.transform(F.array(value), body)[0]
+
+
 def token_count(col) -> Column:
     return F.size(tokens(col)).cast("int")
 
@@ -122,20 +137,20 @@ def repetition_ratio(col, k: int = 3) -> Column:
     degenerate repetition. Pure array expression (transform over a
     sequence — no explode, no shuffle); docs shorter than ``k`` tokens
     score 0."""
-    toks = tokens(col)
-    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
-           .otherwise(F.array().cast("array<int>"))
     # k-grams as raw token slices (tokens are space-split so slice
     # identity == joined-string identity, minus the concat allocations);
-    # total k-gram count comes from the token count, so the expensive
-    # transform is evaluated exactly ONCE (inside array_distinct) —
-    # referencing it in the denominator too would triple-evaluate it
-    kg = F.transform(idx, lambda i: F.slice(toks, i, k))
-    return F.when(
-        m > 0,
-        F.lit(1.0) - F.size(F.array_distinct(kg)).cast("double") / m
-    ).otherwise(F.lit(0.0))
+    # the token array is let_bound so the split runs once per row, not
+    # once per gram index (see let_bound)
+    def body(tk):
+        mm = F.greatest(F.size(tk) - F.lit(k - 1), F.lit(0))
+        ix = F.when(mm > 0, F.sequence(F.lit(1), mm)) \
+              .otherwise(F.array().cast("array<int>"))
+        kg = F.transform(ix, lambda i: F.slice(tk, i, k))
+        return F.when(
+            mm > 0,
+            F.lit(1.0) - F.size(F.array_distinct(kg)).cast("double") / mm
+        ).otherwise(F.lit(0.0))
+    return let_bound(tokens(col), body)
 
 
 # Regex patterns shared verbatim by the Spark expression and the DuckDB
@@ -167,12 +182,14 @@ def fingerprint(col) -> Column:
 
 def rolling_hashes(col, k: int = 5) -> Column:
     """k-token shingle hashes (rolling window over the token array) —
-    the shingle set used by MinHash. Array expression, no explode."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    the shingle set used by MinHash. Array expression, no explode; the
+    token array is let_bound (split once per row, not per shingle)."""
+    def body(tk):
+        n = F.size(tk)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i + 1, k))))
+    return let_bound(tokens(col), body)
 
 
 def token_df_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -223,16 +240,16 @@ def chunk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     stride = size - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than size")
-    toks = tokens(text_col)
-    n = F.size(toks)
-    # tokenize ONCE, build every chunk as an array slice INSIDE the
-    # projection, and explode the finished chunks — carrying the raw text
-    # through the explode would re-split it per chunk row
+    # tokenize ONCE (let_bound), build every chunk as an array slice
+    # INSIDE the projection, and explode the finished chunks — carrying
+    # the raw text through the explode would re-split it per chunk row
     # (O(chunks × doc_len) work) and duplicate the full string bytes
-    starts = F.sequence(F.lit(0), F.greatest((n - 1), F.lit(0)),
-                        F.lit(stride))
-    chunks = F.transform(starts,
-                         lambda s: F.slice(toks, s + 1, size))
+    def body(tk):
+        starts = F.sequence(F.lit(0),
+                            F.greatest(F.size(tk) - 1, F.lit(0)),
+                            F.lit(stride))
+        return F.transform(starts, lambda s: F.slice(tk, s + 1, size))
+    chunks = let_bound(tokens(text_col), body)
     out = df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_id", "_piece"))
@@ -352,26 +369,30 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
     occurrences claimed by the single MOST FREQUENT n-gram of the
     document. Computed as the longest run in the sorted gram array via
     one ``F.aggregate`` fold — pure projection, no explode, no shuffle;
-    docs shorter than ``n`` tokens score 0."""
-    toks = tokens(col)
-    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
-           .otherwise(F.array().cast("array<int>"))
-    grams = F.array_sort(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
-    state = F.named_struct(
-        F.lit("prev"), F.lit(""), F.lit("run"), F.lit(0),
-        F.lit("best"), F.lit(0))
-    step = lambda acc, x: F.named_struct(
-        F.lit("prev"), x,
-        F.lit("run"),
-        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-        F.lit("best"),
-        F.greatest(acc["best"],
-                   F.when(x == acc["prev"], acc["run"] + 1)
-                   .otherwise(F.lit(1))))
-    best = F.aggregate(grams, state, step)["best"]
-    return F.when(m > 0, best.cast("double") / m).otherwise(F.lit(0.0))
+    docs shorter than ``n`` tokens score 0 (token array let_bound — the
+    split runs once per row, not once per gram index)."""
+    def body(tk):
+        m = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
+        idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+               .otherwise(F.array().cast("array<int>"))
+        grams = F.array_sort(
+            F.transform(idx,
+                        lambda i: F.concat_ws(" ", F.slice(tk, i, n))))
+        state = F.named_struct(
+            F.lit("prev"), F.lit(""), F.lit("run"), F.lit(0),
+            F.lit("best"), F.lit(0))
+        step = lambda acc, x: F.named_struct(  # noqa: E731
+            F.lit("prev"), x,
+            F.lit("run"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            F.lit("best"),
+            F.greatest(acc["best"],
+                       F.when(x == acc["prev"], acc["run"] + 1)
+                       .otherwise(F.lit(1))))
+        best = F.aggregate(grams, state, step)["best"]
+        return F.when(m > 0, best.cast("double") / m) \
+                .otherwise(F.lit(0.0))
+    return let_bound(tokens(col), body)
 
 
 def gopher_rules(col, stopwords: list[str] | None = None,
