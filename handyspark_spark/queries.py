@@ -3864,3 +3864,49 @@ def q_temperature_mix(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return temperature_mix_rates(df, "source", token_count("text"),
                                  alpha=0.7)
+
+
+@query("drift_report", """
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS s, event_type AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), tt AS (SELECT s, SUM(cnt) AS tot FROM h GROUP BY s),
+hp AS (SELECT h.s, bucket, cnt, cnt * 1.0 / tot AS p
+       FROM h JOIN tt ON h.s = tt.s),
+nxt AS (SELECT s AS slice_from, LEAD(s) OVER (ORDER BY s) AS slice_to
+        FROM (SELECT DISTINCT s FROM h)),
+a2 AS (SELECT slice_from, slice_to, bucket, p AS p_a, cnt AS c_a
+       FROM nxt JOIN hp ON hp.s = nxt.slice_from
+       WHERE slice_to IS NOT NULL),
+b2 AS (SELECT slice_from, slice_to, bucket, p AS p_b, cnt AS c_b
+       FROM nxt JOIN hp ON hp.s = nxt.slice_to
+       WHERE slice_to IS NOT NULL),
+j AS (
+  SELECT COALESCE(a2.slice_from, b2.slice_from) AS slice_from,
+         COALESCE(a2.slice_to, b2.slice_to) AS slice_to,
+         COALESCE(p_a, 0) AS pa, COALESCE(p_b, 0) AS pb,
+         COALESCE(c_a, 0) AS ca, COALESCE(c_b, 0) AS cb
+  FROM a2 FULL JOIN b2
+    ON a2.slice_from = b2.slice_from AND a2.slice_to = b2.slice_to
+   AND a2.bucket = b2.bucket
+)
+SELECT slice_from, slice_to, SUM(ca) AS n_from, SUM(cb) AS n_to,
+  CAST((SUM(CAST(FLOOR(
+      ((CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2))
+             ELSE 0 END
+        + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2))
+               ELSE 0 END) / 2) * 1000000000 + 0.5) AS BIGINT))
+        + 500) // 1000 AS BIGINT) / 1000000.0 AS js_divergence,
+  CAST((SUM(CAST(FLOOR(
+      (ABS(pa - pb) / 2) * 1000000000 + 0.5) AS BIGINT))
+        + 500) // 1000 AS BIGINT) / 1000000.0 AS tv_distance
+FROM j GROUP BY slice_from, slice_to
+""")
+def q_drift_report(spark, sf_dir):
+    """Day-over-day drift of the event-type distribution: JS divergence
+    + total variation per adjacent day pair, exact-integer summation."""
+    from .pipeline.drift import drift_report
+    df = _t(spark, sf_dir, "events")
+    return drift_report(df, F.date_format("ts", "yyyy-MM-dd"),
+                        "event_type")

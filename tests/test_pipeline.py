@@ -1345,3 +1345,29 @@ def test_temperature_mix_boosts_small_sources(spark):
            temperature_mix_rates(df, "source", "w", alpha=0.5).collect()}
     assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
     assert abs(out["small"]["p_mix"] + out["big"]["p_mix"] - 1.0) < 1e-5
+
+
+def test_drift_report_detects_shift(spark):
+    from handyspark_spark.pipeline.drift import drift_report
+    rows = ([("d1", "a")] * 50 + [("d1", "b")] * 50     # 50/50
+            + [("d2", "a")] * 50 + [("d2", "b")] * 50   # same -> 0 drift
+            + [("d3", "a")] * 95 + [("d3", "b")] * 5)   # big shift
+    df = spark.createDataFrame(rows, ["day", "etype"])
+    out = {(r["slice_from"], r["slice_to"]): r for r in
+           drift_report(df, "day", "etype").collect()}
+    assert set(out) == {("d1", "d2"), ("d2", "d3")}
+    assert out[("d1", "d2")]["js_divergence"] == 0.0
+    assert out[("d1", "d2")]["tv_distance"] == 0.0
+    assert out[("d2", "d3")]["js_divergence"] > 0.1
+    assert out[("d2", "d3")]["tv_distance"] == 0.45
+    assert out[("d2", "d3")]["n_from"] == 100
+
+
+def test_drift_report_one_sided_bucket(spark):
+    from handyspark_spark.pipeline.drift import drift_report
+    rows = [("d1", "a")] * 10 + [("d2", "b")] * 10  # disjoint supports
+    df = spark.createDataFrame(rows, ["day", "etype"])
+    r = drift_report(df, "day", "etype").collect()[0]
+    import math
+    assert abs(r["js_divergence"] - math.log(2)) < 1e-5  # max JS
+    assert r["tv_distance"] == 1.0
