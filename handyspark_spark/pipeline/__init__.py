@@ -53,3 +53,55 @@ __all__ = [
     "deterministic_shuffle", "dsir_weights", "temperature_mix_rates",
     "drift_report", "slice_histograms",
 ]
+
+
+def pretrain_funnel(df, text_col="text", id_col="doc_id",
+                    bench=None, num_hashes=16, bands=4):
+    """End-to-end pretraining data funnel — the composed pipeline a
+    training run actually executes, returning per-stage survivor counts:
+
+      raw -> quality gate (gopher_rules) -> exact dedup (first-copy
+      keep) -> near-dup dedup (LSH groups, keep group min) ->
+      benchmark decontamination (n-gram anti-join)
+
+    Each stage consumes the previous stage's DataFrame lazily — Catalyst
+    fuses the whole funnel into one job graph; counts come from ONE
+    aggregation per stage over the shared lineage. At 100 TB the funnel
+    is: one scan + the two dedup exchanges + a broadcast anti-join; the
+    gates are free (projections on the same scan).
+
+    Returns (stage, n_docs) with stages ordered raw/quality/exact/
+    neardup/decontaminated."""
+    from pyspark.sql import functions as F
+
+    from .dedup import decontaminate, minhash_lsh_groups
+    from .text import gopher_rules
+
+    rules = gopher_rules(text_col)
+    gated = df.filter(rules["pass"])
+
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    exact = (gated.withColumn("_first", F.min(id_col).over(w))
+             .filter(F.col("_first") == F.col(id_col)).drop("_first"))
+
+    groups = minhash_lsh_groups(exact, text_col=text_col, id_col=id_col,
+                                num_hashes=num_hashes, bands=bands)
+    keep = (groups.groupBy("cluster_id")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    neardup = exact.join(keep, id_col, "left_semi")
+
+    if bench is None:
+        bench = df.filter(F.col(id_col) % 37 == 0)
+    clean = decontaminate(neardup, bench, text_col=text_col,
+                          id_col=id_col, method="ngram")
+
+    stages = [("1_raw", df), ("2_quality", gated), ("3_exact", exact),
+              ("4_neardup", neardup), ("5_decontaminated", clean)]
+    out = None
+    for name, frame in stages:
+        c = frame.agg(F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).alias("n_docs"))
+        out = c if out is None else out.unionByName(c)
+    return out

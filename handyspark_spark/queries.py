@@ -3910,3 +3910,84 @@ def q_drift_report(spark, sf_dir):
     df = _t(spark, sf_dir, "events")
     return drift_report(df, F.date_format("ts", "yyyy-MM-dd"),
                         "event_type")
+
+
+@query("pretrain_funnel", """
+WITH rules AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+), gated AS (
+  SELECT doc_id, text FROM rules
+  WHERE (len(tk) BETWEEN 20 AND 100000)
+    AND (list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+         BETWEEN 2.0 AND 12.0)
+    AND (len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 / len(tk)
+         <= 0.1)
+    AND (len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+         / len(tk) >= 0.8)
+    AND (len(list_filter(tk, x -> list_contains(
+        ['the','and','of','to','in','is','it','that',
+         'a','an','for','on','with','as'], x))) >= 2)
+), exact AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS first
+    FROM gated) WHERE doc_id = first
+), toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM exact
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+), seeds AS (SELECT * FROM (VALUES (0, 2013305623), (1, 2458489887),
+  (2, 4071548956), (3, 2327953159), (4, 987524060), (5, 556081905),
+  (6, 2083177207), (7, 761518094), (8, 2793260896), (9, 1130439398),
+  (10, 2309576590), (11, 3880396366), (12, 2003669775), (13, 507364299),
+  (14, 2670572739), (15, 4255065888)) s(seed, c)
+), sigs AS (
+  SELECT doc_id, seed, MIN(xor(h, c)) AS mh
+  FROM th CROSS JOIN seeds GROUP BY doc_id, seed
+), arr AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sigs GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, b.band,
+         CASE WHEN b.band = 0 THEN sig[1:8] ELSE sig[9:16] END AS bv
+  FROM arr CROSS JOIN (SELECT unnest(range(2)) AS band) b
+), bm AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, bv) AS bucket_min
+  FROM banded
+), groups AS (
+  SELECT doc_id, MIN(bucket_min) AS cluster_id FROM bm GROUP BY doc_id
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM groups GROUP BY cluster_id
+), neardup AS (
+  SELECT e.doc_id, e.text FROM exact e
+  JOIN keep k ON e.doc_id = k.doc_id
+), bt AS (
+  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 37 = 0
+), bgrams AS (
+  SELECT DISTINCT md5(array_to_string(
+      list_slice(t, u.i+1, u.i+13), ' ')) AS g
+  FROM bt, UNNEST(range(GREATEST(len(t)-13, 0)+1)) AS u(i)
+), nt AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM neardup
+), hits AS (
+  SELECT DISTINCT doc_id
+  FROM nt, UNNEST(range(GREATEST(len(t)-13, 0)+1)) AS u(i)
+  WHERE md5(array_to_string(list_slice(t, u.i+1, u.i+13), ' '))
+        IN (SELECT g FROM bgrams)
+), clean AS (
+  SELECT doc_id FROM neardup
+  WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+)
+SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT '2_quality', COUNT(*) FROM gated
+UNION ALL SELECT '3_exact', COUNT(*) FROM exact
+UNION ALL SELECT '4_neardup', COUNT(*) FROM neardup
+UNION ALL SELECT '5_decontaminated', COUNT(*) FROM clean
+""")
+def q_pretrain_funnel(spark, sf_dir):
+    """The composed end-to-end pretraining data funnel: quality gate ->
+    exact dedup -> LSH near-dup dedup -> n-gram decontamination, with
+    per-stage survivor counts."""
+    from .pipeline import pretrain_funnel
+    df = _t(spark, sf_dir, "documents")
+    return pretrain_funnel(df, bands=2)

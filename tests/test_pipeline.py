@@ -1371,3 +1371,15 @@ def test_drift_report_one_sided_bucket(spark):
     import math
     assert abs(r["js_divergence"] - math.log(2)) < 1e-5  # max JS
     assert r["tv_distance"] == 1.0
+
+
+def test_pretrain_funnel_stages_monotonic(spark, docs):
+    from handyspark_spark.pipeline import pretrain_funnel
+    out = {r["stage"]: r["n_docs"]
+           for r in pretrain_funnel(docs, bands=2).collect()}
+    assert list(sorted(out)) == ["1_raw", "2_quality", "3_exact",
+                                 "4_neardup", "5_decontaminated"]
+    counts = [out[s] for s in sorted(out)]
+    assert counts[0] == docs.count()
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] > 0
