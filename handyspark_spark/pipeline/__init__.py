@@ -21,7 +21,8 @@ from .similarity import (brute_force_topk, ivf_topk, label_centroids,
                          pq_codebooks, pq_encode, pq_topk,
                          quantize_embeddings, semdedup_drops,
                          semdedup_pairs)
-from .drift import drift_report, slice_histograms
+from .drift import (drift_report, drift_report_from_hist,
+                    slice_histograms)
 from .text import (analyze, chunk, fingerprint, gopher_rules,
                    lang_id, let_bound, normalize_text,
                    pack_sequences, pii_counts, pii_redact, quality_score,
@@ -51,7 +52,7 @@ __all__ = [
     "passage_dedup", "ngram_contamination", "semdedup_pairs",
     "semdedup_drops", "gopher_rules", "let_bound",
     "deterministic_shuffle", "dsir_weights", "temperature_mix_rates",
-    "drift_report", "slice_histograms",
+    "drift_report", "drift_report_from_hist", "slice_histograms",
 ]
 
 

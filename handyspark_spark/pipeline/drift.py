@@ -66,7 +66,22 @@ def drift_report(df: DataFrame, slice_col, bucket_col) -> DataFrame:
     map is a broadcast of |slices| rows). Returns
     (slice_from, slice_to, n_from, n_to, js_divergence, tv_distance).
     """
-    h = slice_histograms(df, slice_col, bucket_col)
+    return drift_report_from_hist(slice_histograms(df, slice_col,
+                                                   bucket_col))
+
+
+def drift_report_from_hist(h: DataFrame) -> DataFrame:
+    """Same report from a PRE-AGGREGATED (slice, bucket, cnt[, p])
+    histogram — e.g. the persisted state of
+    ``streaming.stateful.maintain_drift_monitor`` — without touching
+    any corpus-sized data. Recomputes p from cnt when absent so counts
+    merged across batches stay consistent."""
+    if "p" not in h.columns:
+        totals = h.groupBy("slice").agg(F.sum("cnt").alias("_tot"))
+        h = (h.join(F.broadcast(totals), "slice")
+             .select("slice", "bucket", "cnt",
+                     (F.col("cnt").cast("double") / F.col("_tot"))
+                     .alias("p")))
     # adjacency: slice -> next slice, via a tiny distinct + lead window
     from pyspark.sql import Window
     slices = h.select("slice").distinct()

@@ -154,3 +154,52 @@ def maintain_cms_sketch(stream: DataFrame, col: str, state_path: str,
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def maintain_drift_monitor(stream: DataFrame, slice_col: str,
+                           bucket_col: str, state_path: str,
+                           checkpoint_path: str,
+                           trigger_available_now: bool = True):
+    """Streaming distribution-drift monitoring: fold each micro-batch's
+    (slice, bucket) counts into a persisted histogram table, so
+    ``pipeline.drift.drift_report``-style slice-over-slice divergences
+    are computable at ANY time from the state alone — the raw stream is
+    never re-read. Histogram counts are additive, so the fold is a
+    simple grouped-sum merge (|slices| x |buckets| state rows, bounded
+    regardless of stream volume).
+
+    Same two-phase swap, driver-local-FS and at-least-once caveats as
+    ``maintain_state_table``; a real read failure on existing state
+    propagates rather than resetting the histograms."""
+    from pyspark.sql import functions as F
+
+    def _fold(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        part = (batch.select(F.col(slice_col).alias("slice"),
+                             F.col(bucket_col).alias("bucket"))
+                .groupBy("slice", "bucket")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+        prev = _read_state(spark, state_path)
+        if prev is not None:
+            part = (prev.unionByName(part)
+                    .groupBy("slice", "bucket")
+                    .agg(F.sum("cnt").alias("cnt")))
+        tmp = state_path.rstrip("/") + "._next"
+        part.write.mode("overwrite").parquet(tmp)
+        import shutil
+        shutil.rmtree(state_path, ignore_errors=True)
+        shutil.move(tmp, state_path)
+
+    w = (stream.writeStream.foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_path))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def drift_from_state(spark, state_path: str) -> DataFrame:
+    """Compute the slice-over-slice drift report from a persisted
+    histogram state table (see ``maintain_drift_monitor``) — runs on
+    |slices| x |buckets| rows, no stream or corpus scan."""
+    from ..pipeline.drift import drift_report_from_hist
+    return drift_report_from_hist(spark.read.parquet(state_path))

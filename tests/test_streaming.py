@@ -632,3 +632,25 @@ def test_real_bmp_resize_without_any_codec(spark, tables):
         assert got.shape == (4, 8, 3)
         want = resize_nearest(decode_bmp(bytes(src[mid]["data"])), 8, 4)
         npt.assert_array_equal(got, want)
+
+
+def test_maintain_drift_monitor_matches_batch(spark, tables, tmp_path):
+    """Streamed histogram state == one-shot batch histogram, and the
+    drift report computed FROM STATE equals the batch drift_report."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.drift import drift_report
+    from handyspark_spark.streaming.stateful import (drift_from_state,
+                                                     maintain_drift_monitor)
+    ev = tables["events"].select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+    src = str(tmp_path / "ev")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("day string, event_type string")
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    state = str(tmp_path / "drift_state")
+    q = maintain_drift_monitor(stream, "day", "event_type", state,
+                               str(tmp_path / "ckpt_drift"))
+    q.awaitTermination(120)
+    got = sorted(drift_from_state(spark, state).collect())
+    exp = sorted(drift_report(ev, "day", "event_type").collect())
+    assert got == exp
