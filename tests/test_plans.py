@@ -340,3 +340,52 @@ def test_native_sketch_states_merge_and_estimate(spark, tables):
               .join(b.select("user_id").distinct(), "user_id",
                     "left_anti").count())
     assert abs(rep["n_only_a"] - only_a) / max(only_a, 1) < 0.2
+
+
+def test_round4_operator_exchange_budgets(tables):
+    """Round-4 training-pipeline operators stay within their designed
+    shuffle budgets (SCALE.md): passage dedup = 2 keyed exchanges
+    (winner window + reassembly), contamination = broadcast join + one
+    keyed exchange, semdedup = one cell-keyed self-join exchange pair,
+    gopher gate = pure projection + one grouped agg, DSIR = histogram +
+    per-doc exchanges with the ratio table broadcast."""
+    from handyspark_spark.pipeline.dedup import (ngram_contamination,
+                                                 passage_dedup)
+    from handyspark_spark.pipeline.similarity import semdedup_pairs
+    from handyspark_spark.pipeline.text import gopher_rules
+    docs, emb = tables["documents"], tables["embeddings"]
+
+    assert exchange_count(passage_dedup(docs)) <= 2
+
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    cont = ngram_contamination(docs, bench, n=5)
+    assert exchange_count(cont) <= 2
+    assert "BroadcastHashJoin" in explain_str(cont)
+
+    sd = semdedup_pairs(emb, threshold=0.4)
+    # self-join on the cell key: at most one exchange per side
+    assert exchange_count(sd) <= 2
+    assert "CartesianProduct" not in explain_str(sd)
+
+    r = gopher_rules("text")
+    gated = docs.select(
+        "source", r["pass"].alias("ok")).groupBy("source").agg(
+        F.sum(F.col("ok").cast("bigint")).alias("n"))
+    assert exchange_count(gated) <= 1
+    assert "BatchEvalPython" not in explain_str(gated)
+
+
+def test_drift_report_histogram_bounded(tables):
+    """drift_report: ONE corpus-sized groupBy; everything downstream
+    operates on |slices| x |buckets| rows with the adjacency map and
+    totals broadcast."""
+    from handyspark_spark.pipeline.drift import drift_report
+    rep = drift_report(tables["events"],
+                       F.date_format("ts", "yyyy-MM-dd"), "event_type")
+    s = explain_str(rep)
+    assert "BatchEvalPython" not in s
+    assert "CartesianProduct" not in s
+    # every downstream branch must read the PERSISTED histogram (the
+    # corpus-sized groupBy runs once; explain re-prints the cache's
+    # build plan per reference, so count cache scans, not text scans)
+    assert "InMemoryTableScan" in s
