@@ -110,13 +110,17 @@ def pmi_collocations(df: DataFrame, min_count: int = 10,
     ``min_count`` filter is applied on the bigram table BEFORE the joins
     — the joined row count is |frequent bigrams|, not |vocab|².
     Returns (tok_a, tok_b, n_ab, pmi) — deterministic, no top-k ties."""
+    from .text import let_bound
     toks = tokens(text_col)
-    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-    idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
-           .otherwise(F.array().cast("array<int>"))
-    pairs = F.transform(
-        idx, lambda i: F.struct(F.element_at(toks, i).alias("a"),
-                                F.element_at(toks, i + 1).alias("b")))
+
+    def body(tk):
+        m = F.greatest(F.size(tk) - F.lit(1), F.lit(0))
+        idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+               .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.struct(F.element_at(tk, i).alias("a"),
+                                    F.element_at(tk, i + 1).alias("b")))
+    pairs = let_bound(toks, body)
     big = (df.select(F.explode(pairs).alias("_p"))
            .select(F.col("_p.a").alias("tok_a"),
                    F.col("_p.b").alias("tok_b"))
