@@ -3179,15 +3179,28 @@ def q_tpch_q21(spark, sf_dir):
             .filter(delay > 365)
             .select("l_orderkey", "l_suppkey"))
     late = late.persist()
-    stats = (l.groupBy("l_orderkey")
-             .agg(F.countDistinct("l_suppkey").alias("n_supp")))
+    # the multi-supplier count is only consulted for orders that HAVE a
+    # late line (the driving join starts from `late`), so the heaviest
+    # aggregate — countDistinct over all of lineitem — is semi-join
+    # pruned to late orders first: the broadcast key set costs |late
+    # orders| longs, the groupBy then runs on the pruned fraction
+    stats = (l.join(F.broadcast(late.select("l_orderkey").distinct()),
+                    "l_orderkey", "left_semi")
+             .groupBy("l_orderkey")
+             # ">= 2 distinct suppliers" is just min != max — a plain
+             # min/max agg instead of countDistinct's double-shuffle
+             # distinct expansion (same trick for "exactly one late
+             # supplier" below)
+             .agg((F.min("l_suppkey") != F.max("l_suppkey"))
+                  .alias("multi_supp")))
     late_stats = (late.groupBy(F.col("l_orderkey").alias("lo_key"))
-                  .agg(F.countDistinct("l_suppkey").alias("n_late"),
+                  .agg((F.min("l_suppkey") == F.max("l_suppkey"))
+                       .alias("one_late"),
                        F.min("l_suppkey").alias("only_late")))
     s = _t(spark, sf_dir, "supplier")
     j = (late.join(stats, "l_orderkey")
          .join(late_stats, late.l_orderkey == F.col("lo_key"))
-         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1) &
+         .filter(F.col("multi_supp") & F.col("one_late") &
                  (F.col("only_late") == F.col("l_suppkey")))
          .join(F.broadcast(s), late.l_suppkey == s.s_suppkey))
     return (j.groupBy("s_name")
