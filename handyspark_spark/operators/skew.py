@@ -73,3 +73,37 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
     out = b.join(s, (F.col(big_key) == F.col(small_key)) &
                  (b["_salt"] == s["_salt"]), how)
     return out.drop("_salt")
+
+
+def skew_report(df: DataFrame, key, top: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnostic — the report you run BEFORE deciding
+    to salt: the ``top`` heaviest key values with their row count, share
+    of the table, and skew factor (count / mean-per-key). A skew factor
+    near 1 means salting buys nothing; a factor of 10^3 on a join key is
+    the straggler that motivates ``salted_join``/AQE skew handling.
+
+    Plan: ONE groupBy on the key (map-side combined), a broadcast 1-row
+    summary (total rows, distinct keys), top-k via
+    TakeOrderedAndProject. Safe on any cardinality — nothing driver-side
+    beyond the k result rows.
+
+    Returns (key, cnt, share, skew_factor) ordered by cnt desc."""
+    k = F.col(key) if isinstance(key, str) else key
+    # persist the per-key counts: both the summary branch and the top-k
+    # branch consume them — without the cache the CORPUS is scanned and
+    # re-grouped twice. |keys| rows, MEMORY_AND_DISK spills if large.
+    counts = (df.select(k.cast("string").alias("key"))
+              .groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+              .persist())
+    summary = counts.agg(
+        F.sum("cnt").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_nkeys"))
+    return (counts.crossJoin(F.broadcast(summary))
+            .select("key", "cnt",
+                    F.round(F.col("cnt") / F.col("_total"), 6)
+                    .alias("share"),
+                    F.round(F.col("cnt") /
+                            (F.col("_total") / F.col("_nkeys")), 6)
+                    .alias("skew_factor"))
+            .orderBy(F.col("cnt").desc(), F.col("key"))
+            .limit(top))

@@ -4004,3 +4004,22 @@ def q_pretrain_funnel(spark, sf_dir):
     from .pipeline import pretrain_funnel
     df = _t(spark, sf_dir, "documents")
     return pretrain_funnel(df, bands=2)
+
+
+@query("skew_report", """
+WITH c AS (
+  SELECT event_type::VARCHAR AS key, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), s AS (
+  SELECT SUM(cnt) * 1.0 AS total, COUNT(*) * 1.0 AS nkeys FROM c
+)
+SELECT key, cnt, ROUND(cnt / total, 6) AS share,
+       ROUND(cnt / (total / nkeys), 6) AS skew_factor
+FROM c, s ORDER BY cnt DESC, key LIMIT 10
+""")
+def q_skew_report(spark, sf_dir):
+    """Join/agg-key skew diagnostic: heaviest key values with share and
+    skew factor — the report that decides whether to salt."""
+    from .operators.skew import skew_report
+    df = _t(spark, sf_dir, "events")
+    return skew_report(df, "event_type", top=10)

@@ -203,3 +203,41 @@ def drift_from_state(spark, state_path: str) -> DataFrame:
     |slices| x |buckets| rows, no stream or corpus scan."""
     from ..pipeline.drift import drift_report_from_hist
     return drift_report_from_hist(spark.read.parquet(state_path))
+
+
+def maintain_hll_sketch(stream: DataFrame, col: str, state_path: str,
+                        checkpoint_path: str,
+                        by: list[str] | None = None,
+                        lg_k: int = 12,
+                        trigger_available_now: bool = True):
+    """Streaming distinct-count maintenance: fold each micro-batch's
+    HLL sketch states (native Datasketches binary columns, mergeable)
+    into the persisted per-group state — distinct users/tokens/urls so
+    far, queryable at any time via ``operators.sketch.
+    hll_merge_estimate`` without replaying the stream. State size is
+    |groups| x 2^lg_k registers regardless of volume. Same swap/
+    at-least-once caveats as the other maintainers."""
+    from ..operators.sketch import hll_state
+
+    def _fold(batch: DataFrame, batch_id: int):
+        from pyspark.sql import functions as SF
+        spark = batch.sparkSession
+        part = hll_state(batch, col, by=by, lg_k=lg_k)
+        prev = _read_state(spark, state_path)
+        if prev is not None:
+            merged = (prev.unionByName(part)
+                      .groupBy(*(by or []))
+                      .agg(SF.hll_union_agg(SF.col("hll")).alias("hll")))
+        else:
+            merged = part
+        tmp = state_path.rstrip("/") + "._next"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+        shutil.rmtree(state_path, ignore_errors=True)
+        shutil.move(tmp, state_path)
+
+    w = (stream.writeStream.foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_path))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -389,3 +389,21 @@ def test_drift_report_histogram_bounded(tables):
     # corpus-sized groupBy runs once; explain re-prints the cache's
     # build plan per reference, so count cache scans, not text scans)
     assert "InMemoryTableScan" in s
+
+
+def test_skew_report_shapes_and_values(tables, spark):
+    from handyspark_spark.operators.skew import skew_report
+    import pandas as pd
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k"])
+    rep = skew_report(df, "k", top=3)
+    # one corpus exchange (cached counts) + the tiny summary/top-k pair;
+    # explain re-prints the cache's build exchange per reference
+    assert exchange_count(rep) <= 3
+    assert "InMemoryTableScan" in explain_str(rep)
+    out = rep.collect()
+    assert out[0]["key"] == "hot" and out[0]["cnt"] == 90
+    assert abs(out[0]["share"] - 0.9) < 1e-9
+    # mean per key = 100/11 rows; hot = 90 -> factor 9.9
+    assert abs(out[0]["skew_factor"] - 90 / (100 / 11)) < 1e-6
+    assert len(out) == 3

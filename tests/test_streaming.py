@@ -654,3 +654,29 @@ def test_maintain_drift_monitor_matches_batch(spark, tables, tmp_path):
     got = sorted(drift_from_state(spark, state).collect())
     exp = sorted(drift_report(ev, "day", "event_type").collect())
     assert got == exp
+
+
+def test_maintain_hll_sketch_estimates_match_exact(spark, tables, tmp_path):
+    """Streamed HLL state estimate ~= exact per-group distinct count."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.operators.sketch import hll_merge_estimate
+    from handyspark_spark.streaming.stateful import maintain_hll_sketch
+    ev = tables["events"].select("event_type", "user_id")
+    src = str(tmp_path / "ev_hll")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("event_type string, user_id long")
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    state = str(tmp_path / "hll_state")
+    q = maintain_hll_sketch(stream, "user_id", state,
+                            str(tmp_path / "ckpt_hll"),
+                            by=["event_type"])
+    q.awaitTermination(120)
+    est = {r["event_type"]: r["n_distinct"] for r in
+           hll_merge_estimate(spark.read.parquet(state),
+                              by=["event_type"]).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= max(2, 0.05 * exact[k])
