@@ -185,6 +185,36 @@ def main():
     media = attach_bmp_media(docs.limit(20), "doc_id", "text", 8, 8)
     print("decoded image stats:", image_stats(media).limit(2).collect())
 
+    print("\n== Round-4: funnel, SemDeDup, DSIR, drift, skew ==")
+    from handyspark_spark.pipeline import (deterministic_shuffle,
+                                           dsir_weights, pretrain_funnel,
+                                           semdedup_drops,
+                                           temperature_mix_rates)
+    print("pretraining funnel:",
+          pretrain_funnel(docs, bands=2).orderBy("stage").collect())
+    print("semdedup drops:",
+          semdedup_drops(emb, threshold=0.4).count(), "vectors pruned")
+    target = docs.filter(F.col("doc_id") % 37 == 0)
+    print("DSIR top target-like doc:",
+          dsir_weights(docs, target)
+          .orderBy(F.desc("log_weight")).first())
+    from handyspark_spark.pipeline.text import token_count
+    print("temperature mix (alpha=0.7):",
+          temperature_mix_rates(docs, "source", token_count("text"))
+          .orderBy("source").limit(3).collect())
+    from handyspark_spark.pipeline.drift import drift_report
+    ev = load_table(spark, sf_dir, "events")
+    worst = (drift_report(ev, F.date_format("ts", "yyyy-MM-dd"),
+                          "event_type")
+             .orderBy(F.desc("js_divergence")).first())
+    print("worst day-over-day drift:", worst)
+    from handyspark_spark.operators.skew import skew_report
+    print("event-type skew:", skew_report(ev, "event_type", top=3)
+          .collect())
+    print("epoch-0 shuffle head:",
+          [r["doc_id"] for r in
+           deterministic_shuffle(docs, "doc_id").limit(5).collect()])
+
     spark.stop()
 
 
