@@ -975,3 +975,50 @@ def ngram_contamination(df: DataFrame, benchmark: DataFrame,
             .withColumn("contamination",
                         F.round(F.col("n_matched")
                                 / F.col("n_grams"), 6)))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      threshold: float = 0.9,
+                      max_token_df: int | None = None) -> DataFrame:
+    """Asymmetric near-dup detection: containment(A in B) =
+    |A ∩ B| / |A| over distinct-token sets — the signal Jaccard misses
+    when a short document is wholly embedded in a longer one (quoted
+    articles, boilerplate-wrapped reposts: Jaccard is tiny because the
+    union is large, containment is ~1).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs``: explode
+    distinct tokens, equality-join on the token, count intersections
+    per pair, divide by EACH side's size. ``max_token_df`` is the same
+    mandatory-at-scale stop-token guard. Emits one row per unordered
+    pair with both directions:
+    (id_a, id_b, containment_a_in_b, containment_b_in_a), filtered to
+    max(direction) >= threshold.
+    """
+    ts = _token_sets(df, text_col, id_col)
+    sizes = ts.select("_id", F.size("_toks").alias("_n"))
+    inv = ts.select("_id", F.explode("_toks").alias("_tok"))
+    if max_token_df is not None:
+        df_counts = (inv.groupBy("_tok")
+                     .agg(F.count(F.lit(1)).alias("_df"))
+                     .filter(F.col("_df") <= max_token_df))
+        inv = inv.join(F.broadcast(df_counts.select("_tok")), "_tok")
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (a.join(b, (F.col("a._tok") == F.col("b._tok")) &
+                       (F.col("a._id") < F.col("b._id")))
+             .groupBy(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("_inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("_id", "id_a")
+                      .withColumnRenamed("_n", "_na"), "id_a")
+           .join(sizes.withColumnRenamed("_id", "id_b")
+                      .withColumnRenamed("_n", "_nb"), "id_b"))
+    ca = F.round(F.col("_inter") / F.col("_na"), 6)
+    cb = F.round(F.col("_inter") / F.col("_nb"), 6)
+    return (out.select("id_a", "id_b",
+                       ca.alias("containment_a_in_b"),
+                       cb.alias("containment_b_in_a"))
+            .filter(F.greatest(F.col("containment_a_in_b"),
+                               F.col("containment_b_in_a"))
+                    >= threshold))

@@ -4023,3 +4023,28 @@ def q_skew_report(spark, sf_dir):
     from .operators.skew import skew_report
     df = _t(spark, sf_dir, "events")
     return skew_report(df, "event_type", top=10)
+
+
+@query("containment_pairs", """
+WITH ts AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.t, b.t)) * 1.0 / len(a.t), 6)
+         AS containment_a_in_b,
+       ROUND(len(list_intersect(a.t, b.t)) * 1.0 / len(b.t), 6)
+         AS containment_b_in_a
+FROM ts a, ts b
+WHERE a.doc_id < b.doc_id
+  AND GREATEST(
+        ROUND(len(list_intersect(a.t, b.t)) * 1.0 / len(a.t), 6),
+        ROUND(len(list_intersect(a.t, b.t)) * 1.0 / len(b.t), 6))
+      >= 0.95
+""")
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dups: short-doc-inside-long-doc
+    detection that Jaccard misses."""
+    from .pipeline.dedup import containment_pairs
+    df = _t(spark, sf_dir, "documents")
+    return containment_pairs(df, threshold=0.95)

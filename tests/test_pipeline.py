@@ -1383,3 +1383,16 @@ def test_pretrain_funnel_stages_monotonic(spark, docs):
     assert counts[0] == docs.count()
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[-1] > 0
+
+
+def test_containment_catches_subset_docs(spark):
+    from handyspark_spark.pipeline.dedup import containment_pairs
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f g h i j k l m n o p"),
+         (3, "x y z")], ["doc_id", "text"])
+    out = containment_pairs(df, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a_in_b"] == 1.0       # doc1 fully inside doc2
+    assert r["containment_b_in_a"] < 0.25       # but not vice versa

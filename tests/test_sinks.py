@@ -245,3 +245,45 @@ def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
     read_jsonl(spark, str(p), schema=schema).collect()
     assert [f.name for f in schema.fields] == before, \
         "caller schema must not grow a _corrupt_record field"
+
+
+def test_write_training_shards_replays_global_permutation(spark, tables,
+                                                          tmp_path):
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.sample import deterministic_shuffle
+    from handyspark_spark.sources.writer import write_training_shards
+    docs = tables["documents"]
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4, key_col="doc_id")
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # reading all shards sorted by the persisted key replays the exact
+    # deterministic_shuffle order
+    got = [r["doc_id"] for r in
+           back.orderBy("_shard_key", "doc_id").select("doc_id").collect()]
+    exp = [r["doc_id"] for r in
+           deterministic_shuffle(docs, "doc_id").select("doc_id").collect()]
+    assert got == exp
+    # each shard internally sorted
+    import glob
+    import pandas as pd
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 4
+    for f in files:
+        keys = pd.read_parquet(f)["_shard_key"].tolist()
+        assert keys == sorted(keys)
+
+
+def test_write_training_shards_split_dirs(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.sample import split_assign
+    from handyspark_spark.sources.writer import write_training_shards
+    docs = split_assign(tables["documents"], "doc_id")
+    path = str(tmp_path / "shards_split")
+    write_training_shards(docs, path, n_shards=2, key_col="doc_id",
+                          split_col="split")
+    import os
+    dirs = {d for d in os.listdir(path) if d.startswith("split=")}
+    assert "split=train" in dirs
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
