@@ -4025,26 +4025,38 @@ def q_skew_report(spark, sf_dir):
     return skew_report(df, "event_type", top=10)
 
 
-@query("containment_pairs", """
+@query("containment_counts", """
 WITH ts AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
   FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         (len(list_intersect(a.t, b.t)) = len(a.t)) AS a_in_b,
+         (len(list_intersect(a.t, b.t)) = len(b.t)) AS b_in_a
+  FROM ts a, ts b WHERE a.doc_id < b.doc_id
+), c AS (
+  SELECT id_a AS doc_id FROM pairs WHERE a_in_b
+  UNION ALL
+  SELECT id_b FROM pairs WHERE b_in_a
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(len(list_intersect(a.t, b.t)) * 1.0 / len(a.t), 6)
-         AS containment_a_in_b,
-       ROUND(len(list_intersect(a.t, b.t)) * 1.0 / len(b.t), 6)
-         AS containment_b_in_a
-FROM ts a, ts b
-WHERE a.doc_id < b.doc_id
-  AND GREATEST(
-        ROUND(len(list_intersect(a.t, b.t)) * 1.0 / len(a.t), 6),
-        ROUND(len(list_intersect(a.t, b.t)) * 1.0 / len(b.t), 6))
-      >= 0.95
+SELECT doc_id, COUNT(*) AS n_containers
+FROM c GROUP BY doc_id
 """)
-def q_containment_pairs(spark, sf_dir):
-    """Asymmetric containment near-dups: short-doc-inside-long-doc
-    detection that Jaccard misses."""
+def q_containment_counts(spark, sf_dir):
+    """Asymmetric containment near-dups: for each document, the number
+    of OTHER documents that fully contain its token set - the short-
+    doc-inside-long-doc signal Jaccard misses. The pair list itself is
+    quadratic in duplication density (2.2M pairs at sf0.1 on the
+    tiny-vocab corpus), so the driver-facing query aggregates it."""
     from .pipeline.dedup import containment_pairs
     df = _t(spark, sf_dir, "documents")
-    return containment_pairs(df, threshold=0.95)
+    pairs = containment_pairs(df, threshold=1.0)
+    # one evaluation of the pair join (a union of two filters would run
+    # the O(n^2) bitmask join twice): emit the contained id(s) of each
+    # pair as a 0-2 element array and explode
+    contained = pairs.select(F.explode(F.array(
+        F.when(F.col("containment_a_in_b") == 1.0, F.col("id_a")),
+        F.when(F.col("containment_b_in_a") == 1.0, F.col("id_b"))))
+        .alias("doc_id")).filter(F.col("doc_id").isNotNull())
+    return (contained.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_containers")))

@@ -159,3 +159,43 @@ def test_bloom_no_false_negatives_any_params(spark, keys, m_exp, k):
     bloom = bloom_build(df, "k", m_bits=m, k=k)
     probed = bloom_probe_col(df, "k", bloom, m, k)
     assert all(r["_maybe"] for r in probed.collect())
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=25))
+@settings(max_examples=12, deadline=None)
+def test_passage_dedup_conservation(spark, texts):
+    """Across the corpus: total kept passages == distinct passage
+    hashes; per doc 0 <= n_kept <= n_passages."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.dedup import passage_dedup
+    from handyspark_spark.pipeline.text import let_bound, tokens
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               ["doc_id", "text"])
+    out = passage_dedup(df, passage_tokens=3).collect()
+    assert all(0 <= r["n_kept"] <= r["n_passages"] for r in out)
+    k = 3
+
+    def body(tk):
+        n_pass = F.ceil(F.size(tk) / F.lit(float(k))).cast("int")
+        idx = F.sequence(F.lit(0), F.greatest(n_pass - 1, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tk, i * k + 1, k)))
+    distinct_passages = (df.select(F.explode(
+        let_bound(tokens("text"), body)).alias("p"))
+        .select(F.md5("p")).distinct().count())
+    assert sum(r["n_kept"] for r in out) == distinct_passages
+
+
+@given(st.lists(st.tuples(st.sampled_from(["d1", "d2", "d3"]),
+                          st.sampled_from(["a", "b", "c", "d"])),
+                min_size=4, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_drift_js_and_tv_bounds(spark, rows):
+    """JS in [0, ln 2], TV in [0, 1], for any slice/bucket data."""
+    import math
+    from handyspark_spark.pipeline.drift import drift_report
+    df = spark.createDataFrame(rows, ["day", "etype"])
+    for r in drift_report(df, "day", "etype").collect():
+        assert -1e-9 <= r["js_divergence"] <= math.log(2) + 1e-6
+        assert -1e-9 <= r["tv_distance"] <= 1.0 + 1e-9

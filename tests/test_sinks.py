@@ -287,3 +287,23 @@ def test_write_training_shards_split_dirs(spark, tables, tmp_path):
     assert "split=train" in dirs
     back = spark.read.parquet(path)
     assert back.count() == docs.count()
+
+
+def test_orc_roundtrip_and_pushdown(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+    from handyspark_spark.core.util import explain_str
+    from handyspark_spark.sources.writer import read_orc, write_orc
+    path = str(tmp_path / "orders_orc")
+    write_orc(tables["orders"], path)
+    back = read_orc(spark, path)
+    assert back.count() == tables["orders"].count()
+    a = sorted(map(tuple, tables["orders"]
+                   .select("o_orderkey", "o_totalprice").collect()))
+    b = sorted(map(tuple, back
+                   .select("o_orderkey", "o_totalprice").collect()))
+    assert a == b
+    plan = explain_str(back.select("o_orderkey")
+                       .filter(F.col("o_orderkey") < 100))
+    assert "PushedFilters" in plan and "LessThan(o_orderkey" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_totalprice" not in read_schema
