@@ -4060,3 +4060,25 @@ def q_containment_counts(spark, sf_dir):
         .alias("doc_id")).filter(F.col("doc_id").isNotNull())
     return (contained.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_containers")))
+
+
+@query("variant_props_stats", """
+SELECT event_type,
+       ROUND(AVG(json_extract(props, '$.k')::INT), 6) AS avg_k,
+       MAX(json_extract(props, '$.k')::INT) AS max_k,
+       COUNT(json_extract(props, '$.k')) AS n_with_k
+FROM events GROUP BY event_type
+""")
+def q_variant_props_stats(spark, sf_dir):
+    """Semi-structured props via Spark 4 VariantType: parse the JSON
+    column ONCE into a variant (binary columnar encoding - repeated
+    path extraction is ~an order cheaper than per-path
+    get_json_object re-parsing at scale) and aggregate typed gets."""
+    df = _t(spark, sf_dir, "events")
+    v = df.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"))
+    return (v.groupBy("event_type")
+            .agg(F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.max("k").alias("max_k"),
+                 F.count("k").alias("n_with_k")))
