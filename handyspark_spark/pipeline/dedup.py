@@ -209,18 +209,24 @@ def minhash_signature_arrays(df: DataFrame, text_col: str = "text",
     then sig[i] = min over tokens of (base XOR const_i). ZERO shuffles,
     independent of document length; this is the form every minhash
     consumer composes from."""
+    from .text import let_bound
     ts = _token_sets(df, text_col, id_col)
-    d = ts.withColumn("_th", F.transform(
-        F.col("_toks"), lambda t: _token_hash(t, hash_fn)))
+    th = F.transform(F.col("_toks"), lambda t: _token_hash(t, hash_fn))
 
-    def xored_min(c: int):
-        # NOTE: the lambda must stay single-parameter — F.transform
+    # let_bound the per-token hash array: a withColumn intermediate gets
+    # inlined back by ProjectCollapse, so every one of the num_hashes
+    # array_min branches would re-run md5+conv over every token —
+    # measured 3x the whole signature cost at sf1. As a lambda variable
+    # the hashes are computed ONCE per row.
+    def body(h):
+        # NOTE: inner lambdas must stay single-parameter — F.transform
         # treats a 2-arg lambda as (element, index)
-        return F.array_min(F.transform(
-            F.col("_th"), lambda h: h.bitwiseXOR(F.lit(c))))
+        return F.array(*[
+            F.array_min(F.transform(h, lambda x: x.bitwiseXOR(F.lit(c))))
+            for c in minhash_consts(num_hashes)])
 
-    sig = F.array(*[xored_min(c) for c in minhash_consts(num_hashes)])
-    return d.select(F.col("_id").alias(id_col), sig.alias("sig"))
+    sig = let_bound(th, body)
+    return ts.select(F.col("_id").alias(id_col), sig.alias("sig"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
