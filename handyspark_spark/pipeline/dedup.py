@@ -546,17 +546,21 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
         id_col, "simhash",
         F.posexplode(block_vals).alias("block", "block_val"))
     a, b = cand.alias("a"), cand.alias("b")
-    pairs = (a.join(b, (F.col("a.block") == F.col("b.block")) &
-                       (F.col("a.block_val") == F.col("b.block_val")) &
-                       (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-              .select(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"),
-                      F.col("a.simhash").alias("sh_a"),
-                      F.col("b.simhash").alias("sh_b"))
-              .distinct())
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
-                 .filter(F.col("hamming") <= max_hamming))
+    hamming = F.bit_count(F.col("a.simhash")
+                          .bitwiseXOR(F.col("b.simhash")))
+    # the Hamming verify runs INSIDE the join (before the dedup
+    # shuffle): random same-block collisions between unrelated docs are
+    # dropped per joined row instead of being shuffled into distinct —
+    # the distinct then dedups only true near-dup multiplicity (a pair
+    # can match in up to k+1 blocks)
+    return (a.join(b, (F.col("a.block") == F.col("b.block")) &
+                      (F.col("a.block_val") == F.col("b.block_val")) &
+                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) &
+                      (hamming <= max_hamming))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    hamming.alias("hamming"))
+            .distinct())
 
 
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
