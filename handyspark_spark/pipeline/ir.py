@@ -48,7 +48,10 @@ def tfidf(df: DataFrame, text_col: str = "text",
     Plan: tf table -> df-per-token derived from it (token-keyed shuffle,
     |vocab| rows) -> join back on token -> broadcast 1-row corpus count.
     Returns (id_col, tok, tf, df, tfidf)."""
-    tf = term_frequencies(df, text_col, id_col)
+    # persist: both the df-per-token branch and the output join consume
+    # the tf table — without the cache the corpus explode+groupBy runs
+    # twice (|distinct (doc, term)| rows; MEMORY_AND_DISK spills)
+    tf = term_frequencies(df, text_col, id_col).persist()
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = df.select(F.count(F.lit(1)).alias("_n"))
     return (tf.join(dfc, "tok")
@@ -79,9 +82,12 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
         F.size(tokens(text_col)).cast("double").alias("dl"),
         F.explode(F.filter(tokens(text_col),
                            lambda t: F.array_contains(qs, t))).alias("tok")))
+    # persist: the df branch and the scoring join both consume tf — the
+    # cache keeps the query-term scan+groupBy to one pass (tiny table:
+    # only docs containing a query term)
     tf = hits.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).cast("double").alias("tf"),
-        F.first("dl").alias("dl"))
+        F.first("dl").alias("dl")).persist()
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
     stats = df.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
