@@ -159,8 +159,12 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     in-vocabulary by construction so no smoothing is needed. Returns
     (id_col, n_tokens, avg_logprob)."""
     toks = tokens(text_col)
+    # persist: the totals agg and the scoring join both consume the
+    # |vocab|-row unigram table; uncached, each re-runs the corpus
+    # explode+groupBy
     uni = (df.select(F.explode(toks).alias("tok"))
-           .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+           .persist())
     tot = uni.agg(F.sum("n").cast("double").alias("_t"))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     lp = F.log(F.col("n") / F.col("_t"))
