@@ -12,12 +12,13 @@ from .quality import Check, constraint_report
 from .timeseries import resample, rolling_zscore, scd2_history
 from .events import cohort_retention, event_transitions, trailing_features
 from .rangejoin import range_join
-from .skew import salted_agg, salted_join
+from .skew import salted_agg, salted_join, skew_report
 from .stats import KolmogorovSmirnovTest, ks_test, tTest, ttest
 from .upsert import latest_by_key, upsert
 
 __all__ = ["asof_join", "trailing_features", "event_transitions", "cohort_retention", "range_join", "salted_agg", "salted_join", "ttest", "tTest",
            "ks_test", "KolmogorovSmirnovTest", "latest_by_key", "upsert",
+           "skew_report",
            "partial_aggregate", "merge_states", "finalize_state",
            "resample", "rolling_zscore", "scd2_history", "Check", "constraint_report",
            "bloom_build", "bloom_probe_col", "bloom_filter_maybe",

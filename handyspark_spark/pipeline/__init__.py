@@ -1,5 +1,6 @@
 """Training-data pipeline operators (beyond-reference surface)."""
-from .dedup import (connected_components, decontaminate,
+from .dedup import (connected_components, containment_pairs,
+                    decontaminate,
                     lsh_bucket_state, lsh_incremental_matches,
                     decontaminate_bloom, dedup_keep_best,
                     minhash_lsh_components, minhash_lsh_star_edges,
@@ -53,6 +54,7 @@ __all__ = [
     "semdedup_drops", "gopher_rules", "let_bound",
     "deterministic_shuffle", "dsir_weights", "temperature_mix_rates",
     "drift_report", "drift_report_from_hist", "slice_histograms",
+    "containment_pairs",
 ]
 
 
