@@ -23,12 +23,15 @@ _GRID = 1_000_000_000  # 1e-9 term snap; report rounded to 1e-6
 
 
 def _snap_sum6(term: Column) -> Column:
-    """Exact-sum a non-negative double expression to 6 decimals: snap
-    each term to the nano-grid, sum as integers, then round to micros
-    IN INTEGER ARITHMETIC ((k + 500) div 1000) — no double ever holds
-    an intermediate, so the result is identical under any add order and
-    on any engine (a double ROUND of k/1e9 flips at exact half-micro
-    boundaries, which integer grids hit constantly)."""
+    """Exact-sum a double expression to 6 decimals: snap each term to
+    the nano-grid, sum as integers, then round to micros IN INTEGER
+    ARITHMETIC ((k + 500) div 1000) — no double ever holds an
+    intermediate, so the result is identical under any add order and on
+    any engine (a double ROUND of k/1e9 flips at exact half-micro
+    boundaries, which integer grids hit constantly). Individual terms
+    may be negative (a KL term with p < m); only the TOTAL must be
+    > -500 nano for the trunc-vs-floor division difference to stay
+    unreachable — JS and TV totals are >= 0 by construction."""
     k = F.sum(F.floor(term * _GRID + F.lit(0.5)).cast("bigint"))
     return ((k + 500) / 1000).cast("bigint") / F.lit(1e6)
 
