@@ -37,8 +37,10 @@ def resample(df: DataFrame, ts_col: str, key_col: str,
     the same keyed exchange, ``last_value IGNORE NULLS``).
 
     Plan: bucket each event (map-only), aggregate per (entity, bucket) —
-    ONE shuffle; per-entity bucket spans (2-row agg) explode into the
-    full grid map-side after a second small shuffle; grid left-joins the
+    ONE corpus shuffle; per-entity bucket spans come from a second agg
+    over the (entity, bucket) table (persisted — |grid-cells| rows, far
+    smaller than the corpus), so the events scan runs ONCE; the span
+    2-row agg explodes into the full grid map-side; grid left-joins the
     aggregated buckets on the co-partitioned key. At 100 TB the event
     aggregation dominates and is map-side combinable."""
     iv = int(interval_seconds)
@@ -46,13 +48,17 @@ def resample(df: DataFrame, ts_col: str, key_col: str,
     bucket = (ep / F.lit(iv * 1_000_000)).cast("long")
     aggfn = {"sum": F.sum, "count": F.count, "avg": F.avg,
              "min": F.min, "max": F.max}[agg]
+    # persist: the span branch and the grid join both consume the
+    # per-bucket table — without the cache the corpus scan+groupBy runs
+    # twice (the table itself is only |occupied grid cells| rows)
     per_bucket = (df
                   .select(F.col(key_col).alias("_k"),
                           bucket.alias("_b"),
                           F.col(value_col).alias("_v"))
                   .groupBy("_k", "_b")
-                  .agg(F.round(aggfn("_v"), 6).alias("_val")))
-    spans = (df.select(F.col(key_col).alias("_k"), bucket.alias("_b"))
+                  .agg(F.round(aggfn("_v"), 6).alias("_val"))
+                  .persist())
+    spans = (per_bucket
              .groupBy("_k")
              .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi")))
     grid = spans.select(
