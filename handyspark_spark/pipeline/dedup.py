@@ -546,21 +546,29 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
         id_col, "simhash",
         F.posexplode(block_vals).alias("block", "block_val"))
     a, b = cand.alias("a"), cand.alias("b")
-    hamming = F.bit_count(F.col("a.simhash")
-                          .bitwiseXOR(F.col("b.simhash")))
-    # the Hamming verify runs INSIDE the join (before the dedup
-    # shuffle): random same-block collisions between unrelated docs are
-    # dropped per joined row instead of being shuffled into distinct —
-    # the distinct then dedups only true near-dup multiplicity (a pair
-    # can match in up to k+1 blocks)
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    # a pair can agree on up to k+1 blocks; emit it ONLY from its FIRST
+    # agreeing block so each pair leaves the join exactly once — a
+    # per-joined-row integer predicate instead of a distinct that would
+    # shuffle every multiplicity. Block j agrees iff block j of the XOR
+    # is all-zero, so "first" = lowest zero block of xor — a WHEN chain
+    # of shift/mask tests, pure codegen, no allocation. The Hamming
+    # verify also runs INSIDE the join: random same-block collisions
+    # between unrelated docs die per joined row, never shuffled.
+    mask = F.lit((1 << width) - 1)
+    first_block = F.coalesce(*[
+        F.when(F.shiftrightunsigned(xor, j * width)
+                .bitwiseAND(mask) == 0, F.lit(j))
+        for j in range(n_blocks)], F.lit(-1))
     return (a.join(b, (F.col("a.block") == F.col("b.block")) &
                       (F.col("a.block_val") == F.col("b.block_val")) &
                       (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) &
-                      (hamming <= max_hamming))
+                      (hamming <= max_hamming) &
+                      (F.col("a.block") == first_block))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    hamming.alias("hamming"))
-            .distinct())
+                    hamming.alias("hamming")))
 
 
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
