@@ -71,11 +71,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
       bit_count(a&b)/bit_count(a|b) over a broadcast self-join — integer
       bit ops, no exploded shuffle. The win on stop-word-dense corpora
       where every token appears in most documents.
+    - ``prefix`` (high thresholds): prefix-filtered all-pairs (Bayardo
+      et al., WWW'07): tokens globally ordered rarest-first; a pair with
+      Jaccard >= t must share a token among each side's FIRST
+      ``|A| - floor(t*|A|) + 1`` ordered tokens (at t=0.95 that is ~5%
+      of the doc, and by construction its RAREST tokens), so the
+      candidate join runs on a small, low-df sliver of the inverted
+      index; candidates are then verified exactly via array_intersect.
     - ``inverted`` (general): explode distinct tokens -> join on token ->
       |intersection| per pair -> |union| = |A|+|B|-|inter|.
       ``max_token_df`` drops tokens appearing in more than that many docs
       (stop-token blowup guard — at 100 TB you ALWAYS set this, or LSH
       first and use this only to verify candidates).
+
+    ``auto`` picks bitmask under tiny vocabularies, else ``prefix`` for
+    threshold >= 0.5 (where the prefix sliver is short enough to pay
+    off) and ``inverted`` below.
 
     The bitmask path is an O(n²) broadcast self-join — a verification
     tool, not a scale path. ``max_bitmask_rows`` (default 100k) is an
@@ -86,9 +97,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ts = _token_sets(df, text_col, id_col)
     if strategy == "auto":
         # bitmask changes semantics under max_token_df (it never prunes
-        # high-DF tokens) — only the inverted path honors that knob
+        # high-DF tokens) — only the prefix/inverted paths honor that
+        # knob (intersections over kept tokens, sizes over full sets)
         if max_token_df is not None:
-            strategy = "inverted"
+            strategy = "prefix" if threshold >= 0.5 else "inverted"
         else:
             stats = (ts.select("_id", F.explode("_toks").alias("t"))
                      .agg(F.approx_count_distinct("t").alias("n"),
@@ -97,6 +109,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             too_big = (max_bitmask_rows is not None
                        and stats["docs"] > max_bitmask_rows)
             strategy = ("bitmask" if stats["n"] <= 58 and not too_big
+                        else "prefix" if threshold >= 0.5
                         else "inverted")
             if strategy == "bitmask":
                 try:
@@ -115,6 +128,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     f"strategy='inverted' (with max_token_df) or LSH, "
                     f"or pass max_bitmask_rows=None to force")
         return _jaccard_bitmask(ts, id_col, threshold)
+    if strategy == "prefix":
+        return _jaccard_prefix(ts, threshold, max_token_df)
     sizes = ts.select("_id", F.size("_toks").alias("_n"))
     inv = ts.select("_id", F.explode("_toks").alias("_tok"))
     if max_token_df is not None:
@@ -137,6 +152,63 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (out.select("id_a", "id_b", jac.alias("jaccard"))
                .filter(F.col("jaccard") >= threshold))
+
+
+def _jaccard_prefix(ts: DataFrame, threshold: float,
+                    max_token_df: int | None) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (Bayardo/Ma/Srikant WWW'07).
+
+    Any pair with Jaccard >= t has |A∩B| >= t·|A| (and >= t·|B|), so if
+    each doc's tokens are sorted by a GLOBAL order and only its first
+    |A| - floor(t·|A|) + 1 tokens are indexed, the minimal shared token
+    of every qualifying pair lands in BOTH prefixes — the candidate
+    join touches only that sliver. Ordering by ascending document
+    frequency makes prefix tokens the RAREST ones, so candidate buckets
+    stay small exactly where the naive token join explodes (stop
+    words). floor instead of the tight ceil absorbs float jitter in
+    t·|A| — a one-token-longer prefix can only ADD candidates, never
+    lose a pair. Candidates (deduped) are verified exactly with
+    array_intersect over the sorted kept-token arrays.
+
+    With ``max_token_df``: over-df tokens leave the index AND the
+    intersection (same contract as the inverted path — sizes stay
+    full-set, so scores only ever shrink)."""
+    sizes = ts.select("_id", F.size("_toks").alias("_n"))
+    inv = ts.select("_id", F.explode("_toks").alias("_tok"))
+    dfc = inv.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    if max_token_df is not None:
+        dfc = dfc.filter(F.col("_df") <= max_token_df)
+    # per-doc kept tokens, globally ordered (df asc, token asc): the
+    # struct sort gives every executor the same total order with no
+    # global rank window
+    docs = (inv.join(dfc, "_tok")
+            .groupBy("_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok")))
+                 .alias("_st"))
+            .join(sizes, "_id")
+            .select("_id", "_n",
+                    F.transform("_st", lambda s: s["_tok"]).alias("_kt")))
+    p = F.greatest(
+        F.size("_kt") - F.floor(F.lit(threshold) * F.col("_n"))
+        .cast("int") + F.lit(1), F.lit(0))
+    pref = docs.select("_id", F.explode(F.slice("_kt", 1, p))
+                       .alias("_tok"))
+    cand = (pref.alias("pa")
+            .join(pref.alias("pb"),
+                  (F.col("pa._tok") == F.col("pb._tok")) &
+                  (F.col("pa._id") < F.col("pb._id")))
+            .select(F.col("pa._id").alias("id_a"),
+                    F.col("pb._id").alias("id_b"))
+            .distinct())
+    a = docs.select(F.col("_id").alias("id_a"), F.col("_kt").alias("_ka"),
+                    F.col("_n").alias("_na"))
+    b = docs.select(F.col("_id").alias("id_b"), F.col("_kt").alias("_kb"),
+                    F.col("_n").alias("_nb"))
+    inter = F.size(F.array_intersect("_ka", "_kb"))
+    jac = inter / (F.col("_na") + F.col("_nb") - inter)
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 def _jaccard_bitmask(ts: DataFrame, id_col: str,

@@ -49,6 +49,25 @@ def test_minhash_lsh_recall(docs):
     assert recall >= 0.9, f"LSH recall {recall:.2f} too low"
 
 
+def test_jaccard_prefix_equals_inverted(docs):
+    """The prefix-filtered strategy (Bayardo WWW'07) must return the
+    EXACT pair set + scores of the naive inverted-index join, with and
+    without the max_token_df guard."""
+    from handyspark_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    def pairs(**kw):
+        return {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                ngram_jaccard_pairs(docs, **kw).collect()}
+
+    for kw in ({"threshold": 0.9}, {"threshold": 0.6},
+               {"threshold": 0.6, "max_token_df": 80}):
+        a = pairs(strategy="prefix", **kw)
+        b = pairs(strategy="inverted", **kw)
+        assert a == b, f"prefix != inverted under {kw}"
+    assert pairs(strategy="prefix", threshold=0.9), \
+        "fixture should contain near-dup pairs"
+
+
 def test_simhash_separates_similar_from_dissimilar(docs):
     from handyspark_spark.pipeline.dedup import (ngram_jaccard_pairs,
                                                  simhash_fingerprints)
