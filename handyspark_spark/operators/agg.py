@@ -207,34 +207,17 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         # RE-RANKS within each pairwise-complete subset — re-ranking per
         # pair is O(pairs) extra passes and is not done here (documented
         # deviation; identical results on null-free or aligned-null data).
-        from pyspark.sql import Window
-        if strata:
-            for c in colnames:
-                # ranks over NON-NULL values only; NULL values keep a
-                # NULL rank and F.corr then skips them PAIRWISE — the
-                # pandas/scipy convention (listwise-dropping would remove
-                # the row from every other column's correlation too).
-                # Keyed window — already partitioned, no scale issue
-                w = (Window.partitionBy(*strata).orderBy(c)
-                     .rowsBetween(Window.unboundedPreceding, -1))
-                counts = (df.filter(F.col(c).isNotNull())
-                          .groupBy(*(strata + [c]))
-                          .agg(F.count(F.lit(1)).alias("_cnt")))
-                ranks = (counts.withColumn(
-                    "_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
-                    .select(
-                        *(strata + [c]),
-                        (F.col("_before") + (F.col("_cnt") + 1) / 2.0)
-                        .alias(f"_rk_{c}")))
-                df = df.join(ranks, on=strata + [c], how="left")
-        else:
-            # unkeyed: rank ALL columns in one melted pass — exchange
-            # count constant in M (one bucket-window exchange + one
-            # pivot-back), where the old per-column ranged_avg_rank loop
-            # paid one full-table exchange PER column over a frame that
-            # grew a rank column each iteration
-            from .rank import melted_avg_ranks
-            df = melted_avg_ranks(df, list(colnames))
+        # ranks over NON-NULL values only; NULL values keep a NULL rank
+        # and F.corr then skips them PAIRWISE — the pandas/scipy
+        # convention (listwise-dropping would remove the row from every
+        # other column's correlation too).
+        # ALL columns rank in one melted pass — exchange count constant
+        # in M both unkeyed and stratified (strata keys join every
+        # window/agg key), where the old loops paid one full-table
+        # exchange (unkeyed) or one distinct-agg + join-back (keyed)
+        # PER column
+        from .rank import melted_avg_ranks
+        df = melted_avg_ranks(df, list(colnames), strata=strata)
         src = {c: f"_rk_{c}" for c in colnames}
     else:
         src = {c: c for c in colnames}

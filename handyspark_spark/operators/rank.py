@@ -230,7 +230,8 @@ def ranged_avg_rank(df: DataFrame, col: str, name: str,
 def melted_avg_ranks(df: DataFrame, cols: list[str],
                      bounds: dict[str, list[float]] | None = None,
                      num_partitions: int | None = None,
-                     prefix: str = "_rk_") -> DataFrame:
+                     prefix: str = "_rk_",
+                     strata: list[str] | None = None) -> DataFrame:
     """Fractional (average) ranks of SEVERAL numeric columns in ONE wide
     exchange — the M-column form of ``ranged_avg_rank``, which pays one
     full-table bucket exchange PER column (an M-column spearman matrix =
@@ -254,7 +255,18 @@ def melted_avg_ranks(df: DataFrame, cols: list[str],
     input value was NULL (pairwise-skip convention, matching
     ``ranged_avg_rank``). Rows with every ranked value NULL are absent
     (they contribute nothing to rank positions or correlations).
+
+    ``strata``: rank WITHIN each stratum — every window/aggregation key
+    gains the strata columns (so the exchange count stays constant in M
+    with strata too, vs the old per-column distinct-agg + join-back
+    loop: M joins for an M-column stratified spearman). Bucket
+    boundaries stay GLOBAL per column — buckets are a parallelism
+    device, not a semantic one; correctness comes from the
+    (strata, col, bucket) window keys plus per-(strata, col) prefix
+    offsets, and a stratum concentrated in few buckets just uses fewer
+    tasks. Output gains the strata columns (constant per row id).
     """
+    strata = list(strata or [])
     n = _num_partitions(df, num_partitions)
     if bounds is None:
         probs = [i / n for i in range(1, n)]
@@ -270,8 +282,10 @@ def melted_avg_ranks(df: DataFrame, cols: list[str],
     # the same select as posexplode it runs once per EMITTED row, giving
     # every melted value its own id and breaking the pivot-back
     melted = (df.select(F.monotonically_increasing_id().alias("_rid"),
+                        *[F.col(s) for s in strata],
                         vals.alias("_vals"))
-              .select("_rid", F.posexplode("_vals").alias("_cid", "_v"))
+              .select("_rid", *strata,
+                      F.posexplode("_vals").alias("_cid", "_v"))
               .filter(F.col("_v").isNotNull()))
     arr = F.element_at(blit, F.col("_cid") + 1)
     # NaN sorts greater than every number in Spark, so b < NaN is true
@@ -279,7 +293,7 @@ def melted_avg_ranks(df: DataFrame, cols: list[str],
     # everything, matching the single-column path
     melted = melted.withColumn(
         _BKT, F.size(F.filter(arr, lambda b: b < F.col("_v"))))
-    w_rank = Window.partitionBy("_cid", _BKT).orderBy("_v")
+    w_rank = Window.partitionBy(*strata, "_cid", _BKT).orderBy("_v")
     w_ties = w_rank.rangeBetween(Window.currentRow, Window.currentRow)
     local = (melted.withColumn("_lrk", F.rank().over(w_rank))
              .withColumn("_ties", F.count(F.lit(1)).over(w_ties)))
@@ -288,20 +302,22 @@ def melted_avg_ranks(df: DataFrame, cols: list[str],
     # branch adds no exchange of its own and no second source scan —
     # Catalyst prunes the unused rank/tie window exprs and reuses the
     # exchange between the main branch and this broadcast branch
-    counts = local.groupBy("_cid", _BKT).agg(
+    counts = local.groupBy(*strata, "_cid", _BKT).agg(
         F.count(F.lit(1)).alias("_cnt"))
     # prefix offsets across each column's buckets: <= M x num_partitions
     # rows, keyed by column — bounded by parallelism, not data size
-    w_off = (Window.partitionBy("_cid").orderBy(_BKT)
+    w_off = (Window.partitionBy(*strata, "_cid").orderBy(_BKT)
              .rowsBetween(Window.unboundedPreceding, -1))
     off = counts.select(
-        "_cid", _BKT,
+        *strata, "_cid", _BKT,
         F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"))
-    ranked = (local.join(F.broadcast(off), on=["_cid", _BKT], how="left")
+    ranked = (local.join(F.broadcast(off),
+                         on=strata + ["_cid", _BKT], how="left")
               .withColumn("_r", F.col("_off") + F.col("_lrk")
                           + (F.col("_ties") - 1) / 2.0))
-    aggs = [F.max(F.when(F.col("_cid") == i, F.col("_r")))
-            .alias(f"{prefix}{c}") for i, c in enumerate(cols)]
+    aggs = ([F.first(s).alias(s) for s in strata]
+            + [F.max(F.when(F.col("_cid") == i, F.col("_r")))
+               .alias(f"{prefix}{c}") for i, c in enumerate(cols)])
     return ranked.groupBy("_rid").agg(*aggs)
 
 

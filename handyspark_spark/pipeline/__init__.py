@@ -84,16 +84,22 @@ def pretrain_funnel(df, text_col="text", id_col="doc_id",
     gated = df.filter(rules["pass"])
 
     from pyspark.sql import Window
+
+    from ..core.cache import managed_persist
     w = Window.partitionBy(F.md5(F.col(text_col)))
-    exact = (gated.withColumn("_first", F.min(id_col).over(w))
-             .filter(F.col("_first") == F.col(id_col)).drop("_first"))
+    # persist the shared lineage: the exact-dedup window feeds the LSH
+    # stage AND three downstream stage counts; uncached, the quality
+    # gate + window re-execute per count (and the LSH signatures twice)
+    exact = managed_persist(
+        gated.withColumn("_first", F.min(id_col).over(w))
+        .filter(F.col("_first") == F.col(id_col)).drop("_first"))
 
     groups = minhash_lsh_groups(exact, text_col=text_col, id_col=id_col,
                                 num_hashes=num_hashes, bands=bands)
     keep = (groups.groupBy("cluster_id")
             .agg(F.min(id_col).alias(id_col))
             .select(id_col))
-    neardup = exact.join(keep, id_col, "left_semi")
+    neardup = managed_persist(exact.join(keep, id_col, "left_semi"))
 
     if bench is None:
         bench = df.filter(F.col(id_col) % 37 == 0)

@@ -94,6 +94,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     and an explicit ``strategy="bitmask"`` raises ValueError rather than
     silently going quadratic. Pass ``max_bitmask_rows=None`` to opt out.
     """
+    if strategy not in ("auto", "bitmask", "prefix", "inverted"):
+        raise ValueError(f"unknown strategy {strategy!r}; expected "
+                         f"'auto', 'bitmask', 'prefix' or 'inverted'")
     ts = _token_sets(df, text_col, id_col)
     if strategy == "auto":
         # bitmask changes semantics under max_token_df (it never prunes
@@ -607,7 +610,8 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     # without it the self-join re-runs the expensive SimHash Arrow UDF
     # once per side; the context cleaner reclaims the cache when the
     # result plan is garbage-collected
-    fps = simhash_fingerprints(df, text_col, id_col).persist()
+    from ..core.cache import managed_persist
+    fps = managed_persist(simhash_fingerprints(df, text_col, id_col))
     # one posexplode over an array of block slices — the simhash UDF is
     # evaluated ONCE per row (a union of per-block selects would re-run
     # the Arrow UDF in every branch: (k+1)x the python cost)
@@ -1099,7 +1103,22 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     and containment is bit_count(a&b)/bit_count(a) over a broadcast
     self-join, guarded by ``max_bitmask_rows`` exactly like Jaccard.
     """
+    if strategy not in ("auto", "bitmask", "inverted"):
+        raise ValueError(f"unknown strategy {strategy!r}; expected "
+                         f"'auto', 'bitmask' or 'inverted'")
     ts = _token_sets(df, text_col, id_col)
+    if strategy == "bitmask":
+        # honor the explicit request, with the same O(n²) row-cap guard
+        # as ngram_jaccard_pairs (loud failure beats silent quadratic)
+        if max_bitmask_rows is not None:
+            n = ts.limit(max_bitmask_rows + 1).count()
+            if n > max_bitmask_rows:
+                raise ValueError(
+                    f"bitmask strategy is O(n²) and the corpus exceeds "
+                    f"max_bitmask_rows={max_bitmask_rows}; use "
+                    f"strategy='inverted' (with max_token_df), or pass "
+                    f"max_bitmask_rows=None to force")
+        return _containment_bitmask(ts, threshold)
     if strategy == "auto" and max_token_df is None:
         stats = (ts.select("_id", F.explode("_toks").alias("t"))
                  .agg(F.approx_count_distinct("t").alias("n"),

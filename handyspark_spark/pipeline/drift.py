@@ -33,7 +33,15 @@ def _snap_sum6(term: Column) -> Column:
     > -500 nano for the trunc-vs-floor division difference to stay
     unreachable — JS and TV totals are >= 0 by construction."""
     k = F.sum(F.floor(term * _GRID + F.lit(0.5)).cast("bigint"))
-    return ((k + 500) / 1000).cast("bigint") / F.lit(1e6)
+    # TRUE integer division: (k + 500) div 1000 via exact DECIMAL
+    # arithmetic — a double `/` then bigint cast only coincides with
+    # integer div while |k| < ~9e12, silently breaking the bit-exact
+    # contract for larger sums. floor == trunc here because the contract
+    # guarantees the total > -500 nano, i.e. the numerator is >= 0 —
+    # matching the DuckDB `(k + 500) // 1000` oracle at any magnitude.
+    micros = F.floor((k + F.lit(500)).cast("decimal(38,0)")
+                     / F.lit(1000)).cast("bigint")
+    return micros / F.lit(1e6)
 
 
 def slice_histograms(df: DataFrame, slice_col, bucket_col,
@@ -52,7 +60,9 @@ def slice_histograms(df: DataFrame, slice_col, bucket_col,
     # cleaner reclaims the cache when the plan is garbage-collected.
     hist = (df.select(s.alias(slice_name), b.alias(bucket_name))
             .groupBy(slice_name, bucket_name)
-            .agg(F.count(F.lit(1)).alias("cnt"))).persist()
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    from ..core.cache import managed_persist
+    hist = managed_persist(hist)
     totals = hist.groupBy(slice_name).agg(F.sum("cnt").alias("_tot"))
     return (hist.join(F.broadcast(totals), slice_name)
             .select(slice_name, bucket_name, "cnt",
@@ -91,7 +101,8 @@ def drift_report_from_hist(h: DataFrame) -> DataFrame:
                      (F.col("cnt").cast("double") / F.col("_tot"))
                      .alias("p")))
     # tiny frame, four downstream references (a, b, adjacency, totals)
-    h = h.persist()
+    from ..core.cache import managed_persist
+    h = managed_persist(h)
     # adjacency: slice -> next slice, via a tiny distinct + lead window
     from pyspark.sql import Window
     slices = h.select("slice").distinct()

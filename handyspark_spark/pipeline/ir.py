@@ -51,7 +51,8 @@ def tfidf(df: DataFrame, text_col: str = "text",
     # persist: both the df-per-token branch and the output join consume
     # the tf table — without the cache the corpus explode+groupBy runs
     # twice (|distinct (doc, term)| rows; MEMORY_AND_DISK spills)
-    tf = term_frequencies(df, text_col, id_col).persist()
+    from ..core.cache import managed_persist
+    tf = managed_persist(term_frequencies(df, text_col, id_col))
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = df.select(F.count(F.lit(1)).alias("_n"))
     return (tf.join(dfc, "tok")
@@ -87,7 +88,9 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
     # only docs containing a query term)
     tf = hits.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).cast("double").alias("tf"),
-        F.first("dl").alias("dl")).persist()
+        F.first("dl").alias("dl"))
+    from ..core.cache import managed_persist
+    tf = managed_persist(tf)
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
     stats = df.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
@@ -163,8 +166,9 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     # |vocab|-row unigram table; uncached, each re-runs the corpus
     # explode+groupBy
     uni = (df.select(F.explode(toks).alias("tok"))
-           .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-           .persist())
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    from ..core.cache import managed_persist
+    uni = managed_persist(uni)
     tot = uni.agg(F.sum("n").cast("double").alias("_t"))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     lp = F.log(F.col("n") / F.col("_t"))

@@ -268,6 +268,14 @@ def dsir_weights(df: DataFrame, target: DataFrame,
     ratio = (p.join(q, "_b", "full")
              .select("_b", F.floor(lr * 1e6 + F.lit(0.5))
                      .cast("bigint").alias("_lr_u")))
+    # the ratio table is <= ``buckets`` (8k) rows: materialize it as a
+    # local frame so p/q can be UNPERSISTED here instead of squatting in
+    # the cache for the session (the returned plan no longer references
+    # them), and the broadcast ships a literal relation, not a plan
+    ratio = df.sparkSession.createDataFrame(ratio.collect(),
+                                            schema=ratio.schema)
+    p.unpersist()
+    q.unpersist()
     feats = bucketed(df, text_col, keep_id=True)
     return (feats.join(F.broadcast(ratio), "_b", "left")
             .groupBy(id_col)

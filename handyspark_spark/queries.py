@@ -1515,6 +1515,32 @@ def q_minhash_lsh_groups(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return minhash_lsh_groups(df, num_hashes=16, bands=2)
 
+
+@query("lsh_star_edges_recovered", f"""
+WITH {_LSH_BANDED_SQL},
+bm AS (
+  SELECT doc_id, band, bv,
+         MIN(doc_id) OVER (PARTITION BY band, bv) AS bucket_min
+  FROM banded
+)
+SELECT DISTINCT bucket_min AS id_a, doc_id AS id_b
+FROM bm WHERE doc_id <> bucket_min
+""")
+def q_lsh_star_edges_recovered(spark, sf_dir):
+    """Hot-bucket recovery under oracle: star edges with an aggressive
+    cap (max_bucket_size=8 — at this SF many duplicate-clique buckets
+    exceed it) PLUS ``recover_hot_buckets=True``. Capped edges union
+    the join-wise hot-bucket star enumeration == the UNCAPPED star-edge
+    set, which the SQL oracle computes directly (per-bucket
+    (min, member) over every bucket, no cap). This is the 100 TB-
+    realistic configuration — bounded task memory with full closure —
+    value-checked end-to-end, not only equivalence-tested in pytest."""
+    from .pipeline.dedup import minhash_lsh_star_edges
+    df = _t(spark, sf_dir, "documents")
+    return minhash_lsh_star_edges(df, num_hashes=16, bands=2,
+                                  max_bucket_size=8,
+                                  recover_hot_buckets=True)
+
 @query("running_user_stats", """
 SELECT user_id,
        COUNT(*) AS n_events,

@@ -67,11 +67,81 @@ def _read_state(spark, state_path: str) -> DataFrame | None:
     shutil swap in the writers) so only a genuinely missing path means
     "first batch" — corrupt state after a crash mid-swap or a
     permission/FS error propagates instead of silently resetting the
-    accumulated state."""
+    accumulated state.
+
+    Interrupted-swap recovery: ``_commit_state`` renames the live state
+    ASIDE (``state._prev``) before moving the new table into place. If a
+    crash lands between those two renames, ``state_path`` is missing but
+    the aside survives — that is NOT "first batch": the pre-batch state
+    is restored here and the streaming checkpoint replays the in-flight
+    batch against it. A missing path with no aside is the only case that
+    returns None."""
     import os
     if not os.path.exists(state_path):
-        return None
+        aside = state_path.rstrip("/") + "._prev"
+        if os.path.exists(aside):
+            os.rename(aside, state_path)
+        else:
+            return None
     return spark.read.parquet(state_path)
+
+
+def _last_batch_id(state_path: str) -> int | None:
+    """The batch id recorded by the last successful ``_commit_state``,
+    or None for a never-initialized state. The marker travels INSIDE the
+    state directory (written into the staging dir before the swap), so
+    it is exactly as durable as the data it describes; Spark's parquet
+    reader ignores underscore-prefixed files, so the state table reads
+    clean."""
+    import os
+    p = os.path.join(state_path, "_last_batch")
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(f.read().strip())
+    return None
+
+
+def _replayed(state_path: str, batch_id: int) -> bool:
+    """True when ``batch_id`` was already folded into the state — a
+    foreachBatch replay after a crash. Skipping it makes the
+    at-least-once delivery EXACTLY-ONCE at the state-table level:
+    Structured Streaming replays a batch with the SAME id and the same
+    data, so id-equality is a complete dedup key."""
+    last = _last_batch_id(state_path)
+    return last is not None and batch_id <= last
+
+
+def _commit_state(merged: DataFrame, state_path: str,
+                  batch_id: int) -> None:
+    """Crash-safe two-phase commit of a state table.
+
+    1. Write ``merged`` to a staging dir next to the state (parquet
+       can't read+overwrite the same path in one job).
+    2. Stamp the batch id INTO the staging dir (``_last_batch`` —
+       hidden from parquet readers) so data and marker swap atomically
+       together.
+    3. Rename the live state ASIDE (``state._prev``) — never delete it
+       before its replacement is in place.
+    4. Move staging into place; only then drop the aside.
+
+    A crash at any point leaves either the old state (steps 1-3, with
+    ``_read_state`` restoring the aside if needed) or the new state
+    (after step 4) — never nothing, never a half-written table. The
+    renames are driver-local ``os.rename``/``shutil.move``, so
+    ``state_path`` must live on a POSIX-visible filesystem (local disk,
+    NFS); for object stores substitute the store's atomic-rename."""
+    import os
+    import shutil
+    tmp = state_path.rstrip("/") + "._next"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_last_batch"), "w") as f:
+        f.write(str(batch_id))
+    aside = state_path.rstrip("/") + "._prev"
+    shutil.rmtree(aside, ignore_errors=True)
+    if os.path.exists(state_path):
+        os.rename(state_path, aside)
+    shutil.move(tmp, state_path)
+    shutil.rmtree(aside, ignore_errors=True)
 
 
 def maintain_state_table(stream: DataFrame, state_path: str,
@@ -90,11 +160,17 @@ def maintain_state_table(stream: DataFrame, state_path: str,
     alternative (``applyInPandasWithState``) keeps state hostage to the
     query's checkpoint.
 
-    Restart semantics: foreachBatch gives at-least-once delivery, and
-    this merge is NOT idempotent by itself — a replayed batch would
-    double-count. The checkpoint makes replays rare (only the batch
-    in-flight at a crash); exactly-once needs a transactional table
-    format recording the batch id, out of scope for plain parquet.
+    Restart semantics: foreachBatch gives at-least-once delivery, but
+    the commit records the batch id inside the state directory and a
+    replayed batch (same id, same data — the Structured Streaming
+    replay contract) is SKIPPED, making the state-table update
+    EXACTLY-ONCE. Crash mid-commit is covered too: the previous state
+    is renamed aside, never deleted, until its replacement is fully in
+    place (see ``_commit_state`` / ``_read_state``). Corollary: the
+    state table is bound to ONE checkpoint lineage — batch ids restart
+    at 0 under a fresh checkpoint, so pointing a brand-new query at an
+    existing state table skips its early batches; clear (or re-path)
+    the state when you reset the checkpoint.
 
     State-path limitation: the two-phase swap below uses driver-local
     ``shutil`` (rmtree + move), so ``state_path`` must live on a
@@ -105,17 +181,13 @@ def maintain_state_table(stream: DataFrame, state_path: str,
     from ..operators.incremental import merge_states, partial_aggregate
 
     def _fold(batch: DataFrame, batch_id: int):
+        if _replayed(state_path, batch_id):
+            return                       # crash replay: already folded
         spark = batch.sparkSession
         part = partial_aggregate(batch, keys, value_col)
         prev = _read_state(spark, state_path)
         merged = merge_states(prev, part, keys) if prev is not None else part
-        # two-phase write: parquet can't read+overwrite the same path in
-        # one job; land the merge next to the state, then swap
-        tmp = state_path.rstrip("/") + "._next"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-        shutil.rmtree(state_path, ignore_errors=True)
-        shutil.move(tmp, state_path)
+        _commit_state(merged, state_path, batch_id)
 
     w = (stream.writeStream.foreachBatch(_fold)
          .option("checkpointLocation", checkpoint_path))
@@ -132,22 +204,20 @@ def maintain_cms_sketch(stream: DataFrame, col: str, state_path: str,
     (bounded: depth x width cells built from |batch| rows) merges
     additively into the persisted cell table — the incremental
     frequency-stats pattern for data that is gone after ingestion.
-    Same two-phase swap, driver-local-FS, and at-least-once caveats as
-    ``maintain_state_table``. A real read failure on existing state
+    Same two-phase commit, driver-local-FS caveat, and exactly-once
+    batch-id dedup as ``maintain_state_table``. A real read failure on existing state
     propagates (it is NOT treated as "first batch" — that would silently
     reset counts and break the CMS never-underestimates guarantee)."""
     from ..operators.sketch import cms_build, cms_merge
 
     def _fold(batch: DataFrame, batch_id: int):
+        if _replayed(state_path, batch_id):
+            return                       # crash replay: already folded
         spark = batch.sparkSession
         part = cms_build(batch, col, width, depth)
         prev = _read_state(spark, state_path)
         merged = cms_merge(prev, part) if prev is not None else part
-        tmp = state_path.rstrip("/") + "._next"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-        shutil.rmtree(state_path, ignore_errors=True)
-        shutil.move(tmp, state_path)
+        _commit_state(merged, state_path, batch_id)
 
     w = (stream.writeStream.foreachBatch(_fold)
          .option("checkpointLocation", checkpoint_path))
@@ -168,12 +238,14 @@ def maintain_drift_monitor(stream: DataFrame, slice_col: str,
     simple grouped-sum merge (|slices| x |buckets| state rows, bounded
     regardless of stream volume).
 
-    Same two-phase swap, driver-local-FS and at-least-once caveats as
-    ``maintain_state_table``; a real read failure on existing state
-    propagates rather than resetting the histograms."""
+    Same two-phase commit, driver-local-FS caveat and exactly-once
+    batch-id dedup as ``maintain_state_table``; a real read failure on
+    existing state propagates rather than resetting the histograms."""
     from pyspark.sql import functions as F
 
     def _fold(batch: DataFrame, batch_id: int):
+        if _replayed(state_path, batch_id):
+            return                       # crash replay: already folded
         spark = batch.sparkSession
         part = (batch.select(F.col(slice_col).alias("slice"),
                              F.col(bucket_col).alias("bucket"))
@@ -184,11 +256,7 @@ def maintain_drift_monitor(stream: DataFrame, slice_col: str,
             part = (prev.unionByName(part)
                     .groupBy("slice", "bucket")
                     .agg(F.sum("cnt").alias("cnt")))
-        tmp = state_path.rstrip("/") + "._next"
-        part.write.mode("overwrite").parquet(tmp)
-        import shutil
-        shutil.rmtree(state_path, ignore_errors=True)
-        shutil.move(tmp, state_path)
+        _commit_state(part, state_path, batch_id)
 
     w = (stream.writeStream.foreachBatch(_fold)
          .option("checkpointLocation", checkpoint_path))
@@ -215,11 +283,13 @@ def maintain_hll_sketch(stream: DataFrame, col: str, state_path: str,
     into the persisted per-group state — distinct users/tokens/urls so
     far, queryable at any time via ``operators.sketch.
     hll_merge_estimate`` without replaying the stream. State size is
-    |groups| x 2^lg_k registers regardless of volume. Same swap/
-    at-least-once caveats as the other maintainers."""
+    |groups| x 2^lg_k registers regardless of volume. Same commit /
+    exactly-once batch-id-dedup semantics as the other maintainers."""
     from ..operators.sketch import hll_state
 
     def _fold(batch: DataFrame, batch_id: int):
+        if _replayed(state_path, batch_id):
+            return                       # crash replay: already folded
         from pyspark.sql import functions as SF
         spark = batch.sparkSession
         part = hll_state(batch, col, by=by, lg_k=lg_k)
@@ -230,11 +300,7 @@ def maintain_hll_sketch(stream: DataFrame, col: str, state_path: str,
                       .agg(SF.hll_union_agg(SF.col("hll")).alias("hll")))
         else:
             merged = part
-        tmp = state_path.rstrip("/") + "._next"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-        shutil.rmtree(state_path, ignore_errors=True)
-        shutil.move(tmp, state_path)
+        _commit_state(merged, state_path, batch_id)
 
     w = (stream.writeStream.foreachBatch(_fold)
          .option("checkpointLocation", checkpoint_path))

@@ -205,3 +205,21 @@ def test_percentile_distributed_matches_numpy(tables, pdf_tables):
         for q in qs:
             assert got[q] == pytest.approx(
                 float(np.quantile(pdf[col].to_numpy(), q)), abs=1e-9)
+
+
+def test_corr_spearman_stratified_vs_pandas(tables, pdf_tables):
+    """Keyed spearman (melted one-pass ranks with strata keys) matches
+    pandas groupby spearman per stratum."""
+    from handyspark_spark.operators import agg as A
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = {(r.l_returnflag, r.col_x, r.col_y): r.corr
+           for r in A.corr_plan(tables["lineitem"], cols,
+                                method="spearman",
+                                strata=["l_returnflag"]).collect()}
+    pdf = pdf_tables["lineitem"]
+    for flag, g in pdf.groupby("l_returnflag"):
+        pmat = g[cols].corr(method="spearman")
+        for i, cx in enumerate(cols):
+            for cy in cols[i:]:
+                assert abs(got[(flag, cx, cy)] - pmat.loc[cx, cy]) \
+                    < 1e-9, (flag, cx, cy)

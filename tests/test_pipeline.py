@@ -1415,3 +1415,58 @@ def test_containment_catches_subset_docs(spark):
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["containment_a_in_b"] == 1.0       # doc1 fully inside doc2
     assert r["containment_b_in_a"] < 0.25       # but not vice versa
+
+
+def test_snap_sum6_exact_integer_division_at_scale(spark):
+    """_snap_sum6's micro-rounding must be TRUE integer division: at a
+    nano total of ~5.13e18 a double `(k+500)/1000` then bigint cast
+    rounds UP across the integer boundary (off by one micro); the
+    DECIMAL path matches DuckDB's `(k+500)//1000` exactly."""
+    from handyspark_spark.pipeline.drift import _snap_sum6
+    # 5130 terms of 1e6 + one of 933103.096309499 snap exactly to a
+    # nano-grid sum of k=5130933103096309499, chosen so that double
+    # division misrounds: int((k+500)/1000.0) == ...310, true == ...309
+    rows = [(1_000_000.0,)] * 5130 + [(933103.096309499,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = df.agg(_snap_sum6(F.col("x")).alias("v")).collect()[0]["v"]
+    assert got == 5130933103.096309, got
+
+
+def test_pairs_strategy_validation(spark):
+    """Unknown strategies raise; an explicit 'bitmask' is HONORED (not
+    silently rerouted) and still guarded by the O(n²) row cap."""
+    from handyspark_spark.pipeline.dedup import (containment_pairs,
+                                                 ngram_jaccard_pairs)
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e"), (3, "x y z")],
+        "doc_id int, text string")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        ngram_jaccard_pairs(df, strategy="bitmsk").collect()
+    with pytest.raises(ValueError, match="unknown strategy"):
+        containment_pairs(df, strategy="bitmask_typo").collect()
+    # explicit bitmask == auto (tiny vocab routes auto to bitmask too)
+    auto = {(r.id_a, r.id_b): (r.containment_a_in_b, r.containment_b_in_a)
+            for r in containment_pairs(df, threshold=0.9).collect()}
+    forced = {(r.id_a, r.id_b): (r.containment_a_in_b,
+                                 r.containment_b_in_a)
+              for r in containment_pairs(df, threshold=0.9,
+                                         strategy="bitmask").collect()}
+    assert auto == forced and (1, 2) in forced
+    # explicit bitmask above the row cap fails LOUDLY
+    with pytest.raises(ValueError, match="max_bitmask_rows"):
+        containment_pairs(df, strategy="bitmask", max_bitmask_rows=2)
+
+
+def test_star_edges_recovery_query_matches_uncapped(tables, spark):
+    """The driver query's configuration (cap=8 + recovery) equals the
+    uncapped star-edge set — the identity the SQL oracle relies on."""
+    from handyspark_spark.pipeline.dedup import minhash_lsh_star_edges
+    docs = tables["documents"]
+    rec = {(r.id_a, r.id_b) for r in
+           minhash_lsh_star_edges(docs, num_hashes=16, bands=2,
+                                  max_bucket_size=8,
+                                  recover_hot_buckets=True).collect()}
+    unc = {(r.id_a, r.id_b) for r in
+           minhash_lsh_star_edges(docs, num_hashes=16,
+                                  bands=2).collect()}
+    assert rec == unc and len(unc) > 0

@@ -407,3 +407,17 @@ def test_skew_report_shapes_and_values(tables, spark):
     # mean per key = 100/11 rows; hot = 90 -> factor 9.9
     assert abs(out[0]["skew_factor"] - 90 / (100 / 11)) < 1e-6
     assert len(out) == 3
+
+
+def test_stratified_spearman_exchanges_constant_in_m(tables):
+    """Stratified spearman ranks all M columns in ONE melted pass: the
+    exchange count must not grow with M (the old keyed path paid a
+    distinct-agg + join-back per column)."""
+    df = tables["lineitem"]
+    e2 = exchange_count(A.corr_plan(
+        df, ["l_quantity", "l_extendedprice"],
+        method="spearman", strata=["l_returnflag"]))
+    e4 = exchange_count(A.corr_plan(
+        df, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        method="spearman", strata=["l_returnflag"]))
+    assert e4 == e2, (e2, e4)

@@ -583,6 +583,65 @@ def test_read_state_distinguishes_missing_from_broken(spark, tmp_path):
         _read_state(spark, str(broken)).collect()
 
 
+def test_state_commit_exactly_once_and_crash_recovery(spark, tmp_path):
+    """Exactly-once at the state-table level: a replayed batch id is
+    skipped; a crash between the two commit renames restores the
+    pre-batch state instead of silently restarting from empty."""
+    import os
+
+    from handyspark_spark.streaming.stateful import (_commit_state,
+                                                     _last_batch_id,
+                                                     _read_state,
+                                                     _replayed)
+    state = str(tmp_path / "st")
+    assert _replayed(state, 0) is False          # never initialized
+    _commit_state(spark.createDataFrame([(1, 10)], "k int, v int"),
+                  state, 0)
+    assert _last_batch_id(state) == 0
+    assert _replayed(state, 0) is True           # replay -> skip
+    assert _replayed(state, 1) is False
+    # the batch-id marker must be invisible to the parquet reader
+    assert {r.k for r in _read_state(spark, state).collect()} == {1}
+    _commit_state(spark.createDataFrame([(2, 20)], "k int, v int"),
+                  state, 1)
+    assert {r.k for r in _read_state(spark, state).collect()} == {2}
+    # simulate a crash BETWEEN rename-aside and move-into-place: the
+    # state dir is gone but the aside survives — _read_state restores it
+    os.rename(state, state + "._prev")
+    assert {r.k for r in _read_state(spark, state).collect()} == {2}
+    assert _last_batch_id(state) == 1            # marker restored too
+
+
+def test_maintain_state_replayed_batch_leaves_state_unchanged(
+        spark, tables, tmp_path):
+    """End-to-end crash-replay: drain a stream into a state table, then
+    replay the SAME batches (fresh checkpoint -> batch ids restart at 0,
+    all <= last committed). Every fold is skipped; state is unchanged —
+    the exactly-once contract under foreachBatch's at-least-once
+    delivery."""
+    import os
+
+    from handyspark_spark.streaming.stateful import maintain_state_table
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    ev = tables["events"].limit(1000).select("user_id", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    state = str(tmp_path / "state")
+
+    def drain(ckpt):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        q = maintain_state_table(stream, state, ["user_id"], "value",
+                                 checkpoint_path=str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    drain("ckpt1")
+    before = sorted(map(tuple, spark.read.parquet(state).collect()))
+    drain("ckpt2")                                # full replay
+    after = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert before == after
+
+
 def test_codec_capabilities_gating(spark, tables):
     """Capability detection: the same API either lights up (codec
     present) or raises naming the missing capability — no silent fakes
