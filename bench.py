@@ -2,6 +2,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+$SPARK_GRAFT_BENCH_SINK: "collect" (default — driver contract: the wall
+time includes emitting results to the driver) or "noop" (terminate each
+query with Spark's no-op batch sink instead — OPERATOR-ONLY cost, no
+driver emit). In the default mode the top-10 heaviest queries are
+re-run through the noop sink afterwards and reported as
+"queries_noop": for pair/grid queries whose output is large, driver
+emit is ~25%+ of collect-mode wall time and would otherwise mask plan
+regressions in exactly the most expensive operators.
 """
 from __future__ import annotations
 
@@ -39,19 +48,39 @@ def main():
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    sink = os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect")
+
+    def run_one(fn, how: str) -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if how == "noop":
+            # full execution, zero driver transfer: every partition is
+            # computed and discarded executor-side
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            df.collect()
-            dt = time.perf_counter() - t0
+            dt = run_one(fn, sink)
         except Exception as e:  # pragma: no cover
             print(f"bench error {name}: {e}", file=sys.stderr)
             dt = float("nan")
         timings[name] = round(dt, 3)
         total += dt if dt == dt else 0.0
+
+    noop_timings: dict[str, float] = {}
+    if sink == "collect":
+        heavy = sorted((n for n, v in timings.items() if v == v),
+                       key=lambda n: -timings[n])[:10]
+        for name in heavy:
+            try:
+                noop_timings[name] = round(run_one(qs[name], "noop"), 3)
+            except Exception as e:  # pragma: no cover
+                print(f"bench noop error {name}: {e}", file=sys.stderr)
 
     payload = {
         "metric": "operator_suite_wall_clock",
@@ -60,6 +89,10 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if noop_timings:
+        payload["queries_noop"] = noop_timings
+    if sink != "collect":
+        payload["sink"] = sink
     # The driver captures only a bounded tail of stdout and json-parses the
     # final line; a line longer than that buffer is truncated at the FRONT
     # and becomes unparseable (this bit round 2: 90 queries -> ~3.1k chars >
@@ -77,6 +110,9 @@ def main():
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > line_budget:
         payload["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        if noop_timings:
+            payload["queries_noop"] = {k: round(v, 1)
+                                       for k, v in noop_timings.items()}
         line = json.dumps(payload, separators=(",", ":"))
     while len(line) > line_budget and payload["queries"]:
         # drop the fastest remaining query; keep the expensive ones visible

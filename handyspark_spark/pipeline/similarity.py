@@ -203,6 +203,27 @@ def lsh_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                  .filter(F.col("cosine") >= threshold))
 
 
+def _cap_query_rows(queries: DataFrame, max_query_rows: int | None,
+                    op: str) -> None:
+    """Loud guard for the "queries are small" contract: ``pq_topk``
+    collects the query frame to build driver-side LUTs and ``ivf_topk``
+    broadcasts it — both are bounded by |queries|, and a caller passing
+    a corpus-sized frame would melt the driver/executors silently.
+    Limit-probed (reads at most cap+1 rows, same pattern as
+    ``max_bitmask_rows``); pass ``max_query_rows=None`` to opt out."""
+    if max_query_rows is None:
+        return
+    n = queries.limit(max_query_rows + 1).count()
+    if n > max_query_rows:
+        raise ValueError(
+            f"{op} holds the query frame driver/broadcast-side (contract: "
+            f"queries are small) and it exceeds "
+            f"max_query_rows={max_query_rows}; batch the query side, use "
+            f"brute_force_topk / neardup_pairs_blas for frame-vs-frame "
+            f"search, or pass max_query_rows=None to force")
+
+
+
 def ivf_fit_centroids(df: DataFrame, n_centroids: int = 16,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       kmeans_iters: int = 0) -> np.ndarray:
@@ -257,7 +278,8 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",
              seed: int = 42, kmeans_iters: int = 0,
-             centroids: np.ndarray | None = None) -> DataFrame:
+             centroids: np.ndarray | None = None,
+             max_query_rows: int | None = 100_000) -> DataFrame:
     """IVF-flat ANN: coarse-quantizer centroids -> assign corpus rows
     to nearest centroid (one projection) -> each query probes its
     ``nprobe`` nearest centroids -> exact cosine within probed cells.
@@ -270,6 +292,7 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     fitted inline by ``ivf_fit_centroids`` (see it for ``kmeans_iters``)."""
     import pandas as pd
 
+    _cap_query_rows(queries, max_query_rows, "ivf_topk")
     C = centroids if centroids is not None else ivf_fit_centroids(
         df, n_centroids, vec_col, id_col, kmeans_iters)
     nprobe = min(nprobe, len(C))
@@ -443,7 +466,8 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             m: int = 8, nbits: int = 4, sample_n: int = 2048,
             vec_col: str = "embedding", id_col: str = "vec_id",
             seed: int = 42, rerank: int | None = None,
-            books: np.ndarray | None = None) -> DataFrame:
+            books: np.ndarray | None = None,
+            max_query_rows: int | None = 100_000) -> DataFrame:
     """PQ/ADC approximate top-k: corpus scanned as codes, each query
     precomputes an (m x 2^nbits) inner-product lookup table against the
     codebooks, score = sum of table entries addressed by the code —
@@ -462,6 +486,7 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     ``books``: pre-trained codebooks (e.g. loaded via
     ``pipeline.ann_index.PQIndex.load``) — skips the training sample,
     the train-once/probe-many production shape."""
+    _cap_query_rows(queries, max_query_rows, "pq_topk")
     if books is None:
         books = pq_codebooks(df, vec_col, id_col, m=m, nbits=nbits,
                              sample_n=sample_n, seed=seed)

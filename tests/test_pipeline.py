@@ -1470,3 +1470,27 @@ def test_star_edges_recovery_query_matches_uncapped(tables, spark):
            minhash_lsh_star_edges(docs, num_hashes=16,
                                   bands=2).collect()}
     assert rec == unc and len(unc) > 0
+
+
+def test_ann_query_row_cap_raises(emb):
+    """pq_topk/ivf_topk hold the query frame driver/broadcast-side —
+    an oversized query frame must fail LOUDLY, not melt the driver."""
+    from handyspark_spark.pipeline.similarity import ivf_topk, pq_topk
+    big_q = emb                                   # whole corpus as queries
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivf_topk(emb, big_q, k=3, max_query_rows=10)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        pq_topk(emb, big_q, k=3, max_query_rows=10)
+
+
+def test_ann_ivf_index_query_matches_inline(spark):
+    """The index-backed driver query (fit->save->load->search) returns
+    EXACTLY the inline-fit ann_ivf result — the deterministic quantizer
+    makes the persisted-artifact path value-equivalent, so the bench
+    entry exercises the train-once contract with identical recall."""
+    from handyspark_spark import queries as Q
+    sf = "/root/testdata/sf0.001"
+    inline = {tuple(r) for r in Q.QUERIES["ann_ivf"](spark, sf).collect()}
+    via_idx = {tuple(r) for r in
+               Q.QUERIES["ann_ivf_index"](spark, sf).collect()}
+    assert inline == via_idx and len(inline) > 0
