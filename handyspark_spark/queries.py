@@ -782,15 +782,38 @@ def q_dedup_exact(spark, sf_dir):
 @query("jaccard_pairs", """
 WITH ts AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+), inv AS (
+  SELECT doc_id, unnest(t) AS tok FROM ts
+), dfc AS (
+  SELECT tok, COUNT(*) AS df FROM inv GROUP BY tok
+), ordered AS (
+  SELECT i.doc_id, i.tok,
+         ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                            ORDER BY d.df, i.tok) AS rn,
+         COUNT(*) OVER (PARTITION BY i.doc_id) AS n
+  FROM inv i JOIN dfc d USING (tok)
+), pref AS (
+  -- Bayardo WWW'07 prefix filter (same theorem, independent
+  -- implementation): a pair with J >= t shares a token among each
+  -- side's first |A| - floor(t*|A|) + 1 rarest-first tokens, so the
+  -- candidate join runs on this sliver instead of all n^2/2 pairs —
+  -- what makes this oracle feasible at sf1+ where the cross-join
+  -- form was excluded
+  SELECT doc_id, tok FROM ordered
+  WHERE rn <= n - floor(0.95 * n) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(len(list_intersect(a.t, b.t)) * 1.0
-             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(x.t, y.t)) * 1.0
+             / (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))), 6)
          AS jaccard
-FROM ts a, ts b
-WHERE a.doc_id < b.doc_id
-  AND len(list_intersect(a.t, b.t)) * 1.0
-      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.95
+FROM cand
+JOIN ts x ON x.doc_id = cand.id_a
+JOIN ts y ON y.doc_id = cand.id_b
+WHERE len(list_intersect(x.t, y.t)) * 1.0
+      / (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))) >= 0.95
 """)
 def q_jaccard_pairs(spark, sf_dir):
     from .pipeline.dedup import ngram_jaccard_pairs

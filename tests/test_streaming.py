@@ -739,3 +739,61 @@ def test_maintain_hll_sketch_estimates_match_exact(spark, tables, tmp_path):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) <= max(2, 0.05 * exact[k])
+
+
+# A minimal valid baseline JPEG (1x1), the standard golden blob — used
+# so the Pillow-gated decode path is exercised with REAL compressed
+# bytes the moment the environment gains PIL, instead of lighting up
+# untested at decode level.
+_GOLDEN_JPEG = __import__("base64").b64decode(
+    "/9j/4AAQSkZJRgABAQEAYABgAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSE"
+    "w8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQ"
+    "wLDBgNDRgyIRwhMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjI"
+    "yMjIyMjIyMjIyMjL/wAARCAABAAEDASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAA"
+    "AAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE"
+    "1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRk"
+    "dISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKW"
+    "mp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3"
+    "+Pn6/9oADAMBAAIRAxEAPwD3+iiigD//2Q==")
+
+
+def test_golden_jpeg_decode_both_ways(spark):
+    """Golden-bytes contract for the Pillow-gated decode: with PIL the
+    real JPEG decodes to an (N, 3) float32 pixel block; without it the
+    same call raises NotImplementedError naming the capability — never
+    a silent fake on fake=False paths. Green in BOTH environments."""
+    import pytest as _pytest
+
+    from handyspark_spark.pipeline.multimodal import (_decode,
+                                                      codec_capabilities)
+    if codec_capabilities()["pil"]:
+        px = _decode(_GOLDEN_JPEG, None, fake=False)
+        assert px.dtype == "float32" and px.ndim == 2 and px.shape[1] == 3
+        assert px.shape[0] >= 1                    # 1x1 -> one pixel row
+    else:
+        with _pytest.raises(NotImplementedError, match="pil"):
+            _decode(_GOLDEN_JPEG, None, fake=False)
+
+
+def test_golden_jpeg_media_features_end_to_end(spark):
+    """Same golden blob through the Spark-side plumbing: media_features
+    with fake=False decodes for real under PIL (byte_len/sha256 always
+    real); without PIL the job fails loudly, and the fake=True stub
+    keeps the schema contract either way."""
+    import hashlib
+
+    from handyspark_spark.pipeline.multimodal import (codec_capabilities,
+                                                      media_features)
+    df = spark.createDataFrame([(1, bytearray(_GOLDEN_JPEG))],
+                               "media_id long, data binary")
+    stub = media_features(df, fake=True).collect()[0]
+    assert stub.byte_len == len(_GOLDEN_JPEG)
+    assert stub.sha256 == hashlib.sha256(_GOLDEN_JPEG).hexdigest()
+    if codec_capabilities()["pil"]:
+        real = media_features(df, fake=False).collect()[0]
+        assert real.byte_len == len(_GOLDEN_JPEG)
+        assert len(real.features) >= 1
+    else:
+        import pytest as _pytest
+        with _pytest.raises(Exception):            # Py4J-wrapped NIE
+            media_features(df, fake=False).collect()

@@ -2,7 +2,13 @@
 __spark_entry__.queries() entry on Spark and its oracle_sql() in DuckDB at
 the given SF, compare row count + column names + order-insensitive values.
 
-Usage: python tools/verify_oracle.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/verify_oracle.py [--json OUT.json] [--skip a,b]
+       [--countonly a,b] [sf_dir] [query ...]
+
+``--countonly``: compare Spark count vs DuckDB COUNT(*) only — for
+pair-enumeration queries whose output is too large to value-hash at big
+SFs (value-level runs at sf<=1). ``$SPARK_GRAFT_DRIVER_MEM`` sizes the
+driver (default 8g; use 24g+ for sf10 value comparisons).
 
 ``--json``: also write a machine-readable artifact (per-query status +
 row counts + summary) — committed per round as ORACLE_FULL_r{N}.json so
@@ -47,6 +53,15 @@ def main():
     if args and args[0] == "--skip":
         skip = set(args[1].split(","))
         args = args[2:]
+    countonly: set[str] = set()
+    if args and args[0] == "--countonly":
+        # pair-enumeration queries whose OUTPUT grows quadratically in
+        # duplicate-clique depth: at sf10 the result sets are too large
+        # to round-trip through pandas for a value hash, so compare
+        # Spark count vs DuckDB COUNT(*) over the same oracle SQL (the
+        # value-level check for these runs at sf<=1)
+        countonly = set(args[1].split(","))
+        args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     results = {}
@@ -57,7 +72,8 @@ def main():
              .config("spark.sql.shuffle.partitions", str(cpus))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
-             .config("spark.driver.memory", "8g")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -75,6 +91,33 @@ def main():
         if name in skip:
             print(f"SKIP {name} (excluded on the command line)")
             results[name] = {"status": "skip", "err": "excluded"}
+            continue
+        if name in countonly:
+            if name not in oracles:
+                print(f"WEAK {name}: countonly but no oracle")
+                results[name] = {"status": "weak", "err": "no_oracle"}
+                n_weak += 1
+                continue
+            try:
+                s_n = fn(spark, sf_dir).count()
+                o_n = con.sql(f"SELECT COUNT(*) FROM ({oracles[name]})"
+                              ).fetchone()[0]
+            except Exception as e:
+                print(f"FAIL {name}: countonly error: {str(e)[:300]}")
+                results[name] = {"status": "fail", "err": "countonly_error"}
+                n_fail += 1
+                continue
+            if s_n == o_n:
+                print(f"PASS {name} (count-only: {s_n} rows)")
+                results[name] = {"status": "pass", "rows": int(s_n),
+                                 "mode": "countonly"}
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: count spark={s_n} oracle={o_n}")
+                results[name] = {"status": "fail", "err": "row_count",
+                                 "rows": int(s_n), "oracle_rows": int(o_n),
+                                 "mode": "countonly"}
+                n_fail += 1
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
