@@ -1210,3 +1210,128 @@ def _containment_bitmask(ts: DataFrame, threshold: float) -> DataFrame:
             .filter(F.greatest(F.col("containment_a_in_b"),
                                F.col("containment_b_in_a"))
                     >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr: duplicate n-gram span detection / removal
+# ---------------------------------------------------------------------------
+
+def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 16,
+                          min_count: int = 2) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): find,
+    per document, the maximal token spans covered by ``n``-token
+    substrings that occur at least ``min_count`` times in the WHOLE
+    corpus (same-document repeats count — faithful ExactSubstr
+    semantics; pass a dedicated df-per-doc variant if you want
+    cross-document-only).
+
+    The reference algorithm builds a corpus-wide suffix array — a
+    sequential, single-machine construction. The distributed
+    re-expression: every document emits one 128-bit hash per n-gram
+    START POSITION (a pure projection — token array let-bound, grams
+    hashed in place, nothing corpus-sized is materialized per row), a
+    window count over the hash decides duplication (ONE exchange on the
+    gram hash, map-side partial counts do NOT apply to windows but the
+    shuffled payload is (id, pos, hash) = ~28 bytes/gram), and the
+    surviving positions fold into maximal spans with a classic
+    gaps-and-islands pass (ONE exchange on the doc id). Two shuffles
+    total, both key-grouped — AQE skew-splitting absorbs a pathological
+    gram (e.g. boilerplate headers).
+
+    Hash note: duplication is decided on an (xxhash64(gram),
+    xxhash64(gram, salt)) pair — 128 bits, so a false-duplicate
+    collision needs ~2^64 distinct grams; the DuckDB oracle groups the
+    raw gram string and agrees at every tested SF.
+
+    Returns (id_col, span_start, span_end, span_tokens): 1-based token
+    coordinates, ``span_end`` exclusive; overlapping/adjacent duplicate
+    grams merge into one span.
+    """
+    from .text import let_bound, tokens as _toks
+
+    nn = int(n)
+
+    def body(tk):
+        m = F.greatest(F.size(tk) - F.lit(nn - 1), F.lit(0))
+        idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+               .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(tk, i, nn)))
+                 .alias("h1"),
+                F.xxhash64(F.concat_ws(" ", F.slice(tk, i, nn)),
+                           F.lit("dup-span-salt")).alias("h2")))
+
+    g = (df.select(F.col(id_col),
+                   F.explode(let_bound(_toks(text_col), body)).alias("_g"))
+         .select(id_col, F.col("_g.pos").alias("_pos"),
+                 F.col("_g.h1").alias("_h1"), F.col("_g.h2").alias("_h2")))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("_h1", "_h2"))
+    hits = (g.withColumn("_cnt", cnt)
+            .filter(F.col("_cnt") >= int(min_count))
+            .drop("_h1", "_h2", "_cnt"))
+    wd = Window.partitionBy(id_col).orderBy("_pos")
+    new_island = F.when(
+        F.lag("_pos").over(wd).isNull()
+        | (F.col("_pos") - F.lag("_pos").over(wd) > nn), 1).otherwise(0)
+    island = F.sum(new_island).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (hits.withColumn("_isl", island)
+            .groupBy(id_col, "_isl")
+            .agg(F.min("_pos").cast("int").alias("span_start"),
+                 (F.max("_pos") + nn).cast("int").alias("span_end"))
+            .select(id_col, "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .cast("int").alias("span_tokens")))
+
+
+def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 16,
+                          min_count: int = 2) -> DataFrame:
+    """Remove every duplicate span found by ``duplicate_ngram_spans``
+    and reassemble the surviving text — the apply step of ExactSubstr
+    dedup.
+
+    Plan: the span table (linear in duplicated regions, far smaller
+    than the corpus) is grouped to a per-doc span ARRAY (bounded by
+    doc length / n, so the array is small by construction) and joined
+    back LEFT onto the corpus — one exchange of the span table, one of
+    the doc keys; the token filter is a native higher-order expression
+    (O(len x spans) per row, no Python). Docs with no duplicate span
+    pass through untouched via the left join.
+
+    Returns (id_col, n_tokens, n_removed, clean_text); ``clean_text``
+    is '' when the whole document was duplicated.
+    """
+    from .text import let_bound, tokens as _toks
+
+    spans = (duplicate_ngram_spans(df, text_col, id_col, n, min_count)
+             .groupBy(id_col)
+             .agg(F.collect_list(F.struct("span_start", "span_end"))
+                  .alias("_spans")))
+    joined = df.select(id_col, text_col).join(spans, id_col, "left")
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"))
+
+    def body(tk):
+        idx = F.sequence(F.lit(1), F.size(tk))
+        keep = F.filter(
+            idx,
+            lambda i: ~F.exists(
+                sp, lambda s: (i >= s["span_start"]) & (i < s["span_end"])))
+        return F.struct(
+            F.size(tk).cast("int").alias("n_tokens"),
+            (F.size(tk) - F.size(keep)).cast("int").alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform(keep, lambda i: F.element_at(tk, i)))
+            .alias("clean_text"))
+
+    out = joined.withColumn("_o", let_bound(_toks(text_col), body))
+    return out.select(id_col, F.col("_o.n_tokens").alias("n_tokens"),
+                      F.col("_o.n_removed").alias("n_removed"),
+                      F.col("_o.clean_text").alias("clean_text"))

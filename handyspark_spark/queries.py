@@ -4165,3 +4165,84 @@ def q_variant_props_stats(spark, sf_dir):
             .agg(F.round(F.avg("k"), 6).alias("avg_k"),
                  F.max("k").alias("max_k"),
                  F.count("k").alias("n_with_k")))
+
+
+_DUP_SPANS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(tk) - 15, 0) + 1)) AS pos, tk
+  FROM t WHERE len(tk) >= 16
+), gr AS (
+  SELECT doc_id, pos, array_to_string(tk[pos:pos+15], ' ') AS gram FROM g
+), c AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM gr
+), h AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),
+l AS (SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM h),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 16
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM l
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 16 AS span_end,
+         MAX(pos) + 16 - MIN(pos) AS span_tokens
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+
+@query("dup_spans", _DUP_SPANS_SQL + """
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+""")
+def q_dup_spans(spark, sf_dir):
+    """ExactSubstr duplicate-span detection (Lee et al. 2021): maximal
+    token spans covered by corpus-duplicated 16-grams. The reference
+    family builds a single-machine suffix array; here duplication is a
+    window count over 128-bit gram hashes (one exchange) plus a
+    gaps-and-islands merge per doc (one exchange). The DuckDB oracle
+    groups the RAW gram string, so it also value-checks that the
+    128-bit hash pair introduces no false duplicates."""
+    from .pipeline.dedup import duplicate_ngram_spans
+    df = _t(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(df, n=16, min_count=2)
+
+
+@query("exact_substr_strip", _DUP_SPANS_SQL + """,
+sp AS (
+  SELECT doc_id,
+         list(struct_pack(s := span_start, e := span_end)) AS spans
+  FROM spans GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS tk,
+         COALESCE(sp.spans, []) AS spans
+  FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
+),
+k AS (
+  SELECT doc_id, tk,
+         list_filter(range(1, len(tk) + 1),
+                     i -> len(list_filter(spans,
+                              s -> i >= s.s AND i < s.e)) = 0) AS keep
+  FROM j
+)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(tk) - len(keep) AS n_removed,
+       COALESCE(array_to_string(list_transform(keep, i -> tk[i]), ' '),
+                '') AS clean_text
+FROM k
+""")
+def q_exact_substr_strip(spark, sf_dir):
+    """The apply step of ExactSubstr dedup: remove every duplicated
+    16-gram span and reassemble the text. Span table (small) is
+    grouped to per-doc arrays and left-joined back; the token filter
+    is a native higher-order expression - no Python in the plan."""
+    from .pipeline.dedup import strip_duplicate_spans
+    df = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(df, n=16, min_count=2)

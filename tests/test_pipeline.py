@@ -1494,3 +1494,69 @@ def test_ann_ivf_index_query_matches_inline(spark):
     via_idx = {tuple(r) for r in
                Q.QUERIES["ann_ivf_index"](spark, sf).collect()}
     assert inline == via_idx and len(inline) > 0
+
+
+def test_duplicate_ngram_spans_semantics(spark):
+    """Hand-built corpus: a 6-token passage shared by docs 1 and 2 at
+    different offsets; doc 3 is clean. Span coordinates are 1-based,
+    end-exclusive, and overlapping duplicate grams merge."""
+    from handyspark_spark.pipeline.dedup import duplicate_ngram_spans
+    shared = "p q r s t u"
+    df = spark.createDataFrame(
+        [(1, f"a b {shared} c d"),        # shared at tokens 3..8
+         (2, f"x {shared} y z w"),        # shared at tokens 2..7
+         (3, "m n o just unique words")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           duplicate_ngram_spans(df, n=4, min_count=2).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: dup 4-grams start at 3,4,5 -> one island, span [3, 9)
+    assert (out[1]["span_start"], out[1]["span_end"],
+            out[1]["span_tokens"]) == (3, 9, 6)
+    # doc 2: starts at 2,3,4 -> span [2, 8)
+    assert (out[2]["span_start"], out[2]["span_end"],
+            out[2]["span_tokens"]) == (2, 8, 6)
+
+
+def test_duplicate_ngram_spans_same_doc_repeat_and_gap(spark):
+    """Faithful ExactSubstr: a repeat WITHIN one document counts, and
+    two duplicate regions more than n apart stay separate islands."""
+    from handyspark_spark.pipeline.dedup import duplicate_ngram_spans
+    text = "a b c d " + "f1 f2 f3 f4 f5 f6 f7 f8 " + "a b c d"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(duplicate_ngram_spans(df, n=4, min_count=2).collect(),
+                  key=lambda r: r["span_start"])
+    assert [(r["span_start"], r["span_end"]) for r in rows] \
+        == [(1, 5), (13, 17)]
+
+
+def test_strip_duplicate_spans_roundtrip(spark):
+    from handyspark_spark.pipeline.dedup import strip_duplicate_spans
+    shared = "p q r s t u"
+    df = spark.createDataFrame(
+        [(1, f"a b {shared} c d"),
+         (2, f"x {shared} y z w"),
+         (3, "m n o just unique words"),
+         (4, shared)],                    # fully duplicated doc
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           strip_duplicate_spans(df, n=4, min_count=2).collect()}
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[1]["n_removed"] == 6
+    assert out[2]["clean_text"] == "x y z w"
+    assert out[3]["clean_text"] == "m n o just unique words"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 6
+    assert all(r["n_tokens"] - r["n_removed"]
+               == (len(r["clean_text"].split(" "))
+                   if r["clean_text"] else 0)
+               for r in out.values())
+
+
+def test_dup_spans_no_python_in_plan(docs):
+    from handyspark_spark.pipeline.dedup import (duplicate_ngram_spans,
+                                                 strip_duplicate_spans)
+    for fn in (duplicate_ngram_spans, strip_duplicate_spans):
+        plan = fn(docs, n=8)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
