@@ -955,14 +955,35 @@ def q_embedding_neardup(spark, sf_dir):
     return neardup_pairs_blas(df, threshold=0.4)
 
 
-@query("ann_ivf")
+_ANN_EXACT_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8)
+SELECT * FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                          c.embedding::DOUBLE[]), 6) DESC, c.vec_id ASC)
+           AS INT) AS rank
+  FROM embeddings c CROSS JOIN q
+  WHERE q.vec_id != c.vec_id
+) WHERE rank <= 5
+"""
+
+
+@query("ann_ivf", _ANN_EXACT_SQL)
 def q_ann_ivf(spark, sf_dir):
-    """IVF-probed approximate top-k — rows-only check (approximation);
-    recall vs brute force is pinned in tests/test_pipeline.py."""
+    """IVF top-k exercised through its EXACT switch (nprobe =
+    n_centroids probes every cell, so the cell machinery runs but the
+    result equals brute force — the same convention as GK percentiles'
+    exact= path, see module docstring). The approximate nprobe=4
+    configuration is recall-pinned in tests/test_pipeline.py."""
     from .pipeline.similarity import ivf_topk
     df = _t(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 8)
-    return ivf_topk(df, queries_df, k=5)
+    return ivf_topk(df, queries_df, k=5, n_centroids=16, nprobe=16) \
+        .withColumn("rank", F.col("rank").cast("int"))
 
 
 # fit->save ONCE per (session, sf_dir); every ann_ivf_index call after
@@ -985,18 +1006,19 @@ def _ivf_index_path(spark, sf_dir) -> str:
     return path
 
 
-@query("ann_ivf_index")
+@query("ann_ivf_index", _ANN_EXACT_SQL)
 def q_ann_ivf_index(spark, sf_dir):
     """IVF search through the PERSISTED index artifact (fit->save once,
-    load->search per call — pipeline/ann_index.py). The quantizer fit is
-    deterministic (hash-ordered sample), so results are identical to the
-    inline-fit ``ann_ivf`` query (pinned in tests/test_pipeline.py);
-    rows-only check here for the same approximate-by-contract reason."""
+    load->search per call — pipeline/ann_index.py), exercised at full
+    probe width so the load->assign->probe->rank machinery is
+    value-checked against the exact oracle; the approximate nprobe is
+    recall-pinned in tests/test_pipeline.py."""
     from .pipeline.ann_index import IVFIndex
     idx = IVFIndex.load(spark, _ivf_index_path(spark, sf_dir))
     df = _t(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 8)
-    return idx.search(df, queries_df, k=5)
+    return idx.search(df, queries_df, k=5, nprobe=16) \
+        .withColumn("rank", F.col("rank").cast("int"))
 
 # ---------------------------------------------------------------------------
 # Classification metrics (ml/evaluation.py) — JVM-free threshold curves
@@ -2348,22 +2370,46 @@ def q_pipeline_e2e(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens")))
 
-@query("dedup_components")
+@query("dedup_components", f"""
+WITH RECURSIVE {_LSH_BANDED_SQL},
+ok AS (
+  SELECT band, bv FROM banded
+  GROUP BY band, bv HAVING COUNT(*) BETWEEN 2 AND 500
+), kept AS (SELECT banded.* FROM banded JOIN ok USING (band, bv)),
+star AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY band, bv) AS a, doc_id AS b
+  FROM kept
+), e AS (SELECT DISTINCT a, b FROM star WHERE a <> b),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+  WHERE u.b <> r.a
+),
+univ AS (SELECT DISTINCT doc_id FROM kept)
+SELECT u.doc_id AS node,
+       LEAST(u.doc_id, MIN(r.b)) AS component
+FROM univ u JOIN reach r ON r.a = u.doc_id
+GROUP BY u.doc_id
+""")
 def q_dedup_components(spark, sf_dir):
     """Exact duplicate clusters: LSH candidates -> iterative min-label
-    connected components (transitive closure). Genuinely iterative —
-    rows-only per the driver contract for iterative algorithms;
-    component validity pinned in tests/test_pipeline.py."""
+    connected components. The iterative loop's fixpoint IS the
+    transitive closure's min-reachable label, which a recursive CTE
+    computes directly at oracle SF (closure pairs are quadratic in
+    component size — fine at sf0.01, exactly why the iterative
+    min-label form exists for the corpus-scale path)."""
     from .pipeline.dedup import minhash_lsh_components
     df = _t(spark, sf_dir, "documents")
     # fused path: ONE persisted bucket table feeds star edges (same
     # transitive closure as the clique pairs, O(|bucket|) edges) AND the
     # bucket-min seed labels, so the iterative loop usually needs a
-    # single convergence round; xxhash64 signatures because this result
-    # never leaves Spark (no cross-engine oracle to reproduce md5 for)
+    # single convergence round; md5 signatures so DuckDB reproduces the
+    # exact bucketing (same basis as the lsh_star_edges oracle)
     return minhash_lsh_components(df, num_hashes=16, bands=2,
                                   max_bucket_size=500,
-                                  hash_fn="xxhash64")
+                                  hash_fn="md5")
 
 
 # ---------------------------------------------------------------------------
