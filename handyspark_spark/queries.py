@@ -3570,11 +3570,33 @@ def q_leakage_safe_split(spark, sf_dir):
 def q_ann_pq(spark, sf_dir):
     """PQ/ADC approximate top-k (rows-only: k-means codebooks are
     iterative, not SQL-expressible; recall vs brute force pinned in
-    tests/test_pipeline.py)."""
+    tests/test_pipeline.py). The query set is every 50th id CAPPED at
+    2000 queries — SF-independent bound so the driver-side LUT stays
+    fixed-size at any corpus scale (the 100k row cap would otherwise
+    trip at sf10 where %50 alone yields 256k queries)."""
     from .pipeline.similarity import pq_topk
     df = _t(spark, sf_dir, "embeddings")
-    queries_df = df.filter(F.col("vec_id") % 50 == 0)
+    queries_df = df.filter((F.col("vec_id") % 50 == 0)
+                           & (F.col("vec_id") < 100_000))
     return pq_topk(df, queries_df, k=5, m=16, nbits=4, rerank=50)
+
+
+@query("ann_pq_exact", _ANN_EXACT_SQL)
+def q_ann_pq_exact(spark, sf_dir):
+    """PQ/ADC exercised through its EXACT switch: ``rerank`` >= corpus
+    size keeps every ADC candidate, so the encode->LUT->ADC->rerank
+    machinery all runs and the exact-cosine rescue pass makes the
+    result equal brute force — value-checked against the same oracle
+    as ann_topk/ann_ivf. Approximate rerank=50 recall is pinned in
+    pytest and exercised at bench scale by ann_pq."""
+    from .pipeline.similarity import pq_topk
+    df = _t(spark, sf_dir, "embeddings")
+    queries_df = df.filter(F.col("vec_id") < 8)
+    n = df.count()
+    out = pq_topk(df, queries_df, k=5, m=16, nbits=4, rerank=n,
+                  max_query_rows=None)
+    return (out.withColumnRenamed("score", "cosine")
+            .withColumn("rank", F.col("rank").cast("int")))
 
 
 @query("image_stats", """
