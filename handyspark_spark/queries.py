@@ -279,16 +279,24 @@ WITH q AS (
   FROM lineitem
 )
 SELECT l_returnflag,
-       ROUND(SUM(GREATEST(q1 - 1.5 * (q3 - q1),
-                 LEAST(q3 + 1.5 * (q3 - q1), l_extendedprice))), 2)
+       ROUND(SUM(CAST(GREATEST(q1 - 1.5 * (q3 - q1),
+                 LEAST(q3 + 1.5 * (q3 - q1), l_extendedprice))
+                 AS DECIMAL(18,6))), 2)::DOUBLE
          AS sum_fenced
 FROM lineitem, q GROUP BY l_returnflag
 """)
 def q_fence_sum(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
     fenced = toHandy(df).fence(["l_extendedprice"], exact=True)
+    # the fenced value is a double (clamped at double-typed Tukey
+    # fences, identical on both engines); summing it as a double is
+    # accumulation-order dependent and flipped rounded cents at sf10 —
+    # cast each term to exact DECIMAL before the sum. The double->
+    # decimal conversion rounds the SAME double the same way on both
+    # engines, so only the (exact) sum differs in no bit.
     return A.summary_plan(fenced._df, [
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_fenced")],
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+         .cast("double").alias("sum_fenced")],
         ["l_returnflag"])
 
 
@@ -373,14 +381,23 @@ def q_assign_udf(spark, sf_dir):
 
 @query("tpch_q1", """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                 AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)            AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+       ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)::DOUBLE
+         AS sum_qty,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)::DOUBLE
+         AS sum_base_price,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)::DOUBLE
+         AS sum_disc_price,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2)::DOUBLE
          AS sum_charge,
-       ROUND(AVG(l_quantity), 4)                 AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)            AS avg_price,
-       ROUND(AVG(l_discount), 6)                 AS avg_disc,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*), 4)                                  AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*), 4)                                  AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*), 6)                                  AS avg_disc,
        COUNT(*)                                  AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -388,18 +405,27 @@ GROUP BY l_returnflag, l_linestatus
 """)
 def q_tpch_q1(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact DECIMAL money/quantity sums — at sf10 the double accumulation
+    # order flips rounded cents even where sf1 agreed (see tpch_q7 note);
+    # averages derive from the exact sums so they inherit determinism
+    # (one decimal->double conversion of the SAME exact value per engine)
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    dsc = F.col("l_discount").cast("decimal(12,2)")
+    disc = price * (F.lit(1) - dsc)
+    cnt = F.count(F.lit(1))
     return A.summary_plan(
         df.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00")
                   .cast("timestamp")),
-        [F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
-         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-         F.round(F.sum(disc), 2).alias("sum_disc_price"),
-         F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-         F.round(F.mean(F.col("l_quantity").cast("double")), 4)
-          .alias("avg_qty"),
-         F.round(F.mean("l_extendedprice"), 4).alias("avg_price"),
-         F.round(F.mean("l_discount"), 6).alias("avg_disc"),
+        [F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+         F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+         F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+         F.round(F.sum(disc * (F.lit(1) + F.col("l_tax")
+                               .cast("decimal(12,2)"))), 2)
+          .cast("double").alias("sum_charge"),
+         F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
+         F.round(F.sum(price).cast("double") / cnt, 4).alias("avg_price"),
+         F.round(F.sum(dsc).cast("double") / cnt, 6).alias("avg_disc"),
          F.count(F.lit(1)).alias("count_order")],
         ["l_returnflag", "l_linestatus"])
 
