@@ -256,7 +256,8 @@ WITH src AS (
   SELECT l_returnflag, NULLIF(l_discount, 0.0) AS d FROM lineitem
 ), m AS (SELECT AVG(d) AS mu FROM src)
 SELECT l_returnflag,
-       ROUND(SUM(COALESCE(d, mu)), 2) AS sum_disc,
+       ROUND(SUM(CAST(COALESCE(d, mu) AS DECIMAL(18,8))), 2)::DOUBLE
+         AS sum_disc,
        COUNT(*) AS cnt
 FROM src, m GROUP BY l_returnflag
 """)
@@ -267,8 +268,11 @@ def q_fill_mean(spark, sf_dir):
         F.when(F.col("l_discount") == 0.0, None)
          .otherwise(F.col("l_discount")).alias("d")))
     filled = hdf.fill(continuous=["d"], strategy="mean")
+    # term-snap to DECIMAL(18,8): both the filled mean and the corpus
+    # sum are double accumulation-order noise sources at scale
     return A.summary_plan(filled._df, [
-        F.round(F.sum("d"), 2).alias("sum_disc"),
+        F.round(F.sum(F.col("d").cast("decimal(18,8)")), 2)
+         .cast("double").alias("sum_disc"),
         F.count(F.lit(1)).alias("cnt")], ["l_returnflag"])
 
 
@@ -363,7 +367,9 @@ def q_dt_ops(spark, sf_dir):
 
 
 @query("assign_udf", """
-SELECT l_returnflag, ROUND(SUM(LN(1 + l_extendedprice)), 4) AS sum_log
+SELECT l_returnflag,
+       ROUND(SUM(CAST(LN(1 + l_extendedprice) AS DECIMAL(18,8))), 4)::DOUBLE
+         AS sum_log
 FROM lineitem GROUP BY l_returnflag
 """)
 def q_assign_udf(spark, sf_dir):
@@ -371,8 +377,13 @@ def q_assign_udf(spark, sf_dir):
     hdf = toHandy(_t(spark, sf_dir, "lineitem"))
     out = hdf.assign(
         logp=lambda l_extendedprice: np.log1p(l_extendedprice))
+    # per-row log1p is bit-identical across engines (same double in,
+    # correctly-rounded libm out) but the whole-corpus SUM is
+    # accumulation-order dependent — snap each term to an exact DECIMAL
+    # grid before summing (see tpch_q1 note)
     return A.summary_plan(out._df, [
-        F.round(F.sum("logp"), 4).alias("sum_log")], ["l_returnflag"])
+        F.round(F.sum(F.col("logp").cast("decimal(18,8)")), 4)
+         .cast("double").alias("sum_log")], ["l_returnflag"])
 
 
 # ---------------------------------------------------------------------------
@@ -1467,14 +1478,17 @@ def q_media_pipeline(spark, sf_dir):
 
 @query("rollup_sales", """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)::DOUBLE
+         AS sum_price,
        COUNT(*) AS cnt
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """)
 def q_rollup_sales(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
     return (df.rollup("l_returnflag", "l_linestatus")
-              .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 .cast("decimal(12,2)")), 2)
+                   .cast("double").alias("sum_price"),
                    F.count(F.lit(1)).alias("cnt")))
 
 
@@ -1494,7 +1508,9 @@ def q_topk_orders(spark, sf_dir):
 
 @query("join_revenue", """
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2)::DOUBLE
+         AS revenue,
        COUNT(*) AS cnt
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -1518,9 +1534,10 @@ def q_join_revenue(spark, sf_dir):
                  n.n_regionkey == F.col("r_regionkey")))
     j = (l.join(o, l.l_orderkey == o.o_orderkey)
           .join(F.broadcast(dim), o.o_custkey == c.c_custkey))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)")))
     return (j.groupBy("n_name")
-             .agg(F.round(F.sum(rev), 2).alias("revenue"),
+             .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
                   F.count(F.lit(1)).alias("cnt")))
 
 
@@ -1713,21 +1730,26 @@ def q_sliding_window(spark, sf_dir):
 
 @query("salted_agg", """
 SELECT l_returnflag,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)::DOUBLE
+         AS sum_price,
        COUNT(*) AS cnt,
        MAX(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag
 """)
 def q_salted_agg(spark, sf_dir):
     """Two-phase salted aggregation — result must be identical to the
-    plain groupBy (the salt only reshapes the first shuffle)."""
+    plain groupBy (the salt only reshapes the first shuffle). The money
+    sum rides an exact DECIMAL column so the salted two-phase add order
+    cannot differ from the oracle's (see tpch_q1 note)."""
     from .operators.skew import salted_agg
-    df = _t(spark, sf_dir, "lineitem")
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "_price_dec", F.col("l_extendedprice").cast("decimal(12,2)"))
     out = salted_agg(df, ["l_returnflag"],
-                     {"sum_price": ("sum", "l_extendedprice"),
+                     {"sum_price": ("sum", "_price_dec"),
                       "cnt": ("count", None),
                       "max_price": ("max", "l_extendedprice")})
-    return out.withColumn("sum_price", F.round("sum_price", 2))
+    return out.withColumn("sum_price",
+                          F.round("sum_price", 2).cast("double"))
 
 # ---------------------------------------------------------------------------
 # Deterministic sampling / split assignment (pipeline/sample.py)
@@ -1787,7 +1809,9 @@ def q_chunk_documents(spark, sf_dir):
     return chunk(df, size=64, overlap=16)
 
 @query("tpch_q6", """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(12,2))), 2)::DOUBLE
+         AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1802,13 +1826,16 @@ def q_tpch_q6(spark, sf_dir):
         (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")) &
         F.col("l_discount").between(0.03, 0.05) &
         (F.col("l_quantity") < 24)))
-    return f.agg(F.round(F.sum(F.col("l_extendedprice") *
-                               F.col("l_discount")), 2).alias("revenue"))
+    return f.agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                               * F.col("l_discount").cast("decimal(12,2)")),
+                         2).cast("double").alias("revenue"))
 
 
 @query("tpch_q3", """
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)::DOUBLE
+         AS revenue,
        o_orderdate
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -1830,16 +1857,19 @@ def q_tpch_q3(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp"))
     j = (l.join(o, l.l_orderkey == o.o_orderkey)
           .join(F.broadcast(c), o.o_custkey == c.c_custkey))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)")))
     return (j.groupBy("l_orderkey", "o_orderdate")
-             .agg(F.round(F.sum(rev), 2).alias("revenue"))
+             .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
              .select("l_orderkey", "revenue", "o_orderdate")
              .orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10))
 
 
 @query("tpch_q5", """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)::DOUBLE
+         AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1874,9 +1904,10 @@ def q_tpch_q5(spark, sf_dir):
           .join(c, o.o_custkey == c.c_custkey)
           .join(s, (l.l_suppkey == s.s_suppkey) &
                    (c.c_nationkey == s.s_nationkey)))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)")))
     return (j.groupBy("n_name")
-             .agg(F.round(F.sum(rev), 2).alias("revenue")))
+             .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue")))
 
 
 @query("percentiles_distributed", """
@@ -1956,7 +1987,9 @@ def q_tpch_q4(spark, sf_dir):
 
 @query("tpch_q10", """
 SELECT c.c_custkey, c.c_name, n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2)::DOUBLE
+         AS revenue,
        ROUND(c.c_acctbal, 2) AS c_acctbal
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -1978,12 +2011,13 @@ def q_tpch_q10(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")) &
         (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)")))
     j = (l.join(o, l.l_orderkey == o.o_orderkey)
           .join(c, o.o_custkey == c.c_custkey)
           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
     return (j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
             .select("c_custkey", "c_name", "n_name", "revenue",
                     F.round("c_acctbal", 2).alias("c_acctbal"))
             .orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20))
@@ -2050,7 +2084,9 @@ def q_tpch_q18(spark, sf_dir):
 
 
 @query("tpch_q19", """
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2)::DOUBLE
+         AS revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -2078,10 +2114,11 @@ def q_tpch_q19(spark, sf_dir):
          & F.col("l_quantity").between(10, 20)) |
         ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
          & F.col("l_quantity").between(20, 30)))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)")))
     return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
             .filter(arm)
-            .agg(F.round(F.sum(rev), 2).alias("revenue")))
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue")))
 
 
 @query("tpch_q22", """
@@ -2089,7 +2126,8 @@ WITH avg_bal AS (
   SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_mktsegment, COUNT(*) AS numcust,
-       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+       ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2)::DOUBLE
+         AS totacctbal
 FROM customer c, avg_bal
 WHERE c.c_acctbal > avg_bal.a
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -2113,7 +2151,8 @@ def q_tpch_q22(spark, sf_dir):
         "c_custkey", "left_anti")
     return (no_urgent.groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("numcust"),
-                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")),
+                         2).cast("double").alias("totacctbal")))
 
 
 @query("ks_exponential", """
@@ -2331,7 +2370,8 @@ def q_upsert_latest(spark, sf_dir):
 
 @query("cube_sales", """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)::DOUBLE
+         AS sum_price,
        COUNT(*) AS cnt,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
          AS gid
@@ -2342,7 +2382,9 @@ def q_cube_sales(spark, sf_dir):
     (beyond-reference: the reference has no grouping-sets surface)."""
     df = _t(spark, sf_dir, "lineitem")
     return (df.cube("l_returnflag", "l_linestatus")
-              .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 .cast("decimal(12,2)")), 2)
+                   .cast("double").alias("sum_price"),
                    F.count(F.lit(1)).alias("cnt"),
                    F.grouping_id().alias("gid")))
 
@@ -2915,7 +2957,8 @@ WITH avg_qty AS (
   SELECT l_partkey, 0.2 * AVG(l_quantity) AS threshold
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                  AS DOUBLE) / 7.0, 4) AS avg_yearly
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN avg_qty a ON l.l_partkey = a.l_partkey
@@ -2932,8 +2975,9 @@ def q_tpch_q17(spark, sf_dir):
     j = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
           .join(avg_q, l.l_partkey == F.col("a_key"))
           .filter(F.col("l_quantity") < F.col("threshold")))
-    return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
-                 .alias("avg_yearly"))
+    return j.agg(F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(12,2)")).cast("double")
+                         / 7.0, 4).alias("avg_yearly"))
 
 
 # ---------------------------------------------------------------------------
