@@ -11,6 +11,12 @@ re-run through the noop sink afterwards and reported as
 "queries_noop": for pair/grid queries whose output is large, driver
 emit is ~25%+ of collect-mode wall time and would otherwise mask plan
 regressions in exactly the most expensive operators.
+
+$SPARK_GRAFT_BENCH_SKIP: comma-separated query names to leave out (for
+very-large-SF runs where the quadratic-output pair enumerations get
+dedicated single-query runs instead of sharing one session). Skipped
+names are recorded in the payload as "skipped" so the artifact shows
+what was excluded, not silently narrowed.
 """
 from __future__ import annotations
 
@@ -49,6 +55,9 @@ def main():
         load_table(spark, sf_dir, t).count()
 
     sink = os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect")
+    skip = {s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP",
+                                      "").split(",") if s}
+    qs = {n: f for n, f in qs.items() if n not in skip}
 
     def run_one(fn, how: str) -> float:
         t0 = time.perf_counter()
@@ -93,6 +102,8 @@ def main():
         payload["queries_noop"] = noop_timings
     if sink != "collect":
         payload["sink"] = sink
+    if skip:
+        payload["skipped"] = sorted(skip)
     # The driver captures only a bounded tail of stdout and json-parses the
     # final line; a line longer than that buffer is truncated at the FRONT
     # and becomes unparseable (this bit round 2: 90 queries -> ~3.1k chars >
