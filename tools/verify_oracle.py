@@ -53,6 +53,15 @@ def main():
     if args and args[0] == "--skip":
         skip = set(args[1].split(","))
         args = args[2:]
+    rowsonly: set[str] = set()
+    if args and args[0] == "--rowsonly":
+        # queries whose ORACLE is infeasible at this SF even though the
+        # Spark side scales (e.g. dedup_components' recursive-CTE
+        # transitive closure is quadratic in component size — the exact
+        # value check runs at oracle SF): run the Spark side, record
+        # rows, mark weak with the reason
+        rowsonly = set(args[1].split(","))
+        args = args[2:]
     countonly: set[str] = set()
     if args and args[0] == "--countonly":
         # pair-enumeration queries whose OUTPUT grows quadratically in
@@ -91,6 +100,20 @@ def main():
         if name in skip:
             print(f"SKIP {name} (excluded on the command line)")
             results[name] = {"status": "skip", "err": "excluded"}
+            continue
+        if name in rowsonly:
+            try:
+                s_n = fn(spark, sf_dir).count()
+            except Exception as e:
+                print(f"FAIL {name}: rowsonly error: {str(e)[:300]}")
+                results[name] = {"status": "fail", "err": "rowsonly_error"}
+                n_fail += 1
+                continue
+            print(f"WEAK {name}: rows={s_n} (oracle infeasible at this SF)")
+            results[name] = {"status": "weak", "rows": int(s_n),
+                             "err": "oracle_infeasible_at_sf",
+                             "mode": "rowsonly"}
+            n_weak += 1
             continue
         if name in countonly:
             if name not in oracles:
