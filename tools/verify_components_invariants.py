@@ -1,0 +1,76 @@
+"""Engine-internal correctness check for ``dedup_components`` at SFs
+where the recursive-closure oracle is infeasible (quadratic in
+component size).
+
+Given labels L(node) and the star-edge set E the operator consumed,
+three invariants together pin exactness:
+
+1. **Edge consistency** — no edge crosses labels: for (a, b) in E,
+   L(a) == L(b). (Labels are not finer than the true components.)
+2. **Label canonicality** — every component's label equals the MIN
+   node id in it. (With 3, labels are not coarser either: a label is
+   a real node of the same component.)
+3. **Label membership** — every label value is itself a labeled node
+   with L(label) == label.
+
+Violating none of these while covering every edge endpoint is exactly
+"L is the connected-components min-labeling of E".
+
+Usage: python tools/verify_components_invariants.py [SF_DIR]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from handyspark_spark.pipeline.dedup import (minhash_lsh_components,
+                                                 minhash_lsh_star_edges)
+    from handyspark_spark.sources.loader import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    labels = minhash_lsh_components(df, num_hashes=16, bands=2,
+                                    max_bucket_size=500,
+                                    hash_fn="md5").persist()
+    edges = minhash_lsh_star_edges(df, num_hashes=16, bands=2,
+                                   max_bucket_size=500)
+
+    n = labels.count()
+    la = labels.withColumnRenamed("node", "id_a") \
+               .withColumnRenamed("component", "ca")
+    lb = labels.withColumnRenamed("node", "id_b") \
+               .withColumnRenamed("component", "cb")
+    cross = (edges.join(la, "id_a").join(lb, "id_b")
+             .filter(F.col("ca") != F.col("cb")).count())
+    bad_min = (labels.groupBy("component")
+               .agg(F.min("node").alias("mn"))
+               .filter(F.col("component") != F.col("mn")).count())
+    bad_member = (labels.select(F.col("component").alias("node")).distinct()
+                  .join(labels.filter(F.col("node") == F.col("component")),
+                        "node", "left_anti").count())
+    print(f"nodes={n} cross_label_edges={cross} "
+          f"non_min_labels={bad_min} non_member_labels={bad_member}")
+    ok = cross == 0 and bad_min == 0 and bad_member == 0
+    print("PASS" if ok else "FAIL")
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
