@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_ranged_cumsum", "melted_avg_ranks", "ranged_avg_rank",
+__all__ = ["grouped_ranged_cumsum", "grouped_rank_suite",
+           "melted_avg_ranks", "ntile_expr", "ranged_avg_rank",
            "ranged_cumsum", "ranged_row_number"]
 
 _PID = "_rcs_pid"
@@ -319,6 +320,102 @@ def melted_avg_ranks(df: DataFrame, cols: list[str],
             + [F.max(F.when(F.col("_cid") == i, F.col("_r")))
                .alias(f"{prefix}{c}") for i, c in enumerate(cols)])
     return ranked.groupBy("_rid").agg(*aggs)
+
+
+def ntile_expr(rn: Column, n: Column, k: int) -> Column:
+    """SQL ``NTILE(k)`` from a 1-based row number ``rn`` and the group
+    size ``n`` — closed form, no window: the first ``n % k`` tiles hold
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)`` (the standard NTILE
+    contract, identical in Spark and DuckDB). Lets callers attach tiles
+    from distributed row numbers instead of a keyed NTILE window."""
+    q = F.floor(n / k)
+    rem = n % k
+    big = q + 1
+    cut = rem * big
+    return (F.when(rn <= cut, F.floor((rn - 1) / big) + 1)
+            # guard: q can be 0 only when n < k, and then EVERY row has
+            # rn <= cut = n, so this branch never evaluates with q = 0 —
+            # greatest() just keeps the divisor non-zero for codegen
+            .otherwise(rem + F.floor((rn - cut - 1)
+                                     / F.greatest(q, F.lit(1))) + 1))
+
+
+def grouped_rank_suite(df: DataFrame, group_cols: list[str],
+                       order_cols: list[str],
+                       num_partitions: int | None = None,
+                       pin: bool = True) -> DataFrame:
+    """The per-group ranking family (row_number / rank / dense_rank /
+    peer counts / group sizes) WITHOUT a per-group window — the
+    distributed fix for ``Window.partitionBy(low_cardinality_key)``,
+    which caps parallelism at |distinct keys| tasks no matter how big
+    the cluster is (a 3-value status column = 3 tasks for the whole
+    dataset).
+
+    Shape (the ``grouped_ranged_cumsum`` two-branch pattern):
+
+    1. ``repartitionByRange`` on ``(group_cols + order_cols)`` — ONE
+       range exchange; a big group SPANS partitions, so parallelism is
+       ``num_partitions``, not |groups|. RangePartitioner sends equal
+       tuples to the same partition, so order-tuple TIES never straddle
+       partitions — local rank/peer math stays exact.
+    2. Per-``(pid, group)`` window: local row_number / rank /
+       dense_rank / peer count — all share one sort, no extra shuffle.
+    3. Per-``(pid, group)`` totals: row count + distinct-tuple count
+       (``countDistinct(struct(order_cols))`` — struct, so tuples
+       containing NULLs still count). Prefix sums over this TINY table
+       (≤ partitions × boundary-spanning groups rows) give each pid its
+       row/dense offsets and each group its size; broadcast-joined back.
+
+    Adds columns: ``_rn`` (row_number), ``_rank``, ``_dense_rank``,
+    ``_peers`` (rows tied with this one on the full order tuple),
+    ``_n`` (group size). Derive the rest closed-form:
+    ``percent_rank = (_rank-1)/(_n-1)``, ``cume_dist =
+    (_rank+_peers-1)/_n``, ``ntile = ntile_expr(_rn, _n, k)``.
+
+    Order columns are ascending with Spark's NULLS FIRST; callers
+    aligning with engines that default NULLS LAST must pre-filter or
+    flip nulls explicitly. ``pin`` as in ``ranged_cumsum``: the lazy
+    localCheckpoint pins ONE materialized range partitioning shared by
+    the rank and totals branches (pid alignment without leaning on
+    exchange reuse); ``pin=False`` keeps the plain plan for tests."""
+    oexprs = [F.col(c) for c in order_cols]
+    exprs = [F.col(c) for c in group_cols] + oexprs
+    n = _num_partitions(df, num_partitions)
+    d = (df.repartitionByRange(n, *exprs)
+           .withColumn(_PID, F.spark_partition_id()))
+    if pin:
+        d = d.localCheckpoint(eager=False)
+
+    w = Window.partitionBy(_PID, *group_cols).orderBy(*oexprs)
+    # peers = COUNT over the RANGE frame (current row, current row) =
+    # rows equal on the whole order tuple; shares w's exchange and sort
+    w_peers = w.rangeBetween(Window.currentRow, Window.currentRow)
+    local = (d.withColumn("_lrn", F.row_number().over(w))
+              .withColumn("_lrk", F.rank().over(w))
+              .withColumn("_ldr", F.dense_rank().over(w))
+              .withColumn("_peers", F.count(F.lit(1)).over(w_peers)))
+
+    tot = d.groupBy(_PID, *group_cols).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.countDistinct(F.struct(*oexprs)).alias("_dcnt"))
+    # prefix offsets within each group across pids + the group size:
+    # windows over the totals table — bounded by cluster parallelism
+    # (× groups crossing a partition boundary), not data size
+    w_off = (Window.partitionBy(*group_cols).orderBy(_PID)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy(*group_cols)
+    off = tot.select(
+        _PID, *group_cols,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off_rn"),
+        F.coalesce(F.sum("_dcnt").over(w_off), F.lit(0)).alias("_off_dr"),
+        F.sum("_cnt").over(w_all).alias("_n"))
+
+    return (local.join(F.broadcast(off), on=[_PID, *group_cols],
+                       how="left")
+            .withColumn("_rn", F.col("_lrn") + F.col("_off_rn"))
+            .withColumn("_rank", F.col("_lrk") + F.col("_off_rn"))
+            .withColumn("_dense_rank", F.col("_ldr") + F.col("_off_dr"))
+            .drop(_PID, "_lrn", "_lrk", "_ldr", "_off_rn", "_off_dr"))
 
 
 def grouped_ranged_cumsum(df: DataFrame, group_cols: list[str],

@@ -2308,18 +2308,26 @@ WINDOW w AS (PARTITION BY o_orderstatus
              ORDER BY o_totalprice, o_orderkey)
 """)
 def q_rank_suite(spark, sf_dir):
-    """Keyed ranking family (ntile/percent_rank/cume_dist/dense_rank) —
-    partitioned windows, shuffle on the status key only."""
-    from pyspark.sql import Window
-    df = _t(spark, sf_dir, "orders")
-    w = (Window.partitionBy("o_orderstatus")
-         .orderBy("o_totalprice", "o_orderkey"))
-    return df.select(
+    """Keyed ranking family (ntile/percent_rank/cume_dist/dense_rank)
+    WITHOUT ``Window.partitionBy(o_orderstatus)`` — o_orderstatus has 3
+    values, so the keyed window caps parallelism at 3 tasks regardless
+    of cluster size (72s at sf10). ``grouped_rank_suite`` range-
+    partitions on (status, price, orderkey) so each status group SPANS
+    partitions; ntile/percent_rank/cume_dist are closed forms over the
+    distributed (_rn, _rank, _peers, _n) columns."""
+    from .operators.rank import grouped_rank_suite, ntile_expr
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    r = grouped_rank_suite(df, ["o_orderstatus"],
+                           ["o_totalprice", "o_orderkey"])
+    n, rk = F.col("_n"), F.col("_rank")
+    return r.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.dense_rank().over(w).cast("int").alias("drank"))
+        ntile_expr(F.col("_rn"), n, 4).cast("int").alias("quartile"),
+        F.round(F.when(n > 1, (rk - 1) / (n - 1)).otherwise(F.lit(0.0)),
+                6).alias("pct_rank"),
+        F.round((rk + F.col("_peers") - 1) / n, 6).alias("cume"),
+        F.col("_dense_rank").cast("int").alias("drank"))
 
 
 @query("set_ops", """

@@ -282,3 +282,55 @@ def test_melted_rank_exchange_count_constant_in_M(spark):
     e6 = exchange_count(corr_plan(sdf, [f"c{i}" for i in range(6)],
                                   method="spearman"))
     assert e6 == e2 <= 5
+
+
+def test_grouped_rank_suite_matches_window_and_stays_parallel(
+        spark, skewed_pdf):
+    """grouped_rank_suite == the keyed-window ranking family on a
+    3-value group key with heavy order-tuple ties AND a skewed group
+    (80% of rows in one group) — while the plan range-partitions
+    across the order columns instead of hashing on the 3-value key
+    (the keyed window caps parallelism at 3 tasks forever)."""
+    from pyspark.sql import Window
+    from handyspark_spark.operators.rank import (grouped_rank_suite,
+                                                 ntile_expr)
+    df = spark.createDataFrame(skewed_pdf.reset_index(names="id"))
+    r = grouped_rank_suite(df.select("id", "g", "w"), ["g"], ["w"],
+                           num_partitions=8)
+    w = Window.partitionBy("g").orderBy("w")
+    ref = df.select(
+        "id", "g", "w",
+        F.rank().over(w).alias("rank_w"),
+        F.dense_rank().over(w).alias("dr_w"),
+        F.cume_dist().over(w).alias("cd_w"),
+        F.percent_rank().over(w).alias("pr_w"))
+    got = (r.select("id", "_rank", "_dense_rank", "_peers", "_n")
+           .toPandas().set_index("id").sort_index())
+    exp = ref.toPandas().set_index("id").sort_index()
+    np.testing.assert_array_equal(got["_rank"], exp["rank_w"])
+    np.testing.assert_array_equal(got["_dense_rank"], exp["dr_w"])
+    np.testing.assert_allclose(
+        (got["_rank"] + got["_peers"] - 1) / got["_n"], exp["cd_w"])
+    np.testing.assert_allclose(
+        (got["_rank"] - 1) / (got["_n"] - 1), exp["pr_w"])
+    # ntile: tie order is engine-arbitrary, so pin per-(group, tile)
+    # SIZES — the NTILE contract — not row assignment
+    nt = (r.select("g", ntile_expr(F.col("_rn"), F.col("_n"), 4)
+                   .alias("t"))
+          .groupBy("g", "t").count().toPandas()
+          .set_index(["g", "t"]).sort_index())
+    ntw = (df.select("g", F.ntile(4).over(w).alias("t"))
+           .groupBy("g", "t").count().toPandas()
+           .set_index(["g", "t"]).sort_index())
+    np.testing.assert_array_equal(nt["count"], ntw["count"])
+
+    # plan pin: the un-pinned plan shows the distributed range exchange
+    # (8-way), and every data-sized window is keyed by the pid — no
+    # window partitioned by the raw 3-value group key alone
+    rp = grouped_rank_suite(df.select("id", "g", "w"), ["g"], ["w"],
+                            num_partitions=8, pin=False)
+    plan = rp._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    for spec in _window_specs(rp):
+        if re.search(r"\bw#", spec):        # windows over the data col
+            assert "_rcs_pid#" in spec, f"3-task window survived: {spec}"
