@@ -57,12 +57,72 @@ def _token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      F.array_distinct(tokens(text_col)).alias("_toks"))
 
 
+def _cap_candidate_pairs(keyed: DataFrame, key_cols: list[str],
+                         max_candidate_pairs: int | None, op: str) -> None:
+    """Loud guard for pair-enumeration blow-up: a join key shared by n
+    rows emits n·(n-1)/2 candidate pairs, so the candidate volume is
+    sum-over-keys of C(n,2) — quadratic in duplicate-clique depth. At
+    sf10 the uncapped forms ran to 346M output rows / 77 GB of shuffle
+    spill; the failure mode was disk exhaustion hours in, not an error.
+    This computes the exact candidate count with ONE linear aggregation
+    (map-side partial counts; shuffled bytes = |distinct keys|) and
+    raises naming the linear-scale alternatives. Mirrors
+    ``similarity._cap_query_rows``; pass ``max_candidate_pairs=None``
+    to opt out."""
+    if max_candidate_pairs is None:
+        return
+    row = (keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+           .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_p"),
+                F.max("_n").alias("_mx"))
+           .collect()[0])
+    npairs = int(row["_p"] or 0)
+    if npairs > max_candidate_pairs:
+        raise ValueError(
+            f"{op}: candidate-pair volume {npairs:,} exceeds "
+            f"max_candidate_pairs={max_candidate_pairs:,} (hottest join "
+            f"key holds {row['_mx']:,} rows) — pair enumeration is "
+            f"quadratic in duplicate-clique depth. Use the linear-scale "
+            f"paths instead: minhash_lsh_groups / connected_components "
+            f"(cluster membership without pair materialization), or "
+            f"bound the candidate generator (max_token_df / "
+            f"max_postings_per_token), or pass max_candidate_pairs=None "
+            f"to force the enumeration")
+
+
+def _smallest_k_per_key(df: DataFrame, key_cols: list[str],
+                        order_col: str, k: int,
+                        n_salts: int = 32) -> DataFrame:
+    """Keep the ``k`` smallest ``order_col`` rows per key — the
+    deterministic postings-truncation primitive. A plain
+    ``row_number() OVER (PARTITION BY key)`` serializes a hot key
+    (df = millions for a stop token) into one task; this runs the
+    standard salted two-phase top-k: per-(key, salt) local top-k (the
+    wide data never sees a single-task window), then a global top-k
+    over the ≤ ``n_salts``·``k`` survivors per key. Result is identical
+    to the single-window form — salting is an execution strategy, not a
+    semantic one — so engines without the trick (the DuckDB oracle)
+    reproduce it with one QUALIFY."""
+    o = F.col(order_col)
+    w1 = (Window.partitionBy(*key_cols, "_cap_salt").orderBy(o))
+    local = (df.withColumn("_cap_salt",
+                           F.pmod(F.xxhash64(o), F.lit(n_salts)))
+             .withColumn("_cap_r", F.row_number().over(w1))
+             .filter(F.col("_cap_r") <= k))
+    w2 = Window.partitionBy(*key_cols).orderBy(o)
+    return (local.withColumn("_cap_r2", F.row_number().over(w2))
+            .filter(F.col("_cap_r2") <= k)
+            .drop("_cap_salt", "_cap_r", "_cap_r2"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: float = 0.8,
                         max_token_df: int | None = None,
                         strategy: str = "auto",
-                        max_bitmask_rows: int | None = 100_000) -> DataFrame:
+                        max_bitmask_rows: int | None = 100_000,
+                        max_postings_per_token: int | None = None,
+                        max_candidate_pairs: int | None = 100_000_000,
+                        ) -> DataFrame:
     """Exact pairwise Jaccard >= threshold. Two physical strategies,
     picked adaptively:
 
@@ -93,6 +153,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ENFORCED guard: auto-selection falls back to ``inverted`` above it,
     and an explicit ``strategy="bitmask"`` raises ValueError rather than
     silently going quadratic. Pass ``max_bitmask_rows=None`` to opt out.
+
+    ``max_candidate_pairs`` (default 100M): loud cap on the token-join
+    candidate volume (sum over join tokens of C(df, 2)) — computed with
+    one linear aggregation BEFORE the quadratic join runs, raising with
+    the linear alternatives (minhash_lsh_groups / connected_components)
+    named instead of spilling tens of GB hours into a job. ``None``
+    opts out.
+
+    ``max_postings_per_token``: deterministically keep only the K
+    smallest doc ids per join token (salted two-phase top-k — no hot-key
+    single-task window). On the PREFIX path this bounds candidate
+    generation only: emitted pairs keep EXACT Jaccard (verification uses
+    full token sets); pairs whose every shared prefix token was
+    truncated are missed (recall trade, the LSH-hot-bucket contract).
+    On the INVERTED path intersections are counted from the truncated
+    postings, so scores become a deterministic UNDER-estimate for pairs
+    that straddle a truncated posting — a sampled audit, not exact
+    scoring; prefer the prefix path when capping.
     """
     if strategy not in ("auto", "bitmask", "prefix", "inverted"):
         raise ValueError(f"unknown strategy {strategy!r}; expected "
@@ -132,7 +210,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     f"or pass max_bitmask_rows=None to force")
         return _jaccard_bitmask(ts, id_col, threshold)
     if strategy == "prefix":
-        return _jaccard_prefix(ts, threshold, max_token_df)
+        return _jaccard_prefix(ts, threshold, max_token_df,
+                               max_postings_per_token, max_candidate_pairs)
     sizes = ts.select("_id", F.size("_toks").alias("_n"))
     inv = ts.select("_id", F.explode("_toks").alias("_tok"))
     if max_token_df is not None:
@@ -140,6 +219,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                      .agg(F.count(F.lit(1)).alias("_df"))
                      .filter(F.col("_df") <= max_token_df))
         inv = inv.join(F.broadcast(df_counts.select("_tok")), "_tok")
+    if max_postings_per_token is not None:
+        inv = _smallest_k_per_key(inv, ["_tok"], "_id",
+                                  max_postings_per_token)
+    _cap_candidate_pairs(inv, ["_tok"], max_candidate_pairs,
+                         "ngram_jaccard_pairs(inverted)")
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (a.join(b, (F.col("a._tok") == F.col("b._tok")) &
@@ -158,7 +242,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def _jaccard_prefix(ts: DataFrame, threshold: float,
-                    max_token_df: int | None) -> DataFrame:
+                    max_token_df: int | None,
+                    max_postings_per_token: int | None = None,
+                    max_candidate_pairs: int | None = None) -> DataFrame:
     """Prefix-filtered exact Jaccard join (Bayardo/Ma/Srikant WWW'07).
 
     Any pair with Jaccard >= t has |A∩B| >= t·|A| (and >= t·|B|), so if
@@ -196,6 +282,14 @@ def _jaccard_prefix(ts: DataFrame, threshold: float,
         .cast("int") + F.lit(1), F.lit(0))
     pref = docs.select("_id", F.explode(F.slice("_kt", 1, p))
                        .alias("_tok"))
+    if max_postings_per_token is not None:
+        # candidate-generation cap only: verification below still uses
+        # FULL token sets, so every emitted pair scores exactly; pairs
+        # whose shared prefix tokens were all truncated are missed
+        pref = _smallest_k_per_key(pref, ["_tok"], "_id",
+                                   max_postings_per_token)
+    _cap_candidate_pairs(pref, ["_tok"], max_candidate_pairs,
+                         "ngram_jaccard_pairs(prefix)")
     cand = (pref.alias("pa")
             .join(pref.alias("pb"),
                   (F.col("pa._tok") == F.col("pb._tok")) &
@@ -599,11 +693,21 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
 
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          max_candidate_pairs: int | None = 100_000_000,
+                          ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= k, using the standard
     block-permutation trick: split 64 bits into (k+1) blocks — any pair
     within distance k agrees on >=1 whole block -> join per block, then
-    verify exact Hamming via bit_count(xor)."""
+    verify exact Hamming via bit_count(xor).
+
+    ``max_candidate_pairs`` (default 100M): loud pre-join cap on the
+    block-bucket candidate volume (sum over (block, value) buckets of
+    C(n, 2); near-dup CLIQUES make both candidates and true output
+    quadratic in clique depth — 346M pairs at sf10). The guard is one
+    linear aggregation over the persisted fingerprints; it raises
+    naming the linear cluster-membership alternatives
+    (minhash_lsh_groups / connected_components). ``None`` opts out."""
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
     # persist the fingerprints: |docs| x 16 bytes (tiny at any scale) —
@@ -621,6 +725,10 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     cand = fps.select(
         id_col, "simhash",
         F.posexplode(block_vals).alias("block", "block_val"))
+    # guard shares the persisted fingerprints: one cheap keyed count
+    # over |docs| x (k+1) rows, not a recompute of the simhash UDF
+    _cap_candidate_pairs(cand, ["block", "block_val"],
+                         max_candidate_pairs, "simhash_neardup_pairs")
     a, b = cand.alias("a"), cand.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     hamming = F.bit_count(xor)
@@ -1081,7 +1189,10 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                       threshold: float = 0.9,
                       max_token_df: int | None = None,
                       strategy: str = "auto",
-                      max_bitmask_rows: int | None = 100_000) -> DataFrame:
+                      max_bitmask_rows: int | None = 100_000,
+                      max_postings_per_token: int | None = None,
+                      max_candidate_pairs: int | None = 100_000_000,
+                      ) -> DataFrame:
     """Asymmetric near-dup detection: containment(A in B) =
     |A ∩ B| / |A| over distinct-token sets — the signal Jaccard misses
     when a short document is wholly embedded in a longer one (quoted
@@ -1102,6 +1213,16 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     measured 30x slower at sf0.1), so token sets pack into one bigint
     and containment is bit_count(a&b)/bit_count(a) over a broadcast
     self-join, guarded by ``max_bitmask_rows`` exactly like Jaccard.
+
+    ``max_candidate_pairs`` (default 100M): loud pre-join cap on the
+    inverted path's candidate volume — see ``ngram_jaccard_pairs``.
+    ``max_postings_per_token``: deterministically keep only the K
+    smallest doc ids per posting list. Containment counts intersections
+    FROM the postings, so with a cap the scores are a deterministic
+    sampled audit ("containment among the K earliest docs per token"),
+    exact only for pairs whose both ids survive every shared posting —
+    the bounded form that stays feasible where exact containment is
+    definitionally quadratic (boilerplate cliques).
     """
     if strategy not in ("auto", "bitmask", "inverted"):
         raise ValueError(f"unknown strategy {strategy!r}; expected "
@@ -1138,6 +1259,11 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                      .agg(F.count(F.lit(1)).alias("_df"))
                      .filter(F.col("_df") <= max_token_df))
         inv = inv.join(F.broadcast(df_counts.select("_tok")), "_tok")
+    if max_postings_per_token is not None:
+        inv = _smallest_k_per_key(inv, ["_tok"], "_id",
+                                  max_postings_per_token)
+    _cap_candidate_pairs(inv, ["_tok"], max_candidate_pairs,
+                         "containment_pairs(inverted)")
     a, b = inv.alias("a"), inv.alias("b")
     inter = (a.join(b, (F.col("a._tok") == F.col("b._tok")) &
                        (F.col("a._id") < F.col("b._id")))

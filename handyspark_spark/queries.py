@@ -859,6 +859,58 @@ def q_jaccard_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query("jaccard_pairs_capped", """
+WITH ts AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+), inv AS (
+  SELECT doc_id, unnest(t) AS tok FROM ts
+), dfc AS (
+  SELECT tok, COUNT(*) AS df FROM inv GROUP BY tok
+), ordered AS (
+  SELECT i.doc_id, i.tok,
+         ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                            ORDER BY d.df, i.tok) AS rn,
+         COUNT(*) OVER (PARTITION BY i.doc_id) AS n
+  FROM inv i JOIN dfc d USING (tok)
+), pref AS (
+  SELECT doc_id, tok FROM ordered
+  WHERE rn <= n - floor(0.95 * n) + 1
+), capped AS (
+  -- postings truncation: only the 64 smallest doc ids per prefix token
+  -- generate candidates (the bounded-at-any-scale form; emitted pairs
+  -- still score EXACT Jaccard below — the cap trades recall only)
+  SELECT doc_id, tok FROM pref
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) <= 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(x.t, y.t)) * 1.0
+             / (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))), 6)
+         AS jaccard
+FROM cand
+JOIN ts x ON x.doc_id = cand.id_a
+JOIN ts y ON y.doc_id = cand.id_b
+WHERE len(list_intersect(x.t, y.t)) * 1.0
+      / (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))) >= 0.95
+""")
+def q_jaccard_pairs_capped(spark, sf_dir):
+    """The bounded-candidate form of jaccard_pairs: prefix postings are
+    deterministically truncated to the 64 smallest doc ids per token
+    (salted two-phase top-k — no hot-key window), capping candidate
+    volume at C(16,2) per token at ANY corpus scale. Emitted pairs keep
+    exact Jaccard (verification uses full token sets); this is the
+    variant that stays oracle-checkable at sf10 where the uncapped
+    enumeration exhausts disk."""
+    from .pipeline.dedup import ngram_jaccard_pairs
+    df = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(df, threshold=0.95, strategy="prefix",
+                              max_postings_per_token=64)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 @query("minhash_signatures", """
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -2213,7 +2265,12 @@ def q_simhash_pairs(spark, sf_dir):
     guarantee of the block trick."""
     from .pipeline.dedup import simhash_neardup_pairs
     df = _t(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(df, max_hamming=3) \
+    # explicit 2B candidate budget: the sf10 suite legitimately emits
+    # 346M true pairs (~1.4B bucket candidates), which the library's
+    # 100M default would loudly refuse — the bench exercises the guard
+    # aggregation itself at every SF
+    return simhash_neardup_pairs(df, max_hamming=3,
+                                 max_candidate_pairs=2_000_000_000) \
         .withColumn("hamming", F.col("hamming").cast("int"))
 
 
@@ -4283,6 +4340,58 @@ def q_containment_counts(spark, sf_dir):
     # one evaluation of the pair join (a union of two filters would run
     # the O(n^2) bitmask join twice): emit the contained id(s) of each
     # pair as a 0-2 element array and explode
+    contained = pairs.select(F.explode(F.array(
+        F.when(F.col("containment_a_in_b") == 1.0, F.col("id_a")),
+        F.when(F.col("containment_b_in_a") == 1.0, F.col("id_b"))))
+        .alias("doc_id")).filter(F.col("doc_id").isNotNull())
+    return (contained.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_containers")))
+
+
+@query("containment_counts_capped", """
+WITH ts AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+  FROM documents
+), inv AS (
+  SELECT doc_id, unnest(t) AS tok FROM ts
+), capped AS (
+  -- sampled-postings audit: intersections counted among the 64
+  -- smallest doc ids per token — deterministic, bounded at any scale
+  SELECT doc_id, tok FROM inv
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) <= 64
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(t) AS n FROM ts),
+pairs AS (
+  SELECT id_a, id_b,
+         ROUND(i * 1.0 / x.n, 6) AS a_in_b,
+         ROUND(i * 1.0 / y.n, 6) AS b_in_a
+  FROM inter
+  JOIN sizes x ON x.doc_id = inter.id_a
+  JOIN sizes y ON y.doc_id = inter.id_b
+  WHERE GREATEST(i * 1.0 / x.n, i * 1.0 / y.n) >= 1.0
+), c AS (
+  SELECT id_a AS doc_id FROM pairs WHERE a_in_b = 1.0
+  UNION ALL
+  SELECT id_b FROM pairs WHERE b_in_a = 1.0
+)
+SELECT doc_id, COUNT(*) AS n_containers
+FROM c GROUP BY doc_id
+""")
+def q_containment_counts_capped(spark, sf_dir):
+    """Bounded-candidate containment audit: the inverted path with
+    postings deterministically truncated to the 64 smallest doc ids per
+    token — candidate volume <= C(64,2) per token at ANY corpus scale
+    (exact containment over boilerplate cliques is definitionally
+    quadratic; this is the loud-capped sampled form that stays
+    oracle-checkable at sf10). Scores are exact for pairs whose ids
+    both survive every shared posting, by construction of the cap."""
+    from .pipeline.dedup import containment_pairs
+    df = _t(spark, sf_dir, "documents")
+    pairs = containment_pairs(df, threshold=1.0, strategy="inverted",
+                              max_postings_per_token=64)
     contained = pairs.select(F.explode(F.array(
         F.when(F.col("containment_a_in_b") == 1.0, F.col("id_a")),
         F.when(F.col("containment_b_in_a") == 1.0, F.col("id_b"))))

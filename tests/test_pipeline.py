@@ -1560,3 +1560,56 @@ def test_dup_spans_no_python_in_plan(docs):
         plan = fn(docs, n=8)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_pair_enumeration_caps_raise_loudly(spark):
+    """The candidate-volume guards must refuse quadratic blow-up BEFORE
+    the join runs (sf10 lesson: the uncapped failure mode was 77 GB of
+    shuffle spill, not an error), naming the linear alternatives."""
+    import pandas as pd
+    from handyspark_spark.pipeline.dedup import (containment_pairs,
+                                                 ngram_jaccard_pairs,
+                                                 simhash_neardup_pairs)
+    base = "c0 c1 c2 c3 c4 c5 c6 c7"
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(200),
+         "text": [f"{base} u{i}" for i in range(200)]}))
+    with pytest.raises(ValueError, match="minhash_lsh_groups"):
+        ngram_jaccard_pairs(df, threshold=0.8, strategy="prefix",
+                            max_candidate_pairs=1000)
+    with pytest.raises(ValueError, match="minhash_lsh_groups"):
+        ngram_jaccard_pairs(df, threshold=0.3, strategy="inverted",
+                            max_candidate_pairs=1000)
+    with pytest.raises(ValueError, match="connected_components"):
+        containment_pairs(df, strategy="inverted",
+                          max_candidate_pairs=1000)
+    with pytest.raises(ValueError, match="minhash_lsh_groups"):
+        simhash_neardup_pairs(df, max_candidate_pairs=1000)
+
+
+def test_postings_cap_bounds_candidates_with_exact_scores(spark):
+    """max_postings_per_token turns the raising fixture above into a
+    bounded run whose emitted pairs still score EXACT Jaccard (prefix
+    path verifies on full token sets); the kept pair set is exactly the
+    pairs among the K smallest ids per prefix token."""
+    import pandas as pd
+    from handyspark_spark.pipeline.dedup import ngram_jaccard_pairs
+    base = "c0 c1 c2 c3 c4 c5 c6 c7"
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(200),
+         "text": [f"{base} u{i}" for i in range(200)]}))
+    out = ngram_jaccard_pairs(df, threshold=0.8, strategy="prefix",
+                              max_postings_per_token=8,
+                              max_candidate_pairs=1000).collect()
+    got = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in out}
+    # every pair among ids 0..7 shares the 8 common tokens of a
+    # 9-token set: jaccard = 8 / 10 exactly
+    assert set(got) == {(a, b) for a in range(8) for b in range(8)
+                        if a < b}
+    assert all(abs(v - 0.8) < 1e-12 for v in got.values())
+    # determinism of the salted two-phase truncation
+    again = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+             ngram_jaccard_pairs(df, threshold=0.8, strategy="prefix",
+                                 max_postings_per_token=8,
+                                 max_candidate_pairs=1000).collect()}
+    assert again == got
