@@ -6,11 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 $SPARK_GRAFT_BENCH_SINK: "collect" (default — driver contract: the wall
 time includes emitting results to the driver) or "noop" (terminate each
 query with Spark's no-op batch sink instead — OPERATOR-ONLY cost, no
-driver emit). In the default mode the top-10 heaviest queries are
-re-run through the noop sink afterwards and reported as
-"queries_noop": for pair/grid queries whose output is large, driver
-emit is ~25%+ of collect-mode wall time and would otherwise mask plan
-regressions in exactly the most expensive operators.
+driver emit). In the default mode the FULL suite is re-run through the
+noop sink afterwards and reported as "queries_noop": for pair/grid
+queries whose output is large, driver emit is ~25%+ of collect-mode
+wall time and would otherwise mask plan regressions in exactly the
+most expensive operators. $SPARK_GRAFT_BENCH_NOOP_TOP=N bounds the
+re-run to the N heaviest (for very large SFs).
 
 $SPARK_GRAFT_BENCH_SKIP: comma-separated query names to leave out (for
 very-large-SF runs where the quadratic-output pair enumerations get
@@ -58,6 +59,12 @@ def main():
     sink = os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect")
     skip = {s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP",
                                       "").split(",") if s}
+    unknown = skip - set(qs)
+    if unknown:
+        # a typo'd skip name would leave the real query running while
+        # the artifact claims it was excluded — fail fast instead
+        sys.exit(f"SPARK_GRAFT_BENCH_SKIP names not in the query "
+                 f"registry: {sorted(unknown)}")
     qs = {n: f for n, f in qs.items() if n not in skip}
 
     def run_one(fn, how: str) -> float:
@@ -84,9 +91,18 @@ def main():
 
     noop_timings: dict[str, float] = {}
     if sink == "collect":
-        heavy = sorted((n for n, v in timings.items() if v == v),
-                       key=lambda n: -timings[n])[:10]
-        for name in heavy:
+        # full-suite noop re-run (not just the top-10): collect-mode
+        # wall time for result-heavy queries is dominated by driver
+        # emit (resample_4h: 1.0s noop vs 16.7s collect at sf1), which
+        # masks operator/plan regressions round-over-round. Both
+        # timings are recorded; SPARK_GRAFT_BENCH_NOOP_TOP=N restores
+        # the bounded form for very large SFs.
+        top = os.environ.get("SPARK_GRAFT_BENCH_NOOP_TOP", "")
+        ordered = sorted((n for n, v in timings.items() if v == v),
+                         key=lambda n: -timings[n])
+        if top:
+            ordered = ordered[:int(top)]
+        for name in ordered:
             try:
                 noop_timings[name] = round(run_one(qs[name], "noop"), 3)
             except Exception as e:  # pragma: no cover
@@ -125,6 +141,13 @@ def main():
         if noop_timings:
             payload["queries_noop"] = {k: round(v, 1)
                                        for k, v in noop_timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > line_budget and noop_timings:
+        # printed line keeps only the 10 heaviest noop re-times; the
+        # full per-query noop detail stays in bench_full.json
+        heav = sorted(noop_timings, key=lambda n: -noop_timings[n])[:10]
+        payload["queries_noop"] = {k: round(noop_timings[k], 1)
+                                   for k in heav}
         line = json.dumps(payload, separators=(",", ":"))
     while len(line) > line_budget and payload["queries"]:
         # drop the fastest remaining query; keep the expensive ones visible

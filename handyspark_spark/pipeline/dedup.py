@@ -1358,13 +1358,14 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
     re-expression: every document emits one 128-bit hash per n-gram
     START POSITION (a pure projection — token array let-bound, grams
     hashed in place, nothing corpus-sized is materialized per row), a
-    window count over the hash decides duplication (ONE exchange on the
-    gram hash, map-side partial counts do NOT apply to windows but the
-    shuffled payload is (id, pos, hash) = ~28 bytes/gram), and the
-    surviving positions fold into maximal spans with a classic
-    gaps-and-islands pass (ONE exchange on the doc id). Two shuffles
-    total, both key-grouped — AQE skew-splitting absorbs a pathological
-    gram (e.g. boilerplate headers).
+    ``groupBy(hash).count()`` + equi-join back decides duplication —
+    NOT a COUNT window over the hash: a window partition key cannot be
+    split, so a boilerplate gram repeated k times corpus-wide would
+    serialize into one k-row task, while the grouped form gets
+    map-side partial counts (shuffled rows = |distinct grams|) and the
+    join is AQE-skew-splittable. The surviving positions then fold
+    into maximal spans with a classic gaps-and-islands pass (one
+    exchange on the doc id).
 
     Hash note: duplication is decided on an (xxhash64(gram),
     xxhash64(gram, salt)) pair — 128 bits, so a false-duplicate
@@ -1396,10 +1397,11 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
                    F.explode(let_bound(_toks(text_col), body)).alias("_g"))
          .select(id_col, F.col("_g.pos").alias("_pos"),
                  F.col("_g.h1").alias("_h1"), F.col("_g.h2").alias("_h2")))
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("_h1", "_h2"))
-    hits = (g.withColumn("_cnt", cnt)
-            .filter(F.col("_cnt") >= int(min_count))
-            .drop("_h1", "_h2", "_cnt"))
+    dup = (g.groupBy("_h1", "_h2")
+           .agg(F.count(F.lit(1)).alias("_cnt"))
+           .filter(F.col("_cnt") >= int(min_count)))
+    hits = (g.join(dup.select("_h1", "_h2"), ["_h1", "_h2"])
+            .drop("_h1", "_h2"))
     wd = Window.partitionBy(id_col).orderBy("_pos")
     new_island = F.when(
         F.lag("_pos").over(wd).isNull()

@@ -41,10 +41,25 @@ def main():
         missing = keep_names - set(queries)
         if missing:
             sys.exit(f"keep-log is missing PASS lines for: {missing}")
+    def rank(entry):
+        # real verdicts beat placeholders regardless of argument order:
+        # verify_oracle writes {"status": "skip"} rows for every
+        # --skip'ed query, and a half-run's skip must never clobber a
+        # recovered pass/fail
+        return {"pass": 3, "fail": 3, "weak": 2}.get(entry["status"], 1)
+
     for path in args:
         d = json.load(open(path))
         sf_dir = sf_dir or d.get("sf_dir")
-        queries.update(d["queries"])
+        for name, entry in d["queries"].items():
+            prev = queries.get(name)
+            if prev is None or rank(entry) > rank(prev):
+                queries[name] = entry
+            elif (rank(entry) == rank(prev)
+                  and entry["status"] != prev["status"]):
+                sys.exit(f"CONFLICT on {name!r}: {prev['status']} vs "
+                         f"{entry['status']} ({path}) — resolve by "
+                         f"re-running the query, not by merge order")
 
     summary = {"sf_dir": sf_dir, "queries": queries,
                "n_queries": len(queries),

@@ -3,18 +3,24 @@ where the recursive-closure oracle is infeasible (quadratic in
 component size).
 
 Given labels L(node) and the star-edge set E the operator consumed,
-three invariants together pin exactness:
+four invariants together pin exactness:
 
 1. **Edge consistency** — no edge crosses labels: for (a, b) in E,
-   L(a) == L(b). (Labels are not finer than the true components.)
+   L(a) == L(b). (Labels are not FINER than the true components.)
 2. **Label canonicality** — every component's label equals the MIN
-   node id in it. (With 3, labels are not coarser either: a label is
-   a real node of the same component.)
+   node id in it.
 3. **Label membership** — every label value is itself a labeled node
    with L(label) == label.
+4. **Coarseness** — the number of distinct labels equals the component
+   count of an INDEPENDENT driver-side union-find over E. Invariants
+   1-3 alone do not rule out an over-merged labeling (e.g. true
+   components {5,7} and {9,10} all labeled 5 passes 1-3); 1 says the
+   label partition is no finer than the truth, so equal partition
+   COUNTS force a bijection — no coarser either.
 
-Violating none of these while covering every edge endpoint is exactly
-"L is the connected-components min-labeling of E".
+Together: "L is exactly the connected-components min-labeling of E".
+The union-find is trivial at star-edge scale (|E| <= |nodes|; 228k
+rows at sf10 — seconds on the driver).
 
 Usage: python tools/verify_components_invariants.py [SF_DIR]
 """
@@ -64,9 +70,36 @@ def main():
     bad_member = (labels.select(F.col("component").alias("node")).distinct()
                   .join(labels.filter(F.col("node") == F.col("component")),
                         "node", "left_anti").count())
+
+    # invariant 4 (coarseness): independent driver-side union-find over
+    # the star edges — the edge list is bounded by |nodes| (each node
+    # joins its bucket's min), so collecting it is cheap even at sf10
+    n_labels = labels.select("component").distinct().count()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:            # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.select("id_a", "id_b").toLocalIterator():
+        ra, rb = find(row["id_a"]), find(row["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # components = edge-connected roots + labeled singletons (nodes
+    # with no edge label themselves)
+    edge_nodes = set(parent)
+    roots = {find(x) for x in edge_nodes}
+    singletons = n - len(edge_nodes)
+    n_uf = len(roots) + singletons
     print(f"nodes={n} cross_label_edges={cross} "
-          f"non_min_labels={bad_min} non_member_labels={bad_member}")
-    ok = cross == 0 and bad_min == 0 and bad_member == 0
+          f"non_min_labels={bad_min} non_member_labels={bad_member} "
+          f"labels={n_labels} union_find_components={n_uf}")
+    ok = (cross == 0 and bad_min == 0 and bad_member == 0
+          and n_labels == n_uf)
     print("PASS" if ok else "FAIL")
     spark.stop()
     sys.exit(0 if ok else 1)
