@@ -527,8 +527,28 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             s = np.zeros((nq, len(codes)))
             for j in range(mm):
                 s += L[:, j, codes[:, j]]
+            # self-matches are masked BEFORE the local top-take: the
+            # query's own corpus row would otherwise consume a slot in
+            # its batch, silently shrinking the effective shortlist by
+            # one vs the (top-`take` excluding self) contract
+            s[ids[:, None] == nb[None, :]] = -np.inf
             kk_local = min(take, len(codes))
             top = np.argpartition(-s, kk_local - 1, axis=1)[:, :kk_local]
+            # deterministic (score desc, neighbor_id asc) selection at
+            # the cut: argpartition breaks score ties arbitrarily, so a
+            # tied candidate with the SMALLER id could be dropped here
+            # while the global window would have kept it. Repair only
+            # the queries whose ties straddle the boundary (near-dup
+            # corpora hit this constantly — equal codes => equal ADC).
+            v = np.take_along_axis(s, top, axis=1).min(axis=1)
+            n_gt = (s > v[:, None]).sum(axis=1)
+            n_eq = (s == v[:, None]).sum(axis=1)
+            for qi in np.nonzero(n_gt + n_eq > kk_local)[0]:
+                gti = np.nonzero(s[qi] > v[qi])[0]
+                eqi = np.nonzero(s[qi] == v[qi])[0]
+                need = kk_local - len(gti)
+                keep = eqi[np.argsort(nb[eqi], kind="stable")[:need]]
+                top[qi] = np.concatenate([gti, keep])
             res = {"query_id": np.repeat(ids, kk_local),
                    "neighbor_id": nb[top.ravel()],
                    "score": np.take_along_axis(s, top, axis=1).ravel()}
