@@ -64,6 +64,47 @@ def percentile_expr(col: str, q, precision: float = 0.01,
     return F.percentile_approx(F.col(col), qcol, F.lit(int(1.0 / precision)))
 
 
+_GRID_BASE = 1_000_000_000
+
+
+def grid_units(col: Column, scale: int) -> Column:
+    """A fixed-point money/quantity value as integer grid units:
+    ``round(col * scale)`` as a long — the exact representation for
+    values carrying ``log10(scale)`` decimal digits. Products of unit
+    columns stay exact integers as long as the PER-ROW magnitude is
+    below 2^53 (the round() runs on a double product; e.g. a 100k price
+    at a 1e6 grid is 1e11 ≪ 2^53). Rounding is HALF_UP on the double's
+    value, identical in Spark ``round`` and DuckDB ``ROUND``."""
+    return F.round(col * scale).cast("long")
+
+
+def grid_sum(units: Column, scale: int) -> Column:
+    """Exact overflow-safe SUM of integer grid ``units``, ~1.3-2×
+    faster than the equivalent DecimalType aggregation (measured at
+    sf1: decimal q1 agg set 0.85s -> 0.67s; single product sum 0.58s ->
+    0.29s) while keeping bit-identical results.
+
+    A plain ``sum(long)`` silently wraps: at a 1e-6 grid a 100k-dollar
+    charge is ~1e11 units/row, and 6e8 rows (sf10) push the group sum
+    past 2^63. Split accumulation fixes the range without DecimalType's
+    per-row checked arithmetic: each row contributes
+    ``floor(units/1e9)`` to a HI long sum and ``pmod(units, 1e9)`` to a
+    LO long sum — both native codegen'd long aggregations. HI is bounded
+    by rows × (units/1e9) ~ 6e10 at sf10 (headroom to ~1e8× more rows),
+    LO by rows × 1e9. The exact total ``HI·1e9 + LO`` is reassembled in
+    DECIMAL on the aggregated (per-group) rows only, then divided by
+    ``scale`` — still exact, so the caller's final ``round(…, 2)`` is
+    deterministic at any accumulation order. DuckDB needs no split
+    (``SUM(BIGINT)`` is HUGEINT there); oracles just sum the same units
+    and divide."""
+    b = F.lit(_GRID_BASE)
+    # per-row: units < 2^53, so the double divide + floor is exact
+    hi = F.sum(F.floor(units / F.lit(float(_GRID_BASE))).cast("long"))
+    lo = F.sum(F.pmod(units, b))
+    return ((hi.cast("decimal(38,0)") * b + lo.cast("decimal(38,0)"))
+            / F.lit(scale))
+
+
 def summary_plan(df: DataFrame, exprs: list[Column],
                  strata: list[str] | None = None) -> DataFrame:
     """groupBy(strata).agg(*exprs) — single shuffle, map-side partials.
