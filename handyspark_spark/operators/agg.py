@@ -229,12 +229,42 @@ def mutual_info_plan(df: DataFrame, col_x: str, col_y: str,
 
 
 def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
-              strata: list[str] | None = None) -> DataFrame:
+              strata: list[str] | None = None,
+              pairwise: bool = False) -> DataFrame:
     """Pairwise correlation matrix as a long-form DataFrame
     (col_x, col_y, corr). Pearson via native F.corr (one agg, all pairs at
     once); Spearman via rank transform + Pearson (ref dataframe.py:495-505
-    used mllib RDD Statistics — replaced with pure DataFrame ops)."""
+    used mllib RDD Statistics — replaced with pure DataFrame ops).
+
+    ``pairwise`` (spearman only): pandas-parity mode for MISALIGNED
+    nulls — each (x, y) pair filters to its pairwise-complete rows and
+    RE-RANKS within that subset before correlating, exactly
+    ``pandas.DataFrame.corr(method='spearman')``. Costs one
+    rank-and-correlate pass PER PAIR (O(M²) passes), so it is off by
+    default: the fused one-pass path ranks each column once over its
+    own non-nulls and lets F.corr skip incomplete pairs — identical on
+    null-free or aligned-null data, documented deviation otherwise."""
     strata = strata or []
+    if method == "spearman" and pairwise:
+        from .rank import melted_avg_ranks
+        outs = []
+        for i, cx in enumerate(colnames):
+            for cy in colnames[i:]:
+                pair = [cx] if cx == cy else [cx, cy]
+                sub = df.filter(F.col(cx).isNotNull()
+                                & F.col(cy).isNotNull()) \
+                        .select(*strata, *pair)
+                ranked = melted_avg_ranks(sub, pair, strata=strata)
+                outs.append(summary_plan(
+                    ranked,
+                    [F.lit(cx).alias("col_x"), F.lit(cy).alias("col_y"),
+                     F.corr(F.col(f"_rk_{cx}"), F.col(f"_rk_{cy}"))
+                     .alias("corr")],
+                    strata).select(*strata, "col_x", "col_y", "corr"))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
     if method == "spearman":
         # average ranks per column, computed at DISTINCT-VALUE
         # granularity: rank(v) = #smaller + (cnt_v + 1)/2, via a
@@ -245,9 +275,10 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         # NULL convention: each column is ranked over ITS OWN non-null
         # values; F.corr then skips incomplete pairs. When nulls are
         # misaligned across columns this differs from pandas, which
-        # RE-RANKS within each pairwise-complete subset — re-ranking per
-        # pair is O(pairs) extra passes and is not done here (documented
-        # deviation; identical results on null-free or aligned-null data).
+        # RE-RANKS within each pairwise-complete subset — that exact
+        # semantics is available as the O(pairs)-passes ``pairwise=True``
+        # slow path above (identical results on null-free or
+        # aligned-null data either way).
         # ranks over NON-NULL values only; NULL values keep a NULL rank
         # and F.corr then skips them PAIRWISE — the pandas/scipy
         # convention (listwise-dropping would remove the row from every

@@ -223,3 +223,38 @@ def test_corr_spearman_stratified_vs_pandas(tables, pdf_tables):
             for cy in cols[i:]:
                 assert abs(got[(flag, cx, cy)] - pmat.loc[cx, cy]) \
                     < 1e-9, (flag, cx, cy)
+
+
+def test_spearman_pairwise_matches_pandas_on_misaligned_nulls(spark):
+    """pairwise=True re-ranks within each pairwise-complete subset —
+    exact pandas.DataFrame.corr(method='spearman') on data whose nulls
+    are MISALIGNED across columns (where the fused one-pass default
+    documentedly deviates)."""
+    import numpy as np
+    import pandas as pd
+    from handyspark_spark.operators.agg import corr_plan
+    rng = np.random.RandomState(11)
+    n = 2000
+    pdf = pd.DataFrame({
+        "x": rng.randn(n),
+        "y": rng.randn(n) + 0.5 * rng.randn(n),
+        "z": np.round(rng.uniform(0, 10, n), 0),   # heavy ties
+    })
+    pdf.loc[::7, "x"] = None                        # misaligned nulls
+    pdf.loc[1::5, "y"] = None
+    pdf.loc[2::11, "z"] = None
+    rows = pdf.astype(object).where(pdf.notna(), None)
+    sdf = spark.createDataFrame(rows, "x double, y double, z double")
+    want = pdf.corr(method="spearman")
+    got = {(r.col_x, r.col_y): r.corr
+           for r in corr_plan(sdf, ["x", "y", "z"], method="spearman",
+                              pairwise=True).collect()}
+    for cx, cy in got:
+        assert abs(got[(cx, cy)] - want.loc[cx, cy]) < 1e-9, (cx, cy)
+    # and the default fused path DOES deviate on this fixture (the
+    # pairwise mode exists for a reason)
+    fused = {(r.col_x, r.col_y): r.corr
+             for r in corr_plan(sdf, ["x", "y", "z"],
+                                method="spearman").collect()}
+    assert any(abs(fused[k] - want.loc[k[0], k[1]]) > 1e-12
+               for k in fused if k[0] != k[1])
