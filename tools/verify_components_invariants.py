@@ -18,9 +18,13 @@ four invariants together pin exactness:
    label partition is no finer than the truth, so equal partition
    COUNTS force a bijection — no coarser either.
 
-Together: "L is exactly the connected-components min-labeling of E".
-The union-find is trivial at star-edge scale (|E| <= |nodes|; 228k
-rows at sf10 — seconds on the driver).
+Together: "L is exactly the connected-components min-labeling of E" —
+and the tool additionally re-derives the expected label of EVERY node
+from the union-find and compares them one by one
+(``exact_label_mismatches``), so the verdict is a full independent
+value-level check, not an invariant-only argument. The union-find is
+trivial at star-edge scale (|E| <= |nodes|; 228k rows at sf10 —
+seconds on the driver).
 
 Usage: python tools/verify_components_invariants.py [SF_DIR]
 """
@@ -71,9 +75,14 @@ def main():
                   .join(labels.filter(F.col("node") == F.col("component")),
                         "node", "left_anti").count())
 
-    # invariant 4 (coarseness): independent driver-side union-find over
-    # the star edges — the edge list is bounded by |nodes| (each node
-    # joins its bucket's min), so collecting it is cheap even at sf10
+    # invariant 4 + FULL value check: an independent driver-side
+    # union-find over the star edges — the edge list is bounded by
+    # |nodes| (each node joins its bucket's min), so both it and the
+    # label table are driver-cheap even at sf10 (~228k rows). Beyond
+    # the coarseness COUNT (which with invariant 1 forces a bijection),
+    # this re-derives the expected min-labeling per node and compares
+    # it exactly — a complete independent value-level verdict on the
+    # distributed closure, not a sampled one.
     n_labels = labels.select("component").distinct().count()
     parent: dict = {}
 
@@ -95,11 +104,23 @@ def main():
     roots = {find(x) for x in edge_nodes}
     singletons = n - len(edge_nodes)
     n_uf = len(roots) + singletons
+    minlab: dict = {}
+    for x in edge_nodes:
+        r = find(x)
+        if r not in minlab or x < minlab[r]:
+            minlab[r] = x
+    mismatches = 0
+    for row in labels.toLocalIterator():
+        x, c = row["node"], row["component"]
+        want = minlab[find(x)] if x in parent else x
+        if c != want:
+            mismatches += 1
     print(f"nodes={n} cross_label_edges={cross} "
           f"non_min_labels={bad_min} non_member_labels={bad_member} "
-          f"labels={n_labels} union_find_components={n_uf}")
+          f"labels={n_labels} union_find_components={n_uf} "
+          f"exact_label_mismatches={mismatches}")
     ok = (cross == 0 and bad_min == 0 and bad_member == 0
-          and n_labels == n_uf)
+          and n_labels == n_uf and mismatches == 0)
     print("PASS" if ok else "FAIL")
     spark.stop()
     sys.exit(0 if ok else 1)

@@ -1,0 +1,127 @@
+"""Sampled value-level oracle for ``embedding_neardup`` at SFs where
+the full check is infeasible both ways (sf10: 19.1M output rows — too
+big to value-hash through pandas — over an O(n²) 2.5e11-cosine oracle).
+
+A deterministic id-space sample (``vec_id % STEP == 0``) restricts BOTH
+engines to the same subset of the actual SF corpus: the blocked-BLAS
+Spark operator runs on the sampled frame and DuckDB brute-forces the
+same pairs, so every emitted (id_a, id_b, cosine) row value-compares
+exactly. Sampling vectors samples pairs quadratically (1/STEP² of the
+pair space — ~36k pairs at sf10 with STEP=23), which keeps the oracle
+minutes-cheap while still exercising the sf10 vectors (including the
+upsampled near-dup cliques). The FULL-corpus Spark row count is
+recorded alongside so the artifact carries both signals.
+
+Usage: python tools/verify_neardup_sampled.py [SF_DIR] [--step N]
+       [--json OUT.json] [--skip-full-count]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+THRESHOLD = 0.4
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("float"):
+            pdf[c] = pdf[c].astype("float64").round(9)
+        else:
+            pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def main():
+    args = sys.argv[1:]
+    json_out, step, full_count = None, 23, True
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    if "--step" in args:
+        i = args.index("--step")
+        step = int(args[i + 1])
+        del args[i:i + 2]
+    if "--skip-full-count" in args:
+        args.remove("--skip-full-count")
+        full_count = False
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from handyspark_spark.pipeline.similarity import neardup_pairs_blas
+    from handyspark_spark.sources.loader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % step == 0)
+    t0 = time.perf_counter()
+    sdf = neardup_pairs_blas(sample, threshold=THRESHOLD).toPandas()
+    t_spark = round(time.perf_counter() - t0, 1)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    t0 = time.perf_counter()
+    odf = con.sql(f"""
+        WITH s AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % {step} = 0)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6)
+                 AS cosine
+        FROM s a, s b
+        WHERE a.vec_id < b.vec_id
+          AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6)
+              >= {THRESHOLD}
+    """).df()
+    t_oracle = round(time.perf_counter() - t0, 1)
+
+    s, o = normalize(sdf), normalize(odf)
+    value_match = len(s) == len(o) and s.equals(o)
+    print(f"sampled pairs: spark={len(s)} oracle={len(o)} "
+          f"value_match={value_match} "
+          f"(spark {t_spark}s, oracle {t_oracle}s)")
+
+    full_rows = None
+    if full_count:
+        t0 = time.perf_counter()
+        full_rows = neardup_pairs_blas(emb, threshold=THRESHOLD).count()
+        print(f"full-corpus spark rows: {full_rows} "
+              f"({round(time.perf_counter() - t0, 1)}s)")
+
+    payload = {"sf_dir": sf_dir, "step": step, "threshold": THRESHOLD,
+               "sampled_rows": int(len(s)),
+               "value_match": bool(value_match),
+               "full_spark_rows": full_rows,
+               "status": "pass" if value_match else "fail",
+               "mode": "sampled_value"}
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    print("PASS" if value_match else "FAIL")
+    spark.stop()
+    sys.exit(0 if value_match else 1)
+
+
+if __name__ == "__main__":
+    main()
