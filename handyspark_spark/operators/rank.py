@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_ranged_cumsum", "grouped_rank_suite",
+__all__ = ["grouped_ranged_cumsum", "grouped_rank_suite", "keyed_top_k",
            "melted_avg_ranks", "ntile_expr", "ranged_avg_rank",
            "ranged_cumsum", "ranged_row_number"]
 
@@ -320,6 +320,46 @@ def melted_avg_ranks(df: DataFrame, cols: list[str],
             + [F.max(F.when(F.col("_cid") == i, F.col("_r")))
                .alias(f"{prefix}{c}") for i, c in enumerate(cols)])
     return ranked.groupBy("_rid").agg(*aggs)
+
+
+def keyed_top_k(df: DataFrame, key_cols: list[str], order_by: list,
+                k: int, salt_col: str | Column | None = None,
+                n_salts: int = 32) -> DataFrame:
+    """The first ``k`` rows per key under the total order ``order_by``
+    (column names or Column sort expressions — include a unique
+    tie-breaker for determinism), WITHOUT a single-task-per-key window:
+    ``row_number() OVER (PARTITION BY key)`` funnels each key's entire
+    row set into one task, so a 20-value source column caps a corpus
+    scan at 20 tasks. Standard salted two-phase top-k instead:
+
+    1. per-``(key, salt)`` local top-k — the corpus-sized window is
+       keyed by ``n_salts`` × |keys| partitions, arbitrarily parallel;
+    2. global top-k over the ≤ ``n_salts``·``k`` survivors per key.
+
+    Selection is by the total order, so the result is IDENTICAL to the
+    single-window form (salting is an execution strategy, not a
+    semantic one) — oracles mirror it with one plain QUALIFY.
+
+    ``salt_col``: deterministic per-row salt source (hashed; defaults
+    to the first order-by column name if it is a plain string —
+    pass an id column when ordering by computed expressions)."""
+    exprs = _order_exprs(order_by)
+    if salt_col is None:
+        first = order_by[0]
+        if not isinstance(first, str):
+            raise ValueError("keyed_top_k: pass salt_col when order_by "
+                             "starts with a computed expression")
+        salt_col = first
+    s = F.col(salt_col) if isinstance(salt_col, str) else salt_col
+    w1 = Window.partitionBy(*key_cols, "_ktk_salt").orderBy(*exprs)
+    local = (df.withColumn("_ktk_salt",
+                           F.pmod(F.xxhash64(s), F.lit(n_salts)))
+             .withColumn("_ktk_r", F.row_number().over(w1))
+             .filter(F.col("_ktk_r") <= k))
+    w2 = Window.partitionBy(*key_cols).orderBy(*exprs)
+    return (local.withColumn("_ktk_r2", F.row_number().over(w2))
+            .filter(F.col("_ktk_r2") <= k)
+            .drop("_ktk_salt", "_ktk_r", "_ktk_r2"))
 
 
 def ntile_expr(rn: Column, n: Column, k: int) -> Column:

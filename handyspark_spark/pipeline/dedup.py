@@ -93,25 +93,12 @@ def _smallest_k_per_key(df: DataFrame, key_cols: list[str],
                         order_col: str, k: int,
                         n_salts: int = 32) -> DataFrame:
     """Keep the ``k`` smallest ``order_col`` rows per key — the
-    deterministic postings-truncation primitive. A plain
-    ``row_number() OVER (PARTITION BY key)`` serializes a hot key
-    (df = millions for a stop token) into one task; this runs the
-    standard salted two-phase top-k: per-(key, salt) local top-k (the
-    wide data never sees a single-task window), then a global top-k
-    over the ≤ ``n_salts``·``k`` survivors per key. Result is identical
-    to the single-window form — salting is an execution strategy, not a
-    semantic one — so engines without the trick (the DuckDB oracle)
-    reproduce it with one QUALIFY."""
-    o = F.col(order_col)
-    w1 = (Window.partitionBy(*key_cols, "_cap_salt").orderBy(o))
-    local = (df.withColumn("_cap_salt",
-                           F.pmod(F.xxhash64(o), F.lit(n_salts)))
-             .withColumn("_cap_r", F.row_number().over(w1))
-             .filter(F.col("_cap_r") <= k))
-    w2 = Window.partitionBy(*key_cols).orderBy(o)
-    return (local.withColumn("_cap_r2", F.row_number().over(w2))
-            .filter(F.col("_cap_r2") <= k)
-            .drop("_cap_salt", "_cap_r", "_cap_r2"))
+    deterministic postings-truncation primitive, via the salted
+    two-phase ``operators.rank.keyed_top_k`` (a plain keyed window
+    would serialize a hot token's millions of postings into one task).
+    Oracles reproduce it with one plain QUALIFY."""
+    from ..operators.rank import keyed_top_k
+    return keyed_top_k(df, key_cols, [order_col], k, n_salts=n_salts)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

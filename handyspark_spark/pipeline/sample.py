@@ -73,13 +73,15 @@ def stratified_sample(df: DataFrame, strata_col: str,
 
 def balanced_sample(df: DataFrame, strata_col: str, key_col: str,
                     per_stratum: int) -> DataFrame:
-    """Deterministic 'take ~n per stratum' via hash-ranked window — one
-    shuffle on the stratum key; stable under reruns."""
-    from pyspark.sql import Window
-    w = Window.partitionBy(strata_col).orderBy(
-        hash_unit(F.col(key_col)), F.col(key_col))
-    return (df.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") <= per_stratum).drop("_rn"))
+    """Deterministic 'take ~n per stratum' by hash rank — stable under
+    reruns, and parallel within a stratum via the salted two-phase
+    ``keyed_top_k`` (a plain stratum-keyed window caps the scan at
+    |strata| tasks)."""
+    from ..operators.rank import keyed_top_k
+    return keyed_top_k(
+        df.withColumn("_bs_u", hash_unit(F.col(key_col))),
+        [strata_col], [F.asc("_bs_u"), key_col], per_stratum,
+        salt_col=key_col).drop("_bs_u")
 
 
 def mix_sources(sources: list[tuple[DataFrame, float]],
@@ -153,8 +155,10 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col,
     reproducible across layouts/engines, and no rejection loop exists.
 
     Global form compiles to TakeOrderedAndProject (distributed top-n,
-    no single-partition window); grouped form is one window over the
-    group key."""
+    no single-partition window); grouped form runs the salted two-phase
+    ``keyed_top_k`` — a plain per-group window would funnel each
+    group's full row set into ONE task, capping a corpus scan at
+    |groups| tasks (e.g. 20 sources = 20 tasks forever)."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = hash_unit(F.col(key_col), salt)
     pri = F.pow(u, F.lit(1.0) / w.cast("double"))
@@ -162,11 +166,10 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col,
         return (df.withColumn("_pri", pri)
                 .orderBy(F.desc("_pri"), F.col(key_col))
                 .limit(n).drop("_pri"))
-    from pyspark.sql import Window
-    win = Window.partitionBy(by).orderBy(F.desc("_pri"), F.col(key_col))
-    return (df.withColumn("_pri", pri)
-            .withColumn("_rn", F.row_number().over(win))
-            .filter(F.col("_rn") <= n).drop("_pri", "_rn"))
+    from ..operators.rank import keyed_top_k
+    return keyed_top_k(df.withColumn("_pri", pri), [by],
+                       [F.desc("_pri"), key_col], n,
+                       salt_col=key_col).drop("_pri")
 
 
 def kfold_assign(df: DataFrame, key_col: str, k: int = 5,
