@@ -62,6 +62,16 @@ def main():
         # rows, mark weak with the reason
         rowsonly = set(args[1].split(","))
         args = args[2:]
+    expect_guard: set[str] = set()
+    if args and args[0] == "--expect-guard":
+        # pair-enumeration queries whose DESIGNED behavior at this SF is
+        # the loud candidate-volume refusal (ValueError naming the
+        # linear alternatives) rather than a quadratic run: the guard
+        # firing IS the verified contract — recorded as a pass with
+        # mode "guard_raises", anything else (including silently
+        # completing) is a fail
+        expect_guard = set(args[1].split(","))
+        args = args[2:]
     countonly: set[str] = set()
     if args and args[0] == "--countonly":
         # pair-enumeration queries whose OUTPUT grows quadratically in
@@ -100,6 +110,31 @@ def main():
         if name in skip:
             print(f"SKIP {name} (excluded on the command line)")
             results[name] = {"status": "skip", "err": "excluded"}
+            continue
+        if name in expect_guard:
+            try:
+                n_rows = fn(spark, sf_dir).count()
+            except ValueError as e:
+                if "max_candidate_pairs" in str(e):
+                    print(f"PASS {name} (guard raised as designed)")
+                    results[name] = {"status": "pass",
+                                     "mode": "guard_raises"}
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name}: unexpected error: {str(e)[:200]}")
+                    results[name] = {"status": "fail",
+                                     "err": "wrong_guard_error"}
+                    n_fail += 1
+            except Exception as e:
+                print(f"FAIL {name}: non-guard error: {str(e)[:200]}")
+                results[name] = {"status": "fail", "err": "other_error"}
+                n_fail += 1
+            else:
+                print(f"FAIL {name}: expected the candidate-volume guard "
+                      f"to raise at this SF, query ran ({n_rows} rows)")
+                results[name] = {"status": "fail", "err": "guard_silent",
+                                 "rows": int(n_rows)}
+                n_fail += 1
             continue
         if name in rowsonly:
             try:
