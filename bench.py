@@ -55,6 +55,12 @@ def main():
     from handyspark_spark.sources.loader import TABLES, load_table
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    # the FIRST parquet write in a session pays ~4-5s of committer/codec
+    # JIT — warm it so index-persisting queries (ann_ivf_index, ann_pq)
+    # time their actual fit/save/search, not JVM warmup
+    import tempfile
+    spark.range(1).coalesce(1).write.mode("overwrite").parquet(
+        tempfile.mkdtemp(prefix="hsq_bench_warm_") + "/warm.parquet")
 
     sink = os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect")
     skip = {s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP",
