@@ -44,45 +44,41 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
+    # flags in any order:
+    # --json OUT.json   write the machine-readable artifact
+    # --skip a,b        record {"status": "skip"} without running
+    # --rowsonly a,b    Spark rows only — oracle infeasible at this SF
+    #                   (e.g. recursive-closure components); weak
+    # --expect-guard a,b  the DESIGNED behavior at this SF is the loud
+    #                   candidate-volume refusal: the guard ValueError
+    #                   firing is a pass (mode guard_raises); anything
+    #                   else — including silently completing — fails
+    # --countonly a,b   Spark count vs DuckDB COUNT(*) — output too
+    #                   large to value-hash at this SF (value-level
+    #                   check runs at sf<=1)
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
-    skip: set[str] = set()
-    if args and args[0] == "--skip":
-        skip = set(args[1].split(","))
-        args = args[2:]
-    rowsonly: set[str] = set()
-    if args and args[0] == "--rowsonly":
-        # queries whose ORACLE is infeasible at this SF even though the
-        # Spark side scales (e.g. dedup_components' recursive-CTE
-        # transitive closure is quadratic in component size — the exact
-        # value check runs at oracle SF): run the Spark side, record
-        # rows, mark weak with the reason
-        rowsonly = set(args[1].split(","))
-        args = args[2:]
-    expect_guard: set[str] = set()
-    if args and args[0] == "--expect-guard":
-        # pair-enumeration queries whose DESIGNED behavior at this SF is
-        # the loud candidate-volume refusal (ValueError naming the
-        # linear alternatives) rather than a quadratic run: the guard
-        # firing IS the verified contract — recorded as a pass with
-        # mode "guard_raises", anything else (including silently
-        # completing) is a fail
-        expect_guard = set(args[1].split(","))
-        args = args[2:]
-    countonly: set[str] = set()
-    if args and args[0] == "--countonly":
-        # pair-enumeration queries whose OUTPUT grows quadratically in
-        # duplicate-clique depth: at sf10 the result sets are too large
-        # to round-trip through pandas for a value hash, so compare
-        # Spark count vs DuckDB COUNT(*) over the same oracle SQL (the
-        # value-level check for these runs at sf<=1)
-        countonly = set(args[1].split(","))
-        args = args[2:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    sets = {"--skip": set(), "--rowsonly": set(),
+            "--expect-guard": set(), "--countonly": set()}
+    rest: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--json":
+            json_out = args[i + 1]
+            i += 2
+        elif a in sets:
+            sets[a] = set(args[i + 1].split(","))
+            i += 2
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a}")
+        else:
+            rest.append(a)
+            i += 1
+    skip, rowsonly = sets["--skip"], sets["--rowsonly"]
+    expect_guard, countonly = sets["--expect-guard"], sets["--countonly"]
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    only = set(rest[1:])
     results = {}
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
