@@ -267,23 +267,55 @@ def _jaccard_prefix(ts: DataFrame, threshold: float,
     p = F.greatest(
         F.size("_kt") - F.floor(F.lit(threshold) * F.col("_n"))
         .cast("int") + F.lit(1), F.lit(0))
-    pref = docs.select("_id", F.explode(F.slice("_kt", 1, p))
-                       .alias("_tok"))
     if max_postings_per_token is not None:
-        # candidate-generation cap only: verification below still uses
-        # FULL token sets, so every emitted pair scores exactly; pairs
-        # whose shared prefix tokens were all truncated are missed
+        # capped path: candidate-generation cap only — verification
+        # below still uses FULL token sets, so every emitted pair
+        # scores exactly; pairs whose shared prefix tokens were all
+        # truncated are missed. Dedup must stay a DISTINCT here: the
+        # emit-once predicate below reasons over full prefixes, which
+        # capping invalidates (the minimal common token may have been
+        # truncated from the index while a later one survived).
+        pref = docs.select("_id", F.explode(F.slice("_kt", 1, p))
+                           .alias("_tok"))
         pref = _smallest_k_per_key(pref, ["_tok"], "_id",
                                    max_postings_per_token)
-    _cap_candidate_pairs(pref, ["_tok"], max_candidate_pairs,
-                         "ngram_jaccard_pairs(prefix)")
-    cand = (pref.alias("pa")
-            .join(pref.alias("pb"),
-                  (F.col("pa._tok") == F.col("pb._tok")) &
-                  (F.col("pa._id") < F.col("pb._id")))
-            .select(F.col("pa._id").alias("id_a"),
-                    F.col("pb._id").alias("id_b"))
-            .distinct())
+        _cap_candidate_pairs(pref, ["_tok"], max_candidate_pairs,
+                             "ngram_jaccard_pairs(prefix)")
+        cand = (pref.alias("pa")
+                .join(pref.alias("pb"),
+                      (F.col("pa._tok") == F.col("pb._tok")) &
+                      (F.col("pa._id") < F.col("pb._id")))
+                .select(F.col("pa._id").alias("id_a"),
+                        F.col("pb._id").alias("id_b"))
+                .distinct())
+    else:
+        # emit-once candidates (Bayardo's dedup refinement): a pair
+        # sharing k prefix tokens would leave the token join k times
+        # and then pay a candidate-DISTINCT shuffle of k× the pair
+        # count — the dominant intermediate on boilerplate-heavy
+        # corpora (prefix length × pairs rows; the sf10 disk filler).
+        # Instead each side carries its (globally ordered) prefix
+        # array and a pair is emitted ONLY from its minimal common
+        # prefix token: array_intersect(a_pref, b_pref) preserves the
+        # first array's order, so element 1 IS that minimal token — a
+        # per-joined-row predicate, no dedup exchange at all. Shuffled
+        # rows widen by the prefix array (~(1-t)·|doc| tokens), but
+        # the candidate stream shrinks by the multiplicity factor.
+        pdocs = docs.select("_id", F.slice("_kt", 1, p).alias("_pref"))
+        pref = pdocs.select("_id", "_pref",
+                            F.explode("_pref").alias("_tok"))
+        _cap_candidate_pairs(pref.select("_id", "_tok"), ["_tok"],
+                             max_candidate_pairs,
+                             "ngram_jaccard_pairs(prefix)")
+        first_common = F.element_at(
+            F.array_intersect(F.col("pa._pref"), F.col("pb._pref")), 1)
+        cand = (pref.alias("pa")
+                .join(pref.alias("pb"),
+                      (F.col("pa._tok") == F.col("pb._tok")) &
+                      (F.col("pa._id") < F.col("pb._id")) &
+                      (first_common == F.col("pa._tok")))
+                .select(F.col("pa._id").alias("id_a"),
+                        F.col("pb._id").alias("id_b")))
     a = docs.select(F.col("_id").alias("id_a"), F.col("_kt").alias("_ka"),
                     F.col("_n").alias("_na"))
     b = docs.select(F.col("_id").alias("id_b"), F.col("_kt").alias("_kb"),
