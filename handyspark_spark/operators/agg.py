@@ -84,10 +84,12 @@ def grid_sum(units: Column, scale: int) -> Column:
     sf1: decimal q1 agg set 0.85s -> 0.67s; single product sum 0.58s ->
     0.29s) while keeping bit-identical results.
 
-    A plain ``sum(long)`` silently wraps: at a 1e-6 grid a 100k-dollar
-    charge is ~1e11 units/row, and 6e8 rows (sf10) push the group sum
-    past 2^63. Split accumulation fixes the range without DecimalType's
-    per-row checked arithmetic: each row contributes
+    A plain ``sum(long)`` cannot reach these magnitudes: at a 1e-6
+    grid a 100k-dollar charge is ~1e11 units/row, and 6e8 rows (sf10)
+    push the group sum past 2^63 — an ARITHMETIC_OVERFLOW error under
+    Spark's ANSI default, a silent wrap with ANSI off. Split
+    accumulation fixes the range without DecimalType's per-row checked
+    arithmetic: each row contributes
     ``floor(units/1e9)`` to a HI long sum and ``pmod(units, 1e9)`` to a
     LO long sum — both native codegen'd long aggregations. HI is bounded
     by rows × (units/1e9) ~ 6e10 at sf10 (headroom to ~1e8× more rows),

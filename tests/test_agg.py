@@ -258,3 +258,28 @@ def test_spearman_pairwise_matches_pandas_on_misaligned_nulls(spark):
                                 method="spearman").collect()}
     assert any(abs(fused[k] - want.loc[k[0], k[1]]) > 1e-12
                for k in fused if k[0] != k[1])
+
+
+def test_grid_sum_exact_at_wraparound_magnitudes(spark):
+    """grid_sum must agree with exact integer arithmetic where a plain
+    sum(long) of the units cannot: 2000 rows of ~5e15 units is 1e19
+    total > 2^63 — under Spark 4's ANSI default that is an
+    ARITHMETIC_OVERFLOW error (a silent wrap with ANSI off). The split
+    accumulator (hi/lo long sums, decimal reassembly) stays exact."""
+    import pandas as pd
+    import pytest as _pytest
+    from handyspark_spark.operators.agg import grid_sum
+    from pyspark.sql import functions as F
+    units = [4_999_999_999_999_999 + i for i in range(2000)]
+    assert sum(units) > 2**63          # beyond a long accumulator
+    df = spark.createDataFrame(pd.DataFrame({"u": units}))
+    got = df.agg(
+        F.round(grid_sum(F.col("u"), 1_000_000), 2).cast("double")
+        .alias("s")).collect()[0]["s"]
+    want = float(round(sum(units) / 1_000_000, 2))
+    assert got == want
+    # the naive long sum fails outright at these magnitudes (the split
+    # is load-bearing, not belt-and-braces)
+    from pyspark.errors.exceptions.captured import ArithmeticException
+    with _pytest.raises(ArithmeticException):
+        df.agg(F.sum("u").alias("s")).collect()

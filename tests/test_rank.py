@@ -334,3 +334,27 @@ def test_grouped_rank_suite_matches_window_and_stays_parallel(
     for spec in _window_specs(rp):
         if re.search(r"\bw#", spec):        # windows over the data col
             assert "_rcs_pid#" in spec, f"3-task window survived: {spec}"
+
+
+def test_keyed_top_k_equals_plain_window(spark):
+    """Salted two-phase top-k == the single-window form on skewed
+    groups with duplicate order values (ties broken by the id column
+    included in the order)."""
+    from pyspark.sql import Window
+    from handyspark_spark.operators.rank import keyed_top_k
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({
+        "id": np.arange(10_000),
+        "g": rng.choice(["a", "b", "c"], 10_000, p=[0.9, 0.08, 0.02]),
+        "v": rng.randint(0, 40, 10_000),
+    })
+    df = spark.createDataFrame(pdf).repartition(7)
+    got = (keyed_top_k(df, ["g"], [F.desc("v"), "id"], 25,
+                       salt_col="id")
+           .select("g", "id").toPandas())
+    w = Window.partitionBy("g").orderBy(F.desc("v"), "id")
+    want = (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 25).select("g", "id").toPandas())
+    got = got.sort_values(["g", "id"]).reset_index(drop=True)
+    want = want.sort_values(["g", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
