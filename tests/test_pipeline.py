@@ -1613,3 +1613,55 @@ def test_postings_cap_bounds_candidates_with_exact_scores(spark):
                                  max_postings_per_token=8,
                                  max_candidate_pairs=1000).collect()}
     assert again == got
+
+
+def test_pq_topk_deterministic_under_ties_and_batching(spark):
+    """ADC shortlists must follow the (score desc, neighbor_id asc)
+    contract even when scores TIE inside an Arrow batch (duplicate
+    vectors => identical codes => equal ADC scores) and the batch cut
+    lands inside a tie group — the argpartition repair path. Expected
+    result computed independently in numpy from the same codebooks."""
+    import numpy as np
+    import pandas as pd
+    from handyspark_spark.pipeline.similarity import pq_topk
+    rng = np.random.RandomState(9)
+    base = rng.randn(6, 8)
+    # 50 copies of each of 6 distinct vectors, interleaved ids
+    X = np.repeat(base, 50, axis=0)
+    ids = np.arange(300)
+    rng.shuffle(ids)
+    pdf = pd.DataFrame({"vec_id": ids.astype("int64"),
+                        "embedding": [r.tolist() for r in X]})
+    books = rng.randn(2, 4, 4)          # m=2, k=4, dsub=4
+    df = spark.createDataFrame(pdf).repartition(5)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        got = pq_topk(df, df.filter(F.col("vec_id") < 3), k=5,
+                      books=books, rerank=None).collect()
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # independent expectation
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    codes = np.empty((300, 2), dtype=int)
+    for j in range(2):
+        S = Xn[:, j * 4:(j + 1) * 4]
+        d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1)
+    order = np.argsort(ids)
+    by_id = {int(ids[i]): i for i in range(300)}
+    for q in range(3):
+        qi = by_id[q]
+        lut = np.einsum("jd,jcd->jc", Xn[qi].reshape(2, 4), books)
+        scores = {int(ids[i]): float(lut[0, codes[i, 0]]
+                                     + lut[1, codes[i, 1]])
+                  for i in range(300) if int(ids[i]) != q}
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got_q = sorted([r for r in got if r.query_id == q],
+                       key=lambda r: r.rank)
+        assert [r.neighbor_id for r in got_q] == [w[0] for w in want], q
+        for r, w in zip(got_q, want):
+            assert abs(r.score - round(w[1], 6)) < 1e-9
