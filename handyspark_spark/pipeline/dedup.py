@@ -714,6 +714,7 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_hamming: int = 3,
                           max_candidate_pairs: int | None = 100_000_000,
+                          max_docs_per_bucket: int | None = None,
                           ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= k, using the standard
     block-permutation trick: split 64 bits into (k+1) blocks — any pair
@@ -726,7 +727,20 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     quadratic in clique depth — 346M pairs at sf10). The guard is one
     linear aggregation over the persisted fingerprints; it raises
     naming the linear cluster-membership alternatives
-    (minhash_lsh_groups / connected_components). ``None`` opts out."""
+    (minhash_lsh_groups / connected_components). ``None`` opts out.
+
+    ``max_docs_per_bucket``: the bounded-at-any-scale form — each
+    (block, value) bucket keeps only its ``k`` smallest doc ids
+    (deterministic salted two-phase truncation, no hot-key window), so
+    candidate volume is capped at C(k, 2) per bucket regardless of
+    clique depth. Emitted pairs still verify EXACT Hamming; the cap
+    trades recall only (pairs both of whose members fall outside every
+    shared surviving bucket are missed). With truncation the
+    first-agreeing-block emit-once trick is unsound — a pair's first
+    agreeing block may have lost one member to the cap while a later
+    block kept both — so the capped path emits from every surviving
+    agreeing bucket and dedups with a distinct (bounded by
+    construction, so the extra shuffle is capped too)."""
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
     # persist the fingerprints: |docs| x 16 bytes (tiny at any scale) —
@@ -744,8 +758,12 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     cand = fps.select(
         id_col, "simhash",
         F.posexplode(block_vals).alias("block", "block_val"))
+    if max_docs_per_bucket is not None:
+        cand = _smallest_k_per_key(cand, ["block", "block_val"],
+                                   id_col, max_docs_per_bucket)
     # guard shares the persisted fingerprints: one cheap keyed count
     # over |docs| x (k+1) rows, not a recompute of the simhash UDF
+    # (post-truncation when capped, so the bounded form passes it)
     _cap_candidate_pairs(cand, ["block", "block_val"],
                          max_candidate_pairs, "simhash_neardup_pairs")
     a, b = cand.alias("a"), cand.alias("b")
@@ -760,18 +778,23 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     # verify also runs INSIDE the join: random same-block collisions
     # between unrelated docs die per joined row, never shuffled.
     mask = F.lit((1 << width) - 1)
-    first_block = F.coalesce(*[
-        F.when(F.shiftrightunsigned(xor, j * width)
-                .bitwiseAND(mask) == 0, F.lit(j))
-        for j in range(n_blocks)], F.lit(-1))
-    return (a.join(b, (F.col("a.block") == F.col("b.block")) &
-                      (F.col("a.block_val") == F.col("b.block_val")) &
-                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) &
-                      (hamming <= max_hamming) &
-                      (F.col("a.block") == first_block))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    hamming.alias("hamming")))
+    cond = ((F.col("a.block") == F.col("b.block")) &
+            (F.col("a.block_val") == F.col("b.block_val")) &
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) &
+            (hamming <= max_hamming))
+    if max_docs_per_bucket is None:
+        first_block = F.coalesce(*[
+            F.when(F.shiftrightunsigned(xor, j * width)
+                    .bitwiseAND(mask) == 0, F.lit(j))
+            for j in range(n_blocks)], F.lit(-1))
+        cond = cond & (F.col("a.block") == first_block)
+    out = (a.join(b, cond)
+           .select(F.col(f"a.{id_col}").alias("id_a"),
+                   F.col(f"b.{id_col}").alias("id_b"),
+                   hamming.alias("hamming")))
+    # capped path: a pair can surface from several surviving buckets;
+    # the distinct's input is <= C(max_docs_per_bucket, 2) per bucket
+    return out.distinct() if max_docs_per_bucket is not None else out
 
 
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",

@@ -1615,6 +1615,39 @@ def test_postings_cap_bounds_candidates_with_exact_scores(spark):
     assert again == got
 
 
+def test_simhash_bucket_cap_bounds_candidates_exact_hamming(spark):
+    """max_docs_per_bucket turns the raising simhash fixture into a
+    bounded run: each (block, value) bucket keeps its K smallest doc
+    ids, emitted pairs keep EXACT Hamming, and — because a pair's first
+    agreeing block may have lost a member to the cap — the capped path
+    emits from every surviving bucket and dedups, so each pair appears
+    exactly once."""
+    import pandas as pd
+    from handyspark_spark.pipeline.dedup import simhash_neardup_pairs
+    # 100 identical docs: one clique, all four blocks collide
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(100), "text": ["a b c d e f g h"] * 100}))
+    out = simhash_neardup_pairs(df, max_hamming=3,
+                                max_candidate_pairs=1000,
+                                max_docs_per_bucket=8).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in out}
+    # identical fingerprints -> every block bucket keeps ids 0..7, so
+    # the pair set is exactly C(8,2) with hamming 0, each ONCE
+    assert set(got) == {(a, b) for a in range(8) for b in range(8)
+                        if a < b}
+    assert len(out) == len(got) == 28
+    assert all(h == 0 for h in got.values())
+    # with a non-binding cap the result equals the uncapped enumeration
+    small = df.limit(10)
+    capped = {(r.id_a, r.id_b): r.hamming for r in
+              simhash_neardup_pairs(small, max_candidate_pairs=None,
+                                    max_docs_per_bucket=64).collect()}
+    uncapped = {(r.id_a, r.id_b): r.hamming for r in
+                simhash_neardup_pairs(small, max_candidate_pairs=None
+                                      ).collect()}
+    assert capped == uncapped
+
+
 def test_pq_topk_deterministic_under_ties_and_batching(spark):
     """ADC shortlists must follow the (score desc, neighbor_id asc)
     contract even when scores TIE inside an Arrow batch (duplicate
