@@ -33,9 +33,10 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import ivf_fit_centroids, ivf_topk, pq_codebooks, pq_topk
+from .similarity import (ivf_fit_centroids, ivf_topk, ivfpq_fit,
+                         ivfpq_topk, pq_codebooks, pq_topk)
 
-__all__ = ["IVFIndex", "PQIndex"]
+__all__ = ["IVFIndex", "PQIndex", "IVFPQIndex"]
 
 
 def _write_meta(spark: SparkSession, path: str, kind: str, params: dict):
@@ -182,3 +183,72 @@ class PQIndex:
         return pq_topk(df, queries, k=k, vec_col=self.vec_col,
                        id_col=self.id_col, rerank=rerank,
                        books=self.books)
+
+
+class IVFPQIndex:
+    """Fitted IVF-PQ: coarse centroids + residual PQ codebooks.
+
+    The billion-scale production artifact: ``fit`` -> ``save`` once
+    (coarse quantizer + residual codebooks are together a few KB),
+    ``load`` -> ``search`` per query batch. The corpus itself is encoded
+    by the search projection; at scale write it out ONCE partitioned by
+    cell (``IVFIndex.assign`` shape) so probes prune at the file level."""
+
+    KIND = "ivfpq"
+
+    def __init__(self, centroids: np.ndarray, books: np.ndarray,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.books = np.asarray(books, dtype=np.float64)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def fit(cls, df: DataFrame, n_centroids: int = 16, m: int = 8,
+            nbits: int = 4, sample_n: int = 2048,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            seed: int = 42, kmeans_iters: int = 0) -> "IVFPQIndex":
+        C, books = ivfpq_fit(df, n_centroids, m, nbits, sample_n,
+                             vec_col=vec_col, id_col=id_col, seed=seed,
+                             kmeans_iters=kmeans_iters)
+        return cls(C, books, vec_col, id_col)
+
+    def save(self, path: str, spark: SparkSession | None = None):
+        spark = spark or SparkSession.getActiveSession()
+        rows = [(int(cell), int(pos), float(v))
+                for cell, vec in enumerate(self.centroids)
+                for pos, v in enumerate(vec)]
+        (spark.createDataFrame(rows, "cell int, pos int, val double")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{path}/cells.parquet"))
+        m, k, dsub = self.books.shape
+        rows = [(j, c, pos, float(self.books[j, c, pos]))
+                for j in range(m) for c in range(k) for pos in range(dsub)]
+        (spark.createDataFrame(
+            rows, "subspace int, code int, pos int, val double")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{path}/books.parquet"))
+        _write_meta(spark, path, self.KIND,
+                    {"vec_col": self.vec_col, "id_col": self.id_col,
+                     "n_centroids": int(self.centroids.shape[0]),
+                     "dim": int(self.centroids.shape[1]),
+                     "m": int(m), "k": int(k), "dsub": int(dsub)})
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFPQIndex":
+        p = _read_meta(spark, path, cls.KIND)
+        C = np.zeros((p["n_centroids"], p["dim"]), dtype=np.float64)
+        for r in spark.read.parquet(f"{path}/cells.parquet").collect():
+            C[r["cell"], r["pos"]] = r["val"]
+        B = np.zeros((p["m"], p["k"], p["dsub"]), dtype=np.float64)
+        for r in spark.read.parquet(f"{path}/books.parquet").collect():
+            B[r["subspace"], r["code"], r["pos"]] = r["val"]
+        return cls(C, B, p["vec_col"], p["id_col"])
+
+    def search(self, df: DataFrame, queries: DataFrame, k: int = 5,
+               nprobe: int = 4, rerank: int | None = None) -> DataFrame:
+        return ivfpq_topk(df, queries, k=k, nprobe=nprobe,
+                          vec_col=self.vec_col, id_col=self.id_col,
+                          rerank=rerank, centroids=self.centroids,
+                          books=self.books)

@@ -409,13 +409,20 @@ def pq_codebooks(df: DataFrame, vec_col: str = "embedding",
     ``iters`` Lloyd rounds, seeded init) per subspace. Returns
     (m, 2^nbits, dim/m). The codebook is driver-tiny (m * k * dsub
     floats) and broadcast to encoders/searchers."""
-    k = 1 << nbits
     rows = (df.orderBy(F.md5(F.col(id_col).cast("string")))
             .limit(sample_n)
             .select(F.col(vec_col).cast("array<double>").alias("_v"))
             .collect())
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _fit_subspace_books(X, m, nbits, iters, seed)
+
+
+def _fit_subspace_books(X: np.ndarray, m: int, nbits: int,
+                        iters: int, seed: int) -> np.ndarray:
+    """Per-subspace numpy k-means over a driver-side sample matrix —
+    shared by flat-PQ (raw vectors) and IVF-PQ (cell residuals)."""
+    k = 1 << nbits
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -563,13 +570,19 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                 .filter(F.col("rank") <= k)
                 .select("query_id", "neighbor_id",
                         F.round("score", 6).alias("score"), "rank"))
-    # exact re-rank of the (|queries| x rerank)-row candidate set: join
-    # raw vectors back in (hash join keyed on the corpus id — touches
-    # only candidate rows) and score true cosine; the broadcast query
-    # frame carries the query vectors
     shortlist = (cand.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= rerank)
                  .select("query_id", "neighbor_id"))
+    return _exact_rerank(df, queries, shortlist, k, vec_col, id_col)
+
+
+def _exact_rerank(df: DataFrame, queries: DataFrame, shortlist: DataFrame,
+                  k: int, vec_col: str, id_col: str) -> DataFrame:
+    """Exact re-rank of a (query_id, neighbor_id) shortlist: join raw
+    vectors back in (hash join keyed on the corpus id — touches only
+    candidate rows) and score true cosine; the broadcast query frame
+    carries the query vectors. Shared by the PQ and IVF-PQ rerank
+    paths."""
     c = with_norm(
         df.select(F.col(id_col).alias("neighbor_id"),
                   F.col(vec_col).cast("array<double>").alias("_c0")),
@@ -588,6 +601,175 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .withColumnRenamed("cosine", "score"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse inverted lists + product-quantized residuals
+# (Jegou, Douze, Schmid: "Product quantization for nearest neighbor
+# search", TPAMI 2011 — the standard billion-scale ANN layout).
+# ---------------------------------------------------------------------------
+
+def ivfpq_fit(df: DataFrame, n_centroids: int = 16, m: int = 8,
+              nbits: int = 4, sample_n: int = 2048, iters: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              seed: int = 42, kmeans_iters: int = 0) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Fit IVF-PQ: the IVF coarse quantizer plus PQ codebooks trained on
+    CELL RESIDUALS (x_norm - centroid[cell]) of a bounded deterministic
+    sample. Residual quantization is what makes IVF-PQ beat flat PQ:
+    residual magnitudes are a fraction of vector magnitudes, so the same
+    code budget quantizes much finer. Returns (centroids, books) — both
+    driver-tiny; persist with ``pipeline.ann_index.IVFPQIndex`` at scale
+    (train ONCE, probe for months)."""
+    C = ivf_fit_centroids(df, n_centroids, vec_col, id_col, kmeans_iters)
+    rows = (df.orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(sample_n)
+            .select(F.col(vec_col).cast("array<double>").alias("_v"))
+            .collect())
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cells = np.argmax(X @ C.T, axis=1)
+    books = _fit_subspace_books(X - C[cells], m, nbits, iters, seed)
+    return C, books
+
+
+def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 16, nprobe: int = 4, m: int = 8,
+               nbits: int = 4, sample_n: int = 2048,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               seed: int = 42, rerank: int | None = None,
+               centroids: np.ndarray | None = None,
+               books: np.ndarray | None = None,
+               max_query_rows: int | None = 100_000) -> DataFrame:
+    """IVF-PQ ANN top-k: corpus rows carry (cell id, residual PQ code) —
+    ONE Arrow-batched projection; each query probes its ``nprobe``
+    nearest cells and ADC-scores only rows in probed cells:
+
+        score(q, x) ≈ <q, centroid[cell(x)]> + Σ_j LUT[q, j, code_j(x)]
+
+    where the LUT holds residual-codebook inner products. Per Arrow
+    batch the probe test is a boolean gather and the score a vectorized
+    LUT sum; each batch emits only its local top-take per query, then
+    one window takes the global top-k (identical output contract to
+    ``pq_topk``). At 100 TB the encoded corpus is written once
+    PARTITIONED BY CELL, so a probe reads nprobe/n_centroids of the
+    files — the scan here filters the same fraction row-wise.
+
+    ``nprobe >= n_centroids`` plus ``rerank >= |corpus|`` is the exact
+    switch (every cell probed, every ADC candidate exact-rescored):
+    output equals ``brute_force_topk`` — the oracle convention shared
+    with ``ivf_topk``/``pq_topk``. Approximate recall is pinned in
+    tests."""
+    _cap_query_rows(queries, max_query_rows, "ivfpq_topk")
+    if centroids is None or books is None:
+        centroids, books = ivfpq_fit(
+            df, n_centroids, m, nbits, sample_n,
+            vec_col=vec_col, id_col=id_col, seed=seed)
+    C = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(books, dtype=np.float64)
+    n_centroids = len(C)
+    nprobe = min(nprobe, n_centroids)
+    mm, kk, dsub = books.shape
+    sc = df.sparkSession.sparkContext
+    b_C, b_books = sc.broadcast(C), sc.broadcast(books)
+
+    # corpus projection: cell id + residual code in ONE pandas UDF (one
+    # normalization, one matmul, one residual encode per Arrow batch)
+    @F.pandas_udf("cell int, pq_code array<int>")
+    def _enc(vs: pd.Series) -> pd.DataFrame:
+        Cv, B = b_C.value, b_books.value
+        X = np.array(vs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(X @ Cv.T, axis=1)
+        R = X - Cv[cells]
+        codes = np.empty((len(X), mm), dtype=np.int64)
+        for j in range(mm):
+            S = R[:, j * dsub:(j + 1) * dsub]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame({"cell": cells.astype("int32"),
+                             "pq_code": [c.tolist() for c in codes]})
+
+    enc = (df.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+           .withColumn("_e", _enc(F.col("_v")))
+           .select("neighbor_id", F.col("_e.cell").alias("cell"),
+                   F.col("_e.pq_code").alias("pq_code")))
+
+    qrows = (queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).cast("array<double>")
+                            .alias("_q")).collect())
+    qids = np.array([r["query_id"] for r in qrows])
+    Q = np.array([r["_q"] for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    cent_term = Q @ C.T                                   # (nq, ncent)
+    # probe mask: True where query q probes cell c
+    order = np.argsort(-cent_term, axis=1)[:, :nprobe]
+    probe = np.zeros((len(Q), n_centroids), dtype=bool)
+    np.put_along_axis(probe, order, True, axis=1)
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books)
+    b_lut = sc.broadcast(lut)
+    b_qids = sc.broadcast(qids)
+    b_cent = sc.broadcast(cent_term)
+    b_probe = sc.broadcast(probe)
+
+    _idt = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("query_id", _idt),
+        T.StructField("neighbor_id", _idt),
+        T.StructField("score", T.DoubleType())])
+
+    def _batch_topk(it):
+        L, ids = b_lut.value, b_qids.value
+        CT, P = b_cent.value, b_probe.value
+        nq = len(ids)
+        take = max(k, rerank or 0)
+        for pdf in it:
+            codes = np.array(pdf["pq_code"].tolist(), dtype=np.int64)
+            cells = np.asarray(pdf["cell"], dtype=np.int64)
+            nb = np.asarray(pdf["neighbor_id"])
+            s = CT[:, cells].copy()                     # (nq, rows)
+            for j in range(mm):
+                s += L[:, j, codes[:, j]]
+            # rows outside a query's probed cells never compete —
+            # masked BEFORE the local top-take, exactly mirroring the
+            # file-level pruning of a cell-partitioned layout
+            s[~P[:, cells]] = -np.inf
+            s[ids[:, None] == nb[None, :]] = -np.inf
+            kk_local = min(take, len(codes))
+            top = np.argpartition(-s, kk_local - 1, axis=1)[:, :kk_local]
+            # deterministic tie repair at the cut (same contract as
+            # pq_topk: score desc, neighbor_id asc)
+            v = np.take_along_axis(s, top, axis=1).min(axis=1)
+            n_gt = (s > v[:, None]).sum(axis=1)
+            n_eq = (s == v[:, None]).sum(axis=1)
+            for qi in np.nonzero((n_gt + n_eq > kk_local)
+                                 & (v > -np.inf))[0]:
+                gti = np.nonzero(s[qi] > v[qi])[0]
+                eqi = np.nonzero(s[qi] == v[qi])[0]
+                need = kk_local - len(gti)
+                keep = eqi[np.argsort(nb[eqi], kind="stable")[:need]]
+                top[qi] = np.concatenate([gti, keep])
+            sv = np.take_along_axis(s, top, axis=1).ravel()
+            res = pd.DataFrame({"query_id": np.repeat(ids, kk_local),
+                                "neighbor_id": nb[top.ravel()],
+                                "score": sv})
+            # masked (non-probed / self) rows that slipped into a small
+            # batch's top-take are dropped here, not emitted as -inf
+            yield res[np.isfinite(sv)]
+
+    cand = enc.mapInPandas(_batch_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    if rerank is None:
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.round("score", 6).alias("score"), "rank"))
+    shortlist = (cand.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= rerank)
+                 .select("query_id", "neighbor_id"))
+    return _exact_rerank(df, queries, shortlist, k, vec_col, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -3913,6 +3913,43 @@ def q_ann_pq_exact(spark, sf_dir):
             .withColumn("rank", F.col("rank").cast("int")))
 
 
+# fit->save ONCE per (session, sf_dir) — see _pq_index
+_IVFPQ_INDEX_META: dict = {}
+
+
+def _ivfpq_index(spark, sf_dir):
+    from .pipeline.ann_index import IVFPQIndex
+    key = (id(spark), sf_dir)
+    meta = _IVFPQ_INDEX_META.get(key)
+    if meta is None:
+        import tempfile
+        df = _t(spark, sf_dir, "embeddings")
+        n = df.count()
+        path = tempfile.mkdtemp(prefix="hsq_ivfpq_idx_")
+        IVFPQIndex.fit(df, n_centroids=16, m=16, nbits=4).save(path, spark)
+        meta = (IVFPQIndex.load(spark, path), n)
+        _IVFPQ_INDEX_META[key] = meta
+    return meta
+
+
+@query("ann_ivfpq", _ANN_EXACT_SQL)
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (coarse inverted lists + residual product quantization —
+    the standard billion-scale ANN layout) through the PERSISTED index,
+    exercised at its EXACT switch: nprobe = n_centroids probes every
+    cell and rerank >= |corpus| exact-rescores every ADC candidate, so
+    the whole cell-assign -> residual-encode -> probe-mask -> LUT-ADC ->
+    rerank machinery runs and the result equals brute force — the same
+    oracle convention as ann_ivf/ann_pq_exact. The approximate
+    (nprobe=4, rerank=50) recall is pinned in tests/test_pipeline.py."""
+    idx, n = _ivfpq_index(spark, sf_dir)
+    df = _t(spark, sf_dir, "embeddings")
+    queries_df = df.filter(F.col("vec_id") < 8)
+    out = idx.search(df, queries_df, k=5, nprobe=16, rerank=n)
+    return (out.withColumnRenamed("score", "cosine")
+            .withColumn("rank", F.col("rank").cast("int")))
+
+
 @query("image_stats", """
 WITH pos AS (SELECT unnest(range(256)) AS p),
 px AS (
