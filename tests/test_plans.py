@@ -421,3 +421,24 @@ def test_stratified_spearman_exchanges_constant_in_m(tables):
         df, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         method="spearman", strata=["l_returnflag"]))
     assert e4 == e2, (e2, e4)
+
+
+def test_ivfpq_cell_partitioned_probe_prunes(tables, spark, tmp_path):
+    """The 100-TB IVF layout claim, plan-verified: corpus written ONCE
+    partitioned by coarse cell; a probe filtered to nprobe cells must
+    partition-prune (read nprobe/n_centroids of the files), not scan."""
+    from handyspark_spark.pipeline.ann_index import IVFPQIndex
+    df = tables["embeddings"]
+    idx = IVFPQIndex.fit(df, n_centroids=8, m=8, nbits=4, sample_n=256)
+    path = str(tmp_path / "emb_by_cell")
+    # IVFIndex.assign shape: cell id projection, then partitioned write
+    from handyspark_spark.pipeline.ann_index import IVFIndex
+    IVFIndex(idx.centroids).assign(df, "_cell") \
+        .write.partitionBy("_cell").parquet(path)
+    probed = spark.read.parquet(path).filter(F.col("_cell").isin([0, 3]))
+    plan = explain_str(probed)
+    assert "PartitionFilters" in plan
+    assert "_cell" in plan.split("PartitionFilters")[1][:200]
+    # the pruned read returns exactly the probed cells' rows
+    got = {r["_cell"] for r in probed.select("_cell").distinct().collect()}
+    assert got <= {0, 3}
