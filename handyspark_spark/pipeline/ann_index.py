@@ -42,7 +42,7 @@ __all__ = ["IVFIndex", "PQIndex", "IVFPQIndex"]
 def _write_meta(spark: SparkSession, path: str, kind: str, params: dict):
     (spark.createDataFrame([(kind, json.dumps(params))],
                            "kind string, params string")
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet"))
+     .repartition(1).write.mode("overwrite").parquet(f"{path}/meta.parquet"))
 
 
 def _read_meta(spark: SparkSession, path: str, expect_kind: str) -> dict:
@@ -84,7 +84,7 @@ class IVFIndex:
                 for cell, vec in enumerate(self.centroids)
                 for pos, v in enumerate(vec)]
         (spark.createDataFrame(rows, "cell int, pos int, val double")
-         .coalesce(1).write.mode("overwrite")
+         .repartition(1).write.mode("overwrite")
          .parquet(f"{path}/cells.parquet"))
         _write_meta(spark, path, self.KIND,
                     {"vec_col": self.vec_col, "id_col": self.id_col,
@@ -157,7 +157,7 @@ class PQIndex:
                 for j in range(m) for c in range(k) for pos in range(dsub)]
         (spark.createDataFrame(
             rows, "subspace int, code int, pos int, val double")
-         .coalesce(1).write.mode("overwrite")
+         .repartition(1).write.mode("overwrite")
          .parquet(f"{path}/cells.parquet"))
         _write_meta(spark, path, self.KIND,
                     {"vec_col": self.vec_col, "id_col": self.id_col,
@@ -219,14 +219,14 @@ class IVFPQIndex:
                 for cell, vec in enumerate(self.centroids)
                 for pos, v in enumerate(vec)]
         (spark.createDataFrame(rows, "cell int, pos int, val double")
-         .coalesce(1).write.mode("overwrite")
+         .repartition(1).write.mode("overwrite")
          .parquet(f"{path}/cells.parquet"))
         m, k, dsub = self.books.shape
         rows = [(j, c, pos, float(self.books[j, c, pos]))
                 for j in range(m) for c in range(k) for pos in range(dsub)]
         (spark.createDataFrame(
             rows, "subspace int, code int, pos int, val double")
-         .coalesce(1).write.mode("overwrite")
+         .repartition(1).write.mode("overwrite")
          .parquet(f"{path}/books.parquet"))
         _write_meta(spark, path, self.KIND,
                     {"vec_col": self.vec_col, "id_col": self.id_col,

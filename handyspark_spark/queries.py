@@ -3913,7 +3913,9 @@ def q_ann_pq_exact(spark, sf_dir):
             .withColumn("rank", F.col("rank").cast("int")))
 
 
-# fit->save ONCE per (session, sf_dir) — see _pq_index
+# fit->save ONCE per (session, sf_dir) — see _pq_index; the stable
+# /tmp path (keyed by corpus count like _pq_index) lets the DuckDB
+# oracle read the SAME trained centroids + residual codebooks
 _IVFPQ_INDEX_META: dict = {}
 
 
@@ -3922,32 +3924,126 @@ def _ivfpq_index(spark, sf_dir):
     key = (id(spark), sf_dir)
     meta = _IVFPQ_INDEX_META.get(key)
     if meta is None:
-        import tempfile
         df = _t(spark, sf_dir, "embeddings")
         n = df.count()
-        path = tempfile.mkdtemp(prefix="hsq_ivfpq_idx_")
+        path = f"/tmp/hsq_ivfpq_idx/n={n}"
         IVFPQIndex.fit(df, n_centroids=16, m=16, nbits=4).save(path, spark)
         meta = (IVFPQIndex.load(spark, path), n)
         _IVFPQ_INDEX_META[key] = meta
     return meta
 
 
-@query("ann_ivfpq", _ANN_EXACT_SQL)
+# IVF-PQ ADC reproduced in SQL from the exported index: coarse cell by
+# max inner product (ties to the LOWEST cell — numpy argmax contract),
+# per-subspace residual code by min distance (ties to the lowest code),
+# ADC score = <q, centroid + residual_reconstruction> (the LUT-sum
+# identity), top-50 shortlist, exact-cosine rerank — the same
+# verify-the-approximate-math convention as _ANN_PQ_SQL, extended by
+# the cell-assignment and residual steps.
+_ANN_IVFPQ_SQL = """
+WITH cc AS (
+  SELECT cell, list(val ORDER BY pos) AS cv
+  FROM read_parquet('/tmp/hsq_ivfpq_idx/*/cells.parquet/*.parquet',
+                    hive_partitioning = 1)
+  WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM embeddings)
+  GROUP BY cell
+), bc AS (
+  SELECT subspace, code, list(val ORDER BY pos) AS bv
+  FROM read_parquet('/tmp/hsq_ivfpq_idx/*/books.parquet/*.parquet',
+                    hive_partitioning = 1)
+  WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM embeddings)
+  GROUP BY subspace, code
+), v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+             x -> x / sqrt(list_sum(list_transform(
+                    embedding::DOUBLE[], y -> y * y)))) AS v
+  FROM embeddings
+), assign AS (
+  -- nearest coarse centroid by inner product, ties to the lowest cell
+  SELECT vec_id, v, cv FROM (
+    SELECT v.vec_id, v.v, cc.cv,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_inner_product(v.v, cc.cv) DESC, cc.cell) AS rn
+    FROM v CROSS JOIN cc)
+  WHERE rn = 1
+), resid AS (
+  SELECT vec_id, cv,
+         list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
+  FROM assign
+), enc AS (
+  -- per-subspace nearest residual centroid (dsub = 4), ties low code
+  SELECT vec_id, subspace, code FROM (
+    SELECT r.vec_id, b.subspace, b.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.vec_id, b.subspace
+             ORDER BY list_distance(
+               r.rv[(b.subspace * 4 + 1):(b.subspace * 4 + 4)], b.bv),
+               b.code) AS rn
+    FROM resid r CROSS JOIN bc b)
+  WHERE rn = 1
+), recon_flat AS (
+  -- flattened residual reconstruction (the aggregate must live OUTSIDE
+  -- any list lambda: duckdb segfaults on flatten(list(...)) inside a
+  -- list_transform)
+  SELECT e.vec_id, flatten(list(b.bv ORDER BY e.subspace)) AS fr
+  FROM enc e JOIN bc b USING (subspace, code)
+  GROUP BY e.vec_id
+), recon AS (
+  -- ADC identity: <q,centroid> + sum_j <q_subj, book[j,code_j]>
+  --             = <q, centroid + flattened residual reconstruction>
+  SELECT rf.vec_id,
+         list_transform(range(1, 65), i -> r.cv[i] + rf.fr[i]) AS rec
+  FROM recon_flat rf JOIN resid r ON r.vec_id = rf.vec_id
+), q AS (
+  SELECT vec_id, v AS qv FROM v WHERE vec_id < 8
+), adc AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         list_inner_product(q.qv, r.rec) AS s
+  FROM q CROSS JOIN recon r
+  WHERE q.vec_id != r.vec_id
+), shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id ASC) AS rn
+    FROM adc)
+  WHERE rn <= 50
+)
+SELECT * FROM (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ne.embedding::DOUBLE[]), 6) AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY s.query_id
+           ORDER BY ROUND(list_cosine_similarity(qe.embedding::DOUBLE[],
+                          ne.embedding::DOUBLE[]), 6) DESC,
+                    s.neighbor_id ASC) AS INT) AS rank
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+) WHERE rank <= 5
+"""
+
+
+@query("ann_ivfpq", _ANN_IVFPQ_SQL)
 def q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ (coarse inverted lists + residual product quantization —
-    the standard billion-scale ANN layout) through the PERSISTED index,
-    exercised at its EXACT switch: nprobe = n_centroids probes every
-    cell and rerank >= |corpus| exact-rescores every ADC candidate, so
-    the whole cell-assign -> residual-encode -> probe-mask -> LUT-ADC ->
-    rerank machinery runs and the result equals brute force — the same
-    oracle convention as ann_ivf/ann_pq_exact. The approximate
-    (nprobe=4, rerank=50) recall is pinned in tests/test_pipeline.py."""
+    the standard billion-scale ANN layout) through the PERSISTED index.
+    Fully value-checked INCLUDING the approximate math: the trained
+    centroids + residual codebooks are exported as parquet cells and
+    the DuckDB oracle reproduces cell assignment, residual encode, the
+    ADC LUT-sum (= inner product with centroid + reconstruction), the
+    top-50 shortlist, and the exact-cosine rerank. Full probe
+    (nprobe = n_centroids) keeps probe selection out of the float-tie
+    domain; the partial-probe (nprobe=4) recall is pinned in
+    tests/test_pipeline.py."""
     idx, n = _ivfpq_index(spark, sf_dir)
     df = _t(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 8)
-    out = idx.search(df, queries_df, k=5, nprobe=16, rerank=n)
-    return (out.withColumnRenamed("score", "cosine")
-            .withColumn("rank", F.col("rank").cast("int")))
+    out = idx.search(df, queries_df, k=5, nprobe=16, rerank=50)
+    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
 @query("image_stats", """
