@@ -246,9 +246,21 @@ class IVFPQIndex:
             B[r["subspace"], r["code"], r["pos"]] = r["val"]
         return cls(C, B, p["vec_col"], p["id_col"])
 
+    def encode(self, df: DataFrame, cell_col: str = "cell",
+               code_col: str = "pq_code") -> DataFrame:
+        """Add (cell, residual code) columns with the FROZEN index —
+        encode the corpus once, write it ``.partitionBy(cell_col)``,
+        and every later ``search(..., encoded=...)`` scans codes
+        instead of re-encoding raw vectors. New batches stay
+        comparable because the codebooks are frozen."""
+        from .similarity import ivfpq_encode
+        return ivfpq_encode(df, self.centroids, self.books,
+                            self.vec_col, self.id_col, cell_col, code_col)
+
     def search(self, df: DataFrame, queries: DataFrame, k: int = 5,
-               nprobe: int = 4, rerank: int | None = None) -> DataFrame:
+               nprobe: int = 4, rerank: int | None = None,
+               encoded: DataFrame | None = None) -> DataFrame:
         return ivfpq_topk(df, queries, k=k, nprobe=nprobe,
                           vec_col=self.vec_col, id_col=self.id_col,
                           rerank=rerank, centroids=self.centroids,
-                          books=self.books)
+                          books=self.books, encoded=encoded)

@@ -633,6 +633,46 @@ def ivfpq_fit(df: DataFrame, n_centroids: int = 16, m: int = 8,
     return C, books
 
 
+def ivfpq_encode(df: DataFrame, centroids: np.ndarray, books: np.ndarray,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 cell_col: str = "cell",
+                 code_col: str = "pq_code") -> DataFrame:
+    """Encode the corpus for IVF-PQ: ONE Arrow-batched projection adds
+    (cell id, residual PQ code) — one normalization, one centroid
+    matmul, one residual encode per batch. All input columns are kept,
+    so the encoded corpus can be written out once
+    ``.write.partitionBy(cell_col)`` — the layout where a probe reads
+    nprobe/n_centroids of the files and searches scan CODES
+    (|docs| x m small ints) instead of raw vectors. Codes stay
+    comparable across batches because the codebooks are frozen."""
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(books, dtype=np.float64)
+    mm, _, dsub = B.shape
+    sc = df.sparkSession.sparkContext
+    b_C, b_books = sc.broadcast(C), sc.broadcast(B)
+
+    @F.pandas_udf(f"{cell_col} int, {code_col} array<int>")
+    def _enc(vs: pd.Series) -> pd.DataFrame:
+        Cv, Bv = b_C.value, b_books.value
+        X = np.array(vs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(X @ Cv.T, axis=1)
+        R = X - Cv[cells]
+        codes = np.empty((len(X), mm), dtype=np.int64)
+        for j in range(mm):
+            S = R[:, j * dsub:(j + 1) * dsub]
+            d2 = ((S[:, None, :] - Bv[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame({cell_col: cells.astype("int32"),
+                             code_col: [c.tolist() for c in codes]})
+
+    return (df.withColumn("_e", _enc(F.col(vec_col)
+                                     .cast("array<double>")))
+            .withColumn(cell_col, F.col(f"_e.{cell_col}"))
+            .withColumn(code_col, F.col(f"_e.{code_col}"))
+            .drop("_e"))
+
+
 def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                n_centroids: int = 16, nprobe: int = 4, m: int = 8,
                nbits: int = 4, sample_n: int = 2048,
@@ -640,6 +680,7 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                seed: int = 42, rerank: int | None = None,
                centroids: np.ndarray | None = None,
                books: np.ndarray | None = None,
+               encoded: DataFrame | None = None,
                max_query_rows: int | None = 100_000) -> DataFrame:
     """IVF-PQ ANN top-k: corpus rows carry (cell id, residual PQ code) —
     ONE Arrow-batched projection; each query probes its ``nprobe``
@@ -659,8 +700,23 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     switch (every cell probed, every ADC candidate exact-rescored):
     output equals ``brute_force_topk`` — the oracle convention shared
     with ``ivf_topk``/``pq_topk``. Approximate recall is pinned in
-    tests."""
+    tests.
+
+    ``encoded``: a pre-encoded corpus frame carrying (``id_col``,
+    cell, pq_code) — the ``ivfpq_encode`` output, typically read back
+    from a cell-partitioned parquet layout. The ADC scan then touches
+    ONLY the code columns (never re-encodes raw vectors — at 100 TB
+    that is the difference between scanning |docs| x m small ints and
+    re-running the encode projection per query batch); requires
+    ``centroids``/``books`` (the frozen index the codes were encoded
+    with). The raw ``df`` is still consulted by the ``rerank`` path,
+    which joins true vectors back for ONLY the shortlisted rows."""
     _cap_query_rows(queries, max_query_rows, "ivfpq_topk")
+    if encoded is not None and (centroids is None or books is None):
+        raise ValueError(
+            "ivfpq_topk(encoded=...) requires the frozen centroids= and "
+            "books= the codes were encoded with — refitting here would "
+            "silently mismatch the stored codes")
     if centroids is None or books is None:
         centroids, books = ivfpq_fit(
             df, n_centroids, m, nbits, sample_n,
@@ -671,30 +727,13 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     nprobe = min(nprobe, n_centroids)
     mm, kk, dsub = books.shape
     sc = df.sparkSession.sparkContext
-    b_C, b_books = sc.broadcast(C), sc.broadcast(books)
 
-    # corpus projection: cell id + residual code in ONE pandas UDF (one
-    # normalization, one matmul, one residual encode per Arrow batch)
-    @F.pandas_udf("cell int, pq_code array<int>")
-    def _enc(vs: pd.Series) -> pd.DataFrame:
-        Cv, B = b_C.value, b_books.value
-        X = np.array(vs.tolist(), dtype=np.float64)
-        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        cells = np.argmax(X @ Cv.T, axis=1)
-        R = X - Cv[cells]
-        codes = np.empty((len(X), mm), dtype=np.int64)
-        for j in range(mm):
-            S = R[:, j * dsub:(j + 1) * dsub]
-            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = d2.argmin(axis=1)
-        return pd.DataFrame({"cell": cells.astype("int32"),
-                             "pq_code": [c.tolist() for c in codes]})
-
-    enc = (df.select(F.col(id_col).alias("neighbor_id"),
-                     F.col(vec_col).cast("array<double>").alias("_v"))
-           .withColumn("_e", _enc(F.col("_v")))
-           .select("neighbor_id", F.col("_e.cell").alias("cell"),
-                   F.col("_e.pq_code").alias("pq_code")))
+    if encoded is not None:
+        enc = encoded.select(F.col(id_col).alias("neighbor_id"),
+                             "cell", "pq_code")
+    else:
+        enc = ivfpq_encode(df, C, books, vec_col, id_col) \
+            .select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
 
     qrows = (queries.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).cast("array<double>")

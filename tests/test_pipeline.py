@@ -1254,6 +1254,34 @@ def test_ivfpq_index_save_load_roundtrip(spark, tables, tmp_path):
         PQIndex.load(spark, str(tmp_path / "ivfpq"))
 
 
+def test_ivfpq_encoded_corpus_search_matches_direct(spark, tables,
+                                                    tmp_path):
+    """The production shape: encode ONCE with the frozen index, write
+    partitioned by cell, search against the read-back codes — results
+    must EQUAL the direct (re-encoding) search, and the scan must read
+    only the code columns from the encoded layout."""
+    from handyspark_spark.pipeline.ann_index import IVFPQIndex
+    df = tables["embeddings"]
+    qs = df.filter(F.col("vec_id") % 40 == 0)
+    idx = IVFPQIndex.fit(df, n_centroids=8, m=8, nbits=4, sample_n=256)
+    path = str(tmp_path / "enc_by_cell")
+    idx.encode(df).write.partitionBy("cell").parquet(path)
+    enc = spark.read.parquet(path)
+    direct = {(r.query_id, r.neighbor_id, r.rank)
+              for r in idx.search(df, qs, k=5, nprobe=4,
+                                  rerank=30).collect()}
+    via_codes = idx.search(df, qs, k=5, nprobe=4, rerank=30, encoded=enc)
+    got = {(r.query_id, r.neighbor_id, r.rank)
+           for r in via_codes.collect()}
+    assert got == direct and len(got) > 0
+    # column pruning on the encoded layout: the ADC stage needs only
+    # (vec_id, cell, pq_code) — raw embeddings must not be read there
+    plan = via_codes._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan" in ln and "pq_code" in ln]
+    assert scan and all("embedding" not in ln for ln in scan)
+
+
 def test_hot_bucket_recovery_reaches_uncapped_closure(spark):
     """A bucket larger than max_bucket_size is dropped by the capped
     path; with recover_hot_buckets=True its members are reconnected via
