@@ -199,3 +199,54 @@ def test_drift_js_and_tv_bounds(spark, rows):
     for r in drift_report(df, "day", "etype").collect():
         assert -1e-9 <= r["js_divergence"] <= math.log(2) + 1e-6
         assert -1e-9 <= r["tv_distance"] <= 1.0 + 1e-9
+
+
+@given(n_centroids=st.sampled_from([2, 4, 8]),
+       m=st.sampled_from([4, 8, 16]),
+       nbits=st.sampled_from([2, 3, 4]),
+       nprobe=st.integers(min_value=1, max_value=4))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ivfpq_invariants_across_configs(spark, n_centroids, m, nbits,
+                                         nprobe):
+    """IVF-PQ structural invariants for arbitrary (cells, m, nbits,
+    nprobe): pure-ADC results only ever come from PROBED cells, a query
+    never returns itself, ranks are 1..k dense per query, and the
+    encoded-corpus path is row-identical to the direct path."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.similarity import (ivfpq_encode,
+                                                      ivfpq_fit,
+                                                      ivfpq_topk)
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") < 3)
+    C, books = ivfpq_fit(df, n_centroids=n_centroids, m=m, nbits=nbits,
+                         sample_n=64)
+    out = ivfpq_topk(df, qs, k=4, nprobe=nprobe, centroids=C,
+                     books=books).collect()
+    # probed-cells-only: recompute each query's probe set driver-side
+    enc = {r["vec_id"]: r["cell"]
+           for r in ivfpq_encode(df, C, books).select("vec_id",
+                                                      "cell").collect()}
+    Q = np.array([r["embedding"] for r in qs.orderBy("vec_id").collect()])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ct = Q @ C.T
+    probe = {qid: set(np.argsort(-ct[i])[:min(nprobe, n_centroids)]
+                      .tolist())
+             for i, qid in enumerate(sorted(
+                 r["vec_id"] for r in qs.collect()))}
+    per_q: dict = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        assert enc[r["neighbor_id"]] in probe[r["query_id"]]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # encoded-corpus path == direct path, row for row
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in out}
+    enc_df = ivfpq_encode(df, C, books)
+    out2 = ivfpq_topk(df, qs, k=4, nprobe=nprobe, centroids=C,
+                      books=books, encoded=enc_df).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in out2} == got
