@@ -1,0 +1,104 @@
+"""Streaming near-duplicate gate over a persisted IVF-PQ corpus.
+
+The 100-TB ingestion shape: embeddings arrive as a stream; each
+micro-batch is ANN-screened against the ALREADY-ACCEPTED corpus (the
+encoded, cell-partitioned layout — searches scan codes, never raw
+vectors), rows whose best cosine match clears the threshold are
+dropped as near-duplicates, and the survivors are encoded with the
+FROZEN index and appended as their own ``batch=<id>`` partition
+(sub-partitioned by cell, so later probes keep pruning at the file
+level).
+
+Exactly-once: each batch's output directory is staged and atomically
+renamed into place; a foreachBatch replay (same batch id — the
+Structured Streaming replay contract) sees the directory and skips.
+This is the append-only analogue of ``stateful._commit_state`` — the
+corpus is never rewritten, so per-batch work is O(|batch| x probed
+fraction), independent of corpus age.
+
+Scope note: the gate guards the corpus BOUNDARY (new vs accepted).
+Near-duplicates WITHIN one micro-batch both pass — intra-batch dedup
+is the batch job's role (``semdedup_drops`` / ``neardup_pairs_blas``)
+and folding it in here would hide that contract; run the stream with
+small triggers if intra-batch duplicates matter.
+
+Reference note: the reference (dvgodoy/handyspark) has no streaming or
+ANN surface — beyond-reference, composing pipeline/similarity.py's
+IVF-PQ with the streaming exactly-once patterns of stateful.py.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _accepted_batches(corpus_path: str) -> list[str]:
+    if not os.path.isdir(corpus_path):
+        return []
+    return [d for d in os.listdir(corpus_path)
+            if d.startswith("batch=") and not d.endswith(("._next",
+                                                          "._prev"))]
+
+
+def maintain_deduped_corpus(stream: DataFrame, index_path: str,
+                            corpus_path: str, checkpoint_path: str,
+                            threshold: float = 0.9, nprobe: int = 4,
+                            rerank: int = 20,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            trigger_available_now: bool = True):
+    """Start the streaming dedup gate; returns the StreamingQuery.
+
+    ``index_path`` must hold a SAVED ``IVFPQIndex`` (train once, before
+    the stream starts — frozen codebooks are what keep every batch's
+    codes comparable). ``corpus_path`` accumulates one
+    ``batch=<id>/cell=<c>/...`` partition per micro-batch, carrying the
+    original columns plus (cell, pq_code)."""
+    from ..pipeline.ann_index import IVFPQIndex
+
+    idx_cache: dict = {}
+
+    def _fold(batch: DataFrame, batch_id: int):
+        final = os.path.join(corpus_path, f"batch={batch_id}")
+        if os.path.exists(final):
+            return                      # replayed batch: already appended
+        spark = batch.sparkSession
+        idx = idx_cache.get(index_path)
+        if idx is None:
+            idx = IVFPQIndex.load(spark, index_path)
+            idx_cache[index_path] = idx
+
+        survivors = batch
+        if _accepted_batches(corpus_path):
+            corpus = (spark.read.option("basePath", corpus_path)
+                      .parquet(corpus_path))
+            # exact-id re-ingest is dropped FIRST: the ANN self-mask
+            # (query_id == neighbor_id) would otherwise hide an
+            # already-accepted id from its own best match and let the
+            # duplicate back in
+            fresh = batch.join(corpus.select(id_col).distinct(),
+                               id_col, "left_anti")
+            if not fresh.take(1):
+                survivors = fresh       # all-replayed-id batch
+            else:
+                hits = idx.search(corpus, fresh, k=1, nprobe=nprobe,
+                                  rerank=rerank, encoded=corpus)
+                dup_ids = (hits.filter(F.col("score") >= threshold)
+                           .select(F.col("query_id").alias(id_col))
+                           .distinct())
+                survivors = fresh.join(dup_ids, id_col, "left_anti")
+
+        staged = final + "._next"
+        shutil.rmtree(staged, ignore_errors=True)
+        (idx.encode(survivors).write.mode("overwrite")
+         .partitionBy("cell").parquet(staged))
+        os.rename(staged, final)        # atomic: replay sees all-or-none
+
+    w = (stream.writeStream.foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_path))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

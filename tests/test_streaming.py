@@ -797,3 +797,56 @@ def test_golden_jpeg_media_features_end_to_end(spark):
         import pytest as _pytest
         with _pytest.raises(Exception):            # Py4J-wrapped NIE
             media_features(df, fake=False).collect()
+
+
+def test_streaming_ann_dedup_gate_and_replay(spark, tables, tmp_path):
+    """Streaming near-dup gate over the persisted IVF-PQ corpus:
+    batch 0 seeds the corpus; batch 1 carries 50 new rows plus 20
+    EXACT copies of accepted rows under fresh ids — the copies must be
+    dropped (cosine 1.0 >= threshold), the originals appended. A full
+    replay (fresh checkpoint -> batch ids restart) must leave the
+    corpus byte-identical: every batch directory already exists."""
+    import os
+
+    from handyspark_spark.pipeline.ann_index import IVFPQIndex
+    from handyspark_spark.streaming.ann_dedup import \
+        maintain_deduped_corpus
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < 100)
+    fresh = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    copies = seed.filter(F.col("vec_id") < 20) \
+        .withColumn("vec_id", F.col("vec_id") + 10_000)
+
+    idx_path = str(tmp_path / "index")
+    IVFPQIndex.fit(emb, n_centroids=8, m=8, nbits=4,
+                   sample_n=256).save(idx_path, spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    corpus = str(tmp_path / "corpus")
+
+    def drain(ckpt):
+        stream = (spark.readStream.schema(seed.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = maintain_deduped_corpus(
+            stream, idx_path, corpus, checkpoint_path=str(tmp_path / ckpt),
+            threshold=0.95, nprobe=4, rerank=20)
+        q.awaitTermination(120)
+
+    seed.coalesce(1).write.mode("append").parquet(src)
+    drain("ck1")
+    got0 = spark.read.parquet(corpus)
+    assert got0.count() == 100
+    assert {"cell", "pq_code"} <= set(got0.columns)
+
+    fresh.unionByName(copies).coalesce(1).write.mode("append").parquet(src)
+    drain("ck1")                       # same checkpoint: only new file
+    ids = {r["vec_id"] for r in
+           spark.read.parquet(corpus).select("vec_id").collect()}
+    assert len(ids) == 150
+    assert not any(i >= 10_000 for i in ids), "near-dup copies let in"
+
+    before = sorted(os.listdir(corpus))
+    drain("ck_replay")                 # fresh checkpoint: full replay
+    assert sorted(os.listdir(corpus)) == before
+    assert spark.read.parquet(corpus).count() == 150
