@@ -174,15 +174,22 @@ class PQIndex:
         return cls(B, p["vec_col"], p["id_col"])
 
     def encode(self, df: DataFrame, code_col: str = "pq_code") -> DataFrame:
+        """Add the m-code column with the FROZEN codebooks — encode the
+        corpus once, persist it, and every later
+        ``search(..., encoded=...)`` scans codes instead of re-encoding
+        raw vectors. New batches stay comparable because the codebooks
+        are frozen."""
         from .similarity import pq_encode
         return pq_encode(df, self.books, self.vec_col, self.id_col,
                          code_col)
 
     def search(self, df: DataFrame, queries: DataFrame, k: int = 5,
-               rerank: int | None = None) -> DataFrame:
+               rerank: int | None = None,
+               encoded: DataFrame | None = None,
+               dtype: str = "float64") -> DataFrame:
         return pq_topk(df, queries, k=k, vec_col=self.vec_col,
                        id_col=self.id_col, rerank=rerank,
-                       books=self.books)
+                       books=self.books, encoded=encoded, dtype=dtype)
 
 
 class IVFPQIndex:
@@ -259,8 +266,9 @@ class IVFPQIndex:
 
     def search(self, df: DataFrame, queries: DataFrame, k: int = 5,
                nprobe: int = 4, rerank: int | None = None,
-               encoded: DataFrame | None = None) -> DataFrame:
+               encoded: DataFrame | None = None,
+               dtype: str = "float64") -> DataFrame:
         return ivfpq_topk(df, queries, k=k, nprobe=nprobe,
                           vec_col=self.vec_col, id_col=self.id_col,
                           rerank=rerank, centroids=self.centroids,
-                          books=self.books, encoded=encoded)
+                          books=self.books, encoded=encoded, dtype=dtype)

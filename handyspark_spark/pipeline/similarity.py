@@ -474,6 +474,8 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             vec_col: str = "embedding", id_col: str = "vec_id",
             seed: int = 42, rerank: int | None = None,
             books: np.ndarray | None = None,
+            encoded: DataFrame | None = None,
+            dtype: str = "float64",
             max_query_rows: int | None = 100_000) -> DataFrame:
     """PQ/ADC approximate top-k: corpus scanned as codes, each query
     precomputes an (m x 2^nbits) inner-product lookup table against the
@@ -492,15 +494,40 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
 
     ``books``: pre-trained codebooks (e.g. loaded via
     ``pipeline.ann_index.PQIndex.load``) — skips the training sample,
-    the train-once/probe-many production shape."""
+    the train-once/probe-many production shape.
+
+    ``encoded``: a pre-encoded corpus frame carrying (``id_col``,
+    pq_code) — the ``pq_encode`` output, typically read back from a
+    persisted parquet layout. The ADC scan then touches ONLY the code
+    columns (never re-encodes raw vectors — at 100 TB that is the
+    difference between scanning |docs| x m small ints and re-running
+    the encode projection per query batch); requires ``books`` (the
+    frozen codebooks the codes were encoded with). The raw ``df`` is
+    still consulted by the ``rerank`` path, which joins true vectors
+    back for ONLY the shortlisted rows.
+
+    ``dtype='float32'`` runs the ADC LUT-gather in fp32 — half the
+    memory traffic on the hottest scan; quantization error already
+    dwarfs fp32 rounding, and the rerank path rescores in exact fp64
+    cosine anyway. Default fp64 is the oracle-matching path."""
     _cap_query_rows(queries, max_query_rows, "pq_topk")
+    if encoded is not None and books is None:
+        raise ValueError(
+            "pq_topk(encoded=...) requires the frozen books= the codes "
+            "were encoded with — refitting here would silently mismatch "
+            "the stored codes")
     if books is None:
         books = pq_codebooks(df, vec_col, id_col, m=m, nbits=nbits,
                              sample_n=sample_n, seed=seed)
     else:
+        books = np.asarray(books, dtype=np.float64)
         m, _, _ = books.shape
-    enc = pq_encode(df, books, vec_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"), "pq_code")
+    if encoded is not None:
+        enc = encoded.select(F.col(id_col).alias("neighbor_id"),
+                             "pq_code")
+    else:
+        enc = pq_encode(df, books, vec_col, id_col).select(
+            F.col(id_col).alias("neighbor_id"), "pq_code")
 
     qrows = (queries.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).cast("array<double>")
@@ -509,9 +536,11 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     Q = np.array([r["_q"] for r in qrows], dtype=np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     mm, kk, dsub = books.shape
-    # LUT[q, j, c] = <q_subj, books[j, c]>
+    # LUT[q, j, c] = <q_subj, books[j, c]> — built in fp64, downcast
+    # once here so fp32 runs gather/accumulate half-width end to end
+    _dt = np.float32 if dtype in ("float32", "fp32") else np.float64
     lut = np.einsum("qjd,jcd->qjc",
-                    Q.reshape(len(Q), mm, dsub), books)
+                    Q.reshape(len(Q), mm, dsub), books).astype(_dt)
     sc = df.sparkSession.sparkContext
     b_lut, b_qids = sc.broadcast(lut), sc.broadcast(qids)
 
@@ -531,7 +560,7 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             codes = np.array(pdf["pq_code"].tolist(), dtype=np.int64)
             nb = np.asarray(pdf["neighbor_id"])
             # scores: (nq, rows) = sum_j LUT[:, j, codes[:, j]]
-            s = np.zeros((nq, len(codes)))
+            s = np.zeros((nq, len(codes)), dtype=L.dtype)
             for j in range(mm):
                 s += L[:, j, codes[:, j]]
             # self-matches are masked BEFORE the local top-take: the
@@ -681,6 +710,7 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                centroids: np.ndarray | None = None,
                books: np.ndarray | None = None,
                encoded: DataFrame | None = None,
+               dtype: str = "float64",
                max_query_rows: int | None = 100_000) -> DataFrame:
     """IVF-PQ ANN top-k: corpus rows carry (cell id, residual PQ code) —
     ONE Arrow-batched projection; each query probes its ``nprobe``
@@ -710,7 +740,11 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     re-running the encode projection per query batch); requires
     ``centroids``/``books`` (the frozen index the codes were encoded
     with). The raw ``df`` is still consulted by the ``rerank`` path,
-    which joins true vectors back for ONLY the shortlisted rows."""
+    which joins true vectors back for ONLY the shortlisted rows.
+
+    ``dtype='float32'`` runs the ADC scan (centroid term + LUT gather)
+    in fp32 — half the memory traffic; see ``pq_topk``. Default fp64
+    is the oracle-matching path."""
     _cap_query_rows(queries, max_query_rows, "ivfpq_topk")
     if encoded is not None and (centroids is None or books is None):
         raise ValueError(
@@ -742,14 +776,17 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     Q = np.array([r["_q"] for r in qrows], dtype=np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     cent_term = Q @ C.T                                   # (nq, ncent)
-    # probe mask: True where query q probes cell c
+    # probe mask: True where query q probes cell c — selected in fp64
+    # so probe choice never shifts with the scan dtype
     order = np.argsort(-cent_term, axis=1)[:, :nprobe]
     probe = np.zeros((len(Q), n_centroids), dtype=bool)
     np.put_along_axis(probe, order, True, axis=1)
-    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books)
+    _dt = np.float32 if dtype in ("float32", "fp32") else np.float64
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub),
+                    books).astype(_dt)
     b_lut = sc.broadcast(lut)
     b_qids = sc.broadcast(qids)
-    b_cent = sc.broadcast(cent_term)
+    b_cent = sc.broadcast(cent_term.astype(_dt))
     b_probe = sc.broadcast(probe)
 
     _idt = df.schema[id_col].dataType

@@ -1282,6 +1282,63 @@ def test_ivfpq_encoded_corpus_search_matches_direct(spark, tables,
     assert scan and all("embedding" not in ln for ln in scan)
 
 
+def test_pq_encoded_corpus_search_matches_direct(spark, tables, tmp_path):
+    """Flat-PQ production shape (round-7 port of the IVF-PQ contract):
+    encode ONCE with the frozen codebooks, persist, search against the
+    read-back codes — results must EQUAL the direct (re-encoding)
+    search, and the ADC scan must read only the code columns."""
+    from handyspark_spark.pipeline.ann_index import PQIndex
+    df = tables["embeddings"]
+    qs = df.filter(F.col("vec_id") % 40 == 0)
+    idx = PQIndex.fit(df, m=8, nbits=4, sample_n=256)
+    path = str(tmp_path / "pq_codes")
+    idx.encode(df).select("vec_id", "pq_code").write.parquet(path)
+    enc = spark.read.parquet(path)
+    direct = {(r.query_id, r.neighbor_id, r.rank)
+              for r in idx.search(df, qs, k=5, rerank=30).collect()}
+    via_codes = idx.search(df, qs, k=5, rerank=30, encoded=enc)
+    got = {(r.query_id, r.neighbor_id, r.rank)
+           for r in via_codes.collect()}
+    assert got == direct and len(got) > 0
+    # column pruning on the encoded layout: the ADC stage needs only
+    # (vec_id, pq_code) — raw embeddings must not be read there
+    plan = via_codes._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan" in ln and "pq_code" in ln]
+    assert scan and all("embedding" not in ln for ln in scan)
+    # encoded= without the frozen books is a loud error
+    from handyspark_spark.pipeline.similarity import pq_topk
+    with pytest.raises(ValueError, match="requires the frozen books"):
+        pq_topk(df, qs, k=5, encoded=enc)
+
+
+def test_adc_fp32_matches_fp64_topk(spark, tables):
+    """dtype='float32' halves ADC memory traffic; with the exact-cosine
+    rerank the emitted (query, neighbor, rank, score) must equal the
+    fp64 run — quantization error dwarfs fp32 rounding, and rerank
+    rescores in fp64 regardless. Pure-ADC (no rerank) neighbor sets
+    must agree with scores within fp32 tolerance."""
+    from handyspark_spark.pipeline.similarity import ivfpq_topk, pq_topk
+    df = tables["embeddings"]
+    qs = df.filter(F.col("vec_id") % 40 == 0)
+    for fn, kw in ((pq_topk, dict(m=8, nbits=4, sample_n=256)),
+                   (ivfpq_topk, dict(n_centroids=8, nprobe=4, m=8,
+                                     nbits=4, sample_n=256))):
+        a = {(r.query_id, r.neighbor_id, r.rank, r.score)
+             for r in fn(df, qs, k=5, rerank=30, **kw).collect()}
+        b = {(r.query_id, r.neighbor_id, r.rank, r.score)
+             for r in fn(df, qs, k=5, rerank=30, dtype="float32",
+                         **kw).collect()}
+        assert a == b and len(a) > 0, fn.__name__
+        # pure ADC: same neighbors, scores within fp32 rounding
+        sa = {(r.query_id, r.neighbor_id): r.score
+              for r in fn(df, qs, k=5, **kw).collect()}
+        sb = {(r.query_id, r.neighbor_id): r.score
+              for r in fn(df, qs, k=5, dtype="float32", **kw).collect()}
+        assert set(sa) == set(sb), fn.__name__
+        assert all(abs(sa[p] - sb[p]) < 1e-4 for p in sa), fn.__name__
+
+
 def test_hot_bucket_recovery_reaches_uncapped_closure(spark):
     """A bucket larger than max_bucket_size is dropped by the capped
     path; with recover_hot_buckets=True its members are reconnected via
