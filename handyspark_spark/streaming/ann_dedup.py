@@ -9,12 +9,20 @@ FROZEN index and appended as their own ``batch=<id>`` partition
 (sub-partitioned by cell, so later probes keep pruning at the file
 level).
 
-Exactly-once: each batch's output directory is staged and atomically
-renamed into place; a foreachBatch replay (same batch id — the
-Structured Streaming replay contract) sees the directory and skips.
-This is the append-only analogue of ``stateful._commit_state`` — the
-corpus is never rewritten, so per-batch work is O(|batch| x probed
-fraction), independent of corpus age.
+Exactly-once: each batch's output directory goes through a
+``commit.DirCommitter`` — all-or-none visibility, pluggable per
+filesystem (POSIX rename locally, manifest-last on object stores). A
+foreachBatch replay (same batch id — the Structured Streaming replay
+contract) sees the published directory and skips. Crucially the
+corpus is ALWAYS read from the committer's explicit published-path
+list, never by listing the parent: a crash between stage and commit
+leaves physical leftovers under the corpus root, and a replayed batch
+that read them would see its own half-written rows as "already
+accepted", drop them as exact re-ingests, and commit an EMPTY
+partition — silent permanent loss of the batch. The published-list
+read makes that crash window harmless (the retry discards the
+leftover and re-stages). The corpus is never rewritten, so per-batch
+work is O(|batch| x probed fraction), independent of corpus age.
 
 Scope note: the gate guards the corpus BOUNDARY (new vs accepted).
 Near-duplicates WITHIN one micro-batch both pass — intra-batch dedup
@@ -29,18 +37,17 @@ IVF-PQ with the streaming exactly-once patterns of stateful.py.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .commit import DirCommitter, PosixRenameCommitter
 
-def _accepted_batches(corpus_path: str) -> list[str]:
-    if not os.path.isdir(corpus_path):
-        return []
-    return [d for d in os.listdir(corpus_path)
-            if d.startswith("batch=") and not d.endswith(("._next",
-                                                          "._prev"))]
+
+def _accepted_batch_paths(corpus_path: str,
+                          committer: DirCommitter) -> list[str]:
+    return [p for p in committer.published(corpus_path)
+            if os.path.basename(p).startswith("batch=")]
 
 
 def maintain_deduped_corpus(stream: DataFrame, index_path: str,
@@ -49,21 +56,26 @@ def maintain_deduped_corpus(stream: DataFrame, index_path: str,
                             rerank: int = 20,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",
-                            trigger_available_now: bool = True):
+                            trigger_available_now: bool = True,
+                            committer: DirCommitter | None = None):
     """Start the streaming dedup gate; returns the StreamingQuery.
 
     ``index_path`` must hold a SAVED ``IVFPQIndex`` (train once, before
     the stream starts — frozen codebooks are what keep every batch's
     codes comparable). ``corpus_path`` accumulates one
     ``batch=<id>/cell=<c>/...`` partition per micro-batch, carrying the
-    original columns plus (cell, pq_code)."""
+    original columns plus (cell, pq_code). ``committer`` picks the
+    publication protocol: default ``PosixRenameCommitter`` (local/NFS);
+    pass ``ManifestCommitter()`` when the corpus lives on an object
+    store, where rename is not atomic."""
     from ..pipeline.ann_index import IVFPQIndex
 
+    committer = committer or PosixRenameCommitter()
     idx_cache: dict = {}
 
     def _fold(batch: DataFrame, batch_id: int):
         final = os.path.join(corpus_path, f"batch={batch_id}")
-        if os.path.exists(final):
+        if committer.is_published(final):
             return                      # replayed batch: already appended
         spark = batch.sparkSession
         idx = idx_cache.get(index_path)
@@ -72,9 +84,14 @@ def maintain_deduped_corpus(stream: DataFrame, index_path: str,
             idx_cache[index_path] = idx
 
         survivors = batch
-        if _accepted_batches(corpus_path):
+        accepted = _accepted_batch_paths(corpus_path, committer)
+        if accepted:
+            # explicit published paths ONLY — a stale staging dir or
+            # marker-less partial under corpus_path (crash between
+            # stage and commit, possibly for THIS batch id) must not
+            # masquerade as accepted corpus (see module docstring)
             corpus = (spark.read.option("basePath", corpus_path)
-                      .parquet(corpus_path))
+                      .parquet(*accepted))
             # exact-id re-ingest is dropped FIRST: the ANN self-mask
             # (query_id == neighbor_id) would otherwise hide an
             # already-accepted id from its own best match and let the
@@ -91,11 +108,10 @@ def maintain_deduped_corpus(stream: DataFrame, index_path: str,
                            .distinct())
                 survivors = fresh.join(dup_ids, id_col, "left_anti")
 
-        staged = final + "._next"
-        shutil.rmtree(staged, ignore_errors=True)
-        (idx.encode(survivors).write.mode("overwrite")
-         .partitionBy("cell").parquet(staged))
-        os.rename(staged, final)        # atomic: replay sees all-or-none
+        committer.publish(
+            lambda p: (idx.encode(survivors).write.mode("overwrite")
+                       .partitionBy("cell").parquet(p)),
+            final)
 
     w = (stream.writeStream.foreachBatch(_fold)
          .option("checkpointLocation", checkpoint_path))

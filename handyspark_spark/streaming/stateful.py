@@ -144,10 +144,112 @@ def _commit_state(merged: DataFrame, state_path: str,
     shutil.rmtree(aside, ignore_errors=True)
 
 
+class StateStore:
+    """Pluggable persistence for the state-table maintainers: read the
+    current state, record/check the last-folded batch id, and commit a
+    replacement with all-or-none visibility. Two implementations:
+    ``PosixSwapStateStore`` (stage + rename swap — local disk, NFS) and
+    ``VersionedStateStore`` (versioned dirs + pointer file — the
+    protocol that survives object stores, where rename of a directory
+    is not atomic). Counterpart of ``commit.DirCommitter`` for
+    REPLACED state rather than appended batches."""
+
+    def read(self, spark, state_path: str) -> DataFrame | None:
+        raise NotImplementedError
+
+    def last_batch_id(self, state_path: str) -> int | None:
+        raise NotImplementedError
+
+    def commit(self, merged: DataFrame, state_path: str,
+               batch_id: int) -> None:
+        raise NotImplementedError
+
+    def replayed(self, state_path: str, batch_id: int) -> bool:
+        """True when ``batch_id`` was already folded — a foreachBatch
+        replay; skipping it makes at-least-once delivery EXACTLY-ONCE
+        at the state level (same id => same data, the Structured
+        Streaming replay contract)."""
+        last = self.last_batch_id(state_path)
+        return last is not None and batch_id <= last
+
+
+class PosixSwapStateStore(StateStore):
+    """The module's original protocol (``_commit_state`` two-phase
+    swap): stage next to the live state, rename the live state aside,
+    move staging into place. Atomic only where rename is (POSIX-visible
+    filesystems)."""
+
+    def read(self, spark, state_path):
+        return _read_state(spark, state_path)
+
+    def last_batch_id(self, state_path):
+        return _last_batch_id(state_path)
+
+    def commit(self, merged, state_path, batch_id):
+        _commit_state(merged, state_path, batch_id)
+
+
+class VersionedStateStore(StateStore):
+    """Object-store-safe state commits: each batch writes a fresh
+    ``v=<batch_id>`` directory, then atomically updates a single small
+    pointer file (``_CURRENT``) naming the live version — readers
+    resolve the pointer and never observe a half-written table, because
+    data directories are immutable once referenced and invisible until
+    then (manifest-last, the lakehouse-format protocol).
+
+    The pointer update is ``os.replace`` of a one-line file here; on a
+    real object store it is a single overwrite PUT of the pointer key —
+    atomic per-key everywhere, which is the point: no multi-key rename
+    anywhere in the protocol. Crash windows: during the version write
+    the pointer still names the old state (the replayed batch
+    overwrites the orphan); between pointer flip and GC both versions
+    exist and the pointer names the new one. Unreferenced versions are
+    garbage-collected on the next commit."""
+
+    CURRENT = "_CURRENT"
+
+    def _pointer(self, state_path):
+        import os
+        return os.path.join(state_path, self.CURRENT)
+
+    def last_batch_id(self, state_path):
+        import os
+        p = self._pointer(state_path)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def read(self, spark, state_path):
+        import os
+        last = self.last_batch_id(state_path)
+        if last is None:
+            return None
+        return spark.read.parquet(os.path.join(state_path, f"v={last}"))
+
+    def commit(self, merged, state_path, batch_id):
+        import os
+        import shutil
+        os.makedirs(state_path, exist_ok=True)
+        vdir = os.path.join(state_path, f"v={batch_id}")
+        # reads v=<prev> while writing v=<new>: distinct dirs, so no
+        # staging detour is needed (unlike the swap protocol)
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp = self._pointer(state_path) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._pointer(state_path))
+        for d in os.listdir(state_path):
+            if d.startswith("v=") and d != f"v={batch_id}":
+                shutil.rmtree(os.path.join(state_path, d),
+                              ignore_errors=True)
+
+
 def maintain_state_table(stream: DataFrame, state_path: str,
                          keys: list[str], value_col: str,
                          checkpoint_path: str,
-                         trigger_available_now: bool = True):
+                         trigger_available_now: bool = True,
+                         store: StateStore | None = None):
     """Streaming incremental-aggregate maintenance: fold each micro-batch
     into a persistent per-key state table (``operators.incremental``
     pieces) with ``foreachBatch``.
@@ -177,17 +279,22 @@ def maintain_state_table(stream: DataFrame, state_path: str,
     filesystem the driver sees POSIX-style (local disk, NFS); for object
     stores swap the two lines for the store's atomic-rename primitive.
 
-    Returns the started StreamingQuery."""
+    ``store`` picks the persistence protocol (default
+    ``PosixSwapStateStore``; use ``VersionedStateStore`` on object
+    stores — see the class docstrings). Returns the started
+    StreamingQuery."""
     from ..operators.incremental import merge_states, partial_aggregate
 
+    store = store or PosixSwapStateStore()
+
     def _fold(batch: DataFrame, batch_id: int):
-        if _replayed(state_path, batch_id):
+        if store.replayed(state_path, batch_id):
             return                       # crash replay: already folded
         spark = batch.sparkSession
         part = partial_aggregate(batch, keys, value_col)
-        prev = _read_state(spark, state_path)
+        prev = store.read(spark, state_path)
         merged = merge_states(prev, part, keys) if prev is not None else part
-        _commit_state(merged, state_path, batch_id)
+        store.commit(merged, state_path, batch_id)
 
     w = (stream.writeStream.foreachBatch(_fold)
          .option("checkpointLocation", checkpoint_path))
@@ -199,7 +306,8 @@ def maintain_state_table(stream: DataFrame, state_path: str,
 def maintain_cms_sketch(stream: DataFrame, col: str, state_path: str,
                         checkpoint_path: str, width: int = 8192,
                         depth: int = 4,
-                        trigger_available_now: bool = True):
+                        trigger_available_now: bool = True,
+                        store: StateStore | None = None):
     """Streaming count-min maintenance: each micro-batch's sketch
     (bounded: depth x width cells built from |batch| rows) merges
     additively into the persisted cell table — the incremental
@@ -210,14 +318,16 @@ def maintain_cms_sketch(stream: DataFrame, col: str, state_path: str,
     reset counts and break the CMS never-underestimates guarantee)."""
     from ..operators.sketch import cms_build, cms_merge
 
+    store = store or PosixSwapStateStore()
+
     def _fold(batch: DataFrame, batch_id: int):
-        if _replayed(state_path, batch_id):
+        if store.replayed(state_path, batch_id):
             return                       # crash replay: already folded
         spark = batch.sparkSession
         part = cms_build(batch, col, width, depth)
-        prev = _read_state(spark, state_path)
+        prev = store.read(spark, state_path)
         merged = cms_merge(prev, part) if prev is not None else part
-        _commit_state(merged, state_path, batch_id)
+        store.commit(merged, state_path, batch_id)
 
     w = (stream.writeStream.foreachBatch(_fold)
          .option("checkpointLocation", checkpoint_path))
@@ -229,7 +339,8 @@ def maintain_cms_sketch(stream: DataFrame, col: str, state_path: str,
 def maintain_drift_monitor(stream: DataFrame, slice_col: str,
                            bucket_col: str, state_path: str,
                            checkpoint_path: str,
-                           trigger_available_now: bool = True):
+                           trigger_available_now: bool = True,
+                           store: StateStore | None = None):
     """Streaming distribution-drift monitoring: fold each micro-batch's
     (slice, bucket) counts into a persisted histogram table, so
     ``pipeline.drift.drift_report``-style slice-over-slice divergences
@@ -243,20 +354,22 @@ def maintain_drift_monitor(stream: DataFrame, slice_col: str,
     existing state propagates rather than resetting the histograms."""
     from pyspark.sql import functions as F
 
+    store = store or PosixSwapStateStore()
+
     def _fold(batch: DataFrame, batch_id: int):
-        if _replayed(state_path, batch_id):
+        if store.replayed(state_path, batch_id):
             return                       # crash replay: already folded
         spark = batch.sparkSession
         part = (batch.select(F.col(slice_col).alias("slice"),
                              F.col(bucket_col).alias("bucket"))
                 .groupBy("slice", "bucket")
                 .agg(F.count(F.lit(1)).alias("cnt")))
-        prev = _read_state(spark, state_path)
+        prev = store.read(spark, state_path)
         if prev is not None:
             part = (prev.unionByName(part)
                     .groupBy("slice", "bucket")
                     .agg(F.sum("cnt").alias("cnt")))
-        _commit_state(part, state_path, batch_id)
+        store.commit(part, state_path, batch_id)
 
     w = (stream.writeStream.foreachBatch(_fold)
          .option("checkpointLocation", checkpoint_path))
@@ -265,19 +378,25 @@ def maintain_drift_monitor(stream: DataFrame, slice_col: str,
     return w.start()
 
 
-def drift_from_state(spark, state_path: str) -> DataFrame:
+def drift_from_state(spark, state_path: str,
+                     store: StateStore | None = None) -> DataFrame:
     """Compute the slice-over-slice drift report from a persisted
     histogram state table (see ``maintain_drift_monitor``) — runs on
-    |slices| x |buckets| rows, no stream or corpus scan."""
+    |slices| x |buckets| rows, no stream or corpus scan. Pass the same
+    ``store`` the maintainer used."""
     from ..pipeline.drift import drift_report_from_hist
-    return drift_report_from_hist(spark.read.parquet(state_path))
+    state = (store or PosixSwapStateStore()).read(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no state table at {state_path}")
+    return drift_report_from_hist(state)
 
 
 def maintain_hll_sketch(stream: DataFrame, col: str, state_path: str,
                         checkpoint_path: str,
                         by: list[str] | None = None,
                         lg_k: int = 12,
-                        trigger_available_now: bool = True):
+                        trigger_available_now: bool = True,
+                        store: StateStore | None = None):
     """Streaming distinct-count maintenance: fold each micro-batch's
     HLL sketch states (native Datasketches binary columns, mergeable)
     into the persisted per-group state — distinct users/tokens/urls so
@@ -287,20 +406,22 @@ def maintain_hll_sketch(stream: DataFrame, col: str, state_path: str,
     exactly-once batch-id-dedup semantics as the other maintainers."""
     from ..operators.sketch import hll_state
 
+    store = store or PosixSwapStateStore()
+
     def _fold(batch: DataFrame, batch_id: int):
-        if _replayed(state_path, batch_id):
+        if store.replayed(state_path, batch_id):
             return                       # crash replay: already folded
         from pyspark.sql import functions as SF
         spark = batch.sparkSession
         part = hll_state(batch, col, by=by, lg_k=lg_k)
-        prev = _read_state(spark, state_path)
+        prev = store.read(spark, state_path)
         if prev is not None:
             merged = (prev.unionByName(part)
                       .groupBy(*(by or []))
                       .agg(SF.hll_union_agg(SF.col("hll")).alias("hll")))
         else:
             merged = part
-        _commit_state(merged, state_path, batch_id)
+        store.commit(merged, state_path, batch_id)
 
     w = (stream.writeStream.foreachBatch(_fold)
          .option("checkpointLocation", checkpoint_path))

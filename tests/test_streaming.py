@@ -850,3 +850,165 @@ def test_streaming_ann_dedup_gate_and_replay(spark, tables, tmp_path):
     drain("ck_replay")                 # fresh checkpoint: full replay
     assert sorted(os.listdir(corpus)) == before
     assert spark.read.parquet(corpus).count() == 150
+
+
+def test_ann_gate_stale_staging_does_not_eat_the_batch(spark, tables,
+                                                       tmp_path):
+    """Round-6 advice (high): a crash AFTER the staged write but BEFORE
+    the publish rename leaves 'batch=1._next' on disk. If the replayed
+    batch read that leftover as corpus, its own rows would look
+    'already accepted', the left_anti would empty the batch, and an
+    EMPTY partition would be committed — silent permanent loss. The
+    corpus is now read from the committer's explicit published list,
+    so the stale staging dir is invisible and the replay re-stages."""
+    import os
+
+    from handyspark_spark.pipeline.ann_index import IVFPQIndex
+    from handyspark_spark.streaming.ann_dedup import \
+        maintain_deduped_corpus
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < 80)
+    nxt = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 120))
+    idx_path = str(tmp_path / "index")
+    IVFPQIndex.fit(emb, n_centroids=8, m=8, nbits=4,
+                   sample_n=256).save(idx_path, spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    corpus = str(tmp_path / "corpus")
+
+    def drain(ckpt):
+        stream = (spark.readStream.schema(seed.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = maintain_deduped_corpus(
+            stream, idx_path, corpus,
+            checkpoint_path=str(tmp_path / ckpt), threshold=0.95)
+        q.awaitTermination(120)
+
+    seed.coalesce(1).write.mode("append").parquet(src)
+    drain("ck")
+    # simulate the crash: batch 1's staged output fully written, the
+    # publish rename never ran
+    idx = IVFPQIndex.load(spark, idx_path)
+    (idx.encode(nxt).write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(corpus, "batch=1._next")))
+    nxt.coalesce(1).write.mode("append").parquet(src)
+    drain("ck")                        # same checkpoint: replays batch 1
+    ids = sorted(r.vec_id for r in
+                 spark.read.parquet(corpus).select("vec_id").collect())
+    assert ids == list(range(120)), "staged leftovers ate the batch"
+    assert not os.path.exists(os.path.join(corpus, "batch=1._next"))
+
+
+def test_ann_gate_manifest_committer_survives_partial_write(
+        spark, tables, tmp_path):
+    """Object-store protocol: rename is NOT atomic there, so the gate
+    runs with the manifest-last committer. A marker-less directory —
+    exactly what a crashed non-atomic 'rename' (partial key copy)
+    leaves behind — must be invisible to the corpus read, discarded,
+    and rewritten by the replaying batch; committed batches carry the
+    marker and the gate semantics (near-dup drop) are unchanged."""
+    import os
+
+    from handyspark_spark.pipeline.ann_index import IVFPQIndex
+    from handyspark_spark.streaming.ann_dedup import \
+        maintain_deduped_corpus
+    from handyspark_spark.streaming.commit import ManifestCommitter
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < 80)
+    copies = seed.filter(F.col("vec_id") < 15) \
+        .withColumn("vec_id", F.col("vec_id") + 10_000)
+    nxt = (emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 120))
+           .unionByName(copies))
+    idx_path = str(tmp_path / "index")
+    IVFPQIndex.fit(emb, n_centroids=8, m=8, nbits=4,
+                   sample_n=256).save(idx_path, spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    corpus = str(tmp_path / "corpus")
+    com = ManifestCommitter()
+
+    def drain(ckpt):
+        stream = (spark.readStream.schema(seed.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = maintain_deduped_corpus(
+            stream, idx_path, corpus,
+            checkpoint_path=str(tmp_path / ckpt), threshold=0.95,
+            committer=com)
+        q.awaitTermination(120)
+
+    seed.coalesce(1).write.mode("append").parquet(src)
+    drain("ck")
+    b0 = os.path.join(corpus, "batch=0")
+    assert com.is_published(b0)
+    # simulate the non-atomic-rename crash: batch 1's data keys landed
+    # in the FINAL path but the commit marker never did
+    idx = IVFPQIndex.load(spark, idx_path)
+    (idx.encode(nxt).write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(corpus, "batch=1")))
+    assert not com.is_published(os.path.join(corpus, "batch=1"))
+    nxt.coalesce(1).write.mode("append").parquet(src)
+    drain("ck")                        # same checkpoint: replays batch 1
+    assert com.is_published(os.path.join(corpus, "batch=1"))
+    ids = {r.vec_id for r in
+           spark.read.option("basePath", corpus)
+           .parquet(*com.published(corpus))
+           .select("vec_id").collect()}
+    assert ids == set(range(120)), "partial write poisoned the replay"
+    # near-dup copies were still gated out
+    assert not any(i >= 10_000 for i in ids)
+
+
+def test_versioned_state_store_matches_batch_and_replays(spark, tables,
+                                                         tmp_path):
+    """maintain_state_table through the object-store-safe
+    VersionedStateStore (versioned dirs + pointer file, no directory
+    rename anywhere): final state equals the batch aggregation, an
+    orphan version directory from a crashed commit is invisible to
+    reads, and a full fresh-checkpoint replay (batch ids restart at 0)
+    leaves the state byte-identical via the batch-id dedup."""
+    import os
+
+    from handyspark_spark.operators.incremental import finalize_state
+    from handyspark_spark.streaming.stateful import (VersionedStateStore,
+                                                     maintain_state_table)
+    store = VersionedStateStore()
+    ev = tables["events"].limit(1500).select("user_id", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    state = str(tmp_path / "vstate")
+
+    def drain(ckpt):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        q = maintain_state_table(stream, state, ["user_id"], "value",
+                                 checkpoint_path=str(tmp_path / ckpt),
+                                 store=store)
+        q.awaitTermination(180)
+
+    drain("ck1")
+    got = {r.user_id: (r.n, round(r.total, 4)) for r in
+           finalize_state(store.read(spark, state),
+                          ["user_id"]).collect()}
+    exp = {r.user_id: (r.n, round(r.total, 4)) for r in
+           ev.groupBy("user_id")
+           .agg(F.count("value").alias("n"),
+                F.sum("value").alias("total")).collect()}
+    assert got == exp and len(got) > 0
+    last = store.last_batch_id(state)
+    assert last is not None
+    # old versions are GC'd after the pointer flip: one live v-dir
+    assert [d for d in os.listdir(state)
+            if d.startswith("v=")] == [f"v={last}"]
+    # orphan version from a crashed future commit: pointer still rules
+    (spark.createDataFrame([(999999, 1)], "user_id long, junk int")
+     .write.parquet(os.path.join(state, f"v={last + 7}")))
+    assert store.last_batch_id(state) == last
+    assert "junk" not in store.read(spark, state).columns
+    # fresh checkpoint -> every batch replays -> all skipped
+    drain("ck2")
+    got2 = {r.user_id: (r.n, round(r.total, 4)) for r in
+            finalize_state(store.read(spark, state),
+                           ["user_id"]).collect()}
+    assert got2 == got
