@@ -98,11 +98,28 @@ def grid_sum(units: Column, scale: int) -> Column:
     ``scale`` — still exact, so the caller's final ``round(…, 2)`` is
     deterministic at any accumulation order. DuckDB needs no split
     (``SUM(BIGINT)`` is HUGEINT there); oracles just sum the same units
-    and divide."""
+    and divide.
+
+    Exactness does NOT rest on the double divide: the quotient estimate
+    below is corrected with one long-arithmetic step so that
+    ``q·1e9 + r == units`` holds identically per row — the reassembled
+    total is exact BY CONSTRUCTION for the full long range (the
+    correction merely keeps r in [0, 1e9) so the stated HI/LO
+    accumulation bounds hold). Earlier revisions floored the raw double
+    quotient, exact only while units stay ≲2^53 — a razor-thin margin a
+    future caller could silently cross. Contract: |units| ≤ 2^63 − 2^31
+    (within one grid of long range the corrected q·b can overflow)."""
     b = F.lit(_GRID_BASE)
-    # per-row: units < 2^53, so the double divide + floor is exact
-    hi = F.sum(F.floor(units / F.lit(float(_GRID_BASE))).cast("long"))
-    lo = F.sum(F.pmod(units, b))
+    # double divide estimates the true floor quotient within ±1 even at
+    # 2^63 magnitudes (double rounding of the dividend shifts it by
+    # ≤1024 ⇒ <1e-5 quotients); one ±1 long correction pins r into
+    # [0, b) — pure codegen'd long ops, no per-row decimal
+    q0 = F.floor(units / F.lit(float(_GRID_BASE))).cast("long")
+    r0 = units - q0 * b
+    q = (F.when(r0 < 0, q0 - F.lit(1))
+          .when(r0 >= b, q0 + F.lit(1)).otherwise(q0))
+    hi = F.sum(q)
+    lo = F.sum(units - q * b)
     return ((hi.cast("decimal(38,0)") * b + lo.cast("decimal(38,0)"))
             / F.lit(scale))
 
@@ -249,6 +266,18 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
     strata = strata or []
     if method == "spearman" and pairwise:
         from .rank import melted_avg_ranks
+        # Shape parity with the fused path: that path emits EVERY
+        # stratum for every pair (F.corr -> NULL when no complete
+        # rows), while the per-pair groupBy here would silently DROP a
+        # (stratum, pair) whose pairwise-complete subset is empty — so
+        # each pair's result is left-joined back onto the distinct
+        # strata spine, NULL-corr where absent. (Diagonal note: a
+        # zero-variance or <2-row stratum gives NULL on the diagonal
+        # in BOTH modes — pandas' corr diagonal is NaN there too, so
+        # no lit(1.0) special case belongs here.)
+        from ..core.cache import managed_persist
+        spine = (managed_persist(df.select(*strata).distinct())
+                 if strata else None)
         outs = []
         for i, cx in enumerate(colnames):
             for cy in colnames[i:]:
@@ -257,12 +286,16 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
                                 & F.col(cy).isNotNull()) \
                         .select(*strata, *pair)
                 ranked = melted_avg_ranks(sub, pair, strata=strata)
-                outs.append(summary_plan(
+                res = summary_plan(
                     ranked,
-                    [F.lit(cx).alias("col_x"), F.lit(cy).alias("col_y"),
-                     F.corr(F.col(f"_rk_{cx}"), F.col(f"_rk_{cy}"))
+                    [F.corr(F.col(f"_rk_{cx}"), F.col(f"_rk_{cy}"))
                      .alias("corr")],
-                    strata).select(*strata, "col_x", "col_y", "corr"))
+                    strata).select(*strata, "corr")
+                if spine is not None:
+                    res = spine.join(res, strata, "left")
+                outs.append(res.select(
+                    *strata, F.lit(cx).alias("col_x"),
+                    F.lit(cy).alias("col_y"), "corr"))
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)

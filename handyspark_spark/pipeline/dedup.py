@@ -58,7 +58,8 @@ def _token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _cap_candidate_pairs(keyed: DataFrame, key_cols: list[str],
-                         max_candidate_pairs: int | None, op: str) -> None:
+                         max_candidate_pairs: int | None, op: str,
+                         materialize: bool = False) -> DataFrame:
     """Loud guard for pair-enumeration blow-up: a join key shared by n
     rows emits n·(n-1)/2 candidate pairs, so the candidate volume is
     sum-over-keys of C(n,2) — quadratic in duplicate-clique depth. At
@@ -68,15 +69,33 @@ def _cap_candidate_pairs(keyed: DataFrame, key_cols: list[str],
     (map-side partial counts; shuffled bytes = |distinct keys|) and
     raises naming the linear-scale alternatives. Mirrors
     ``similarity._cap_query_rows``; pass ``max_candidate_pairs=None``
-    to opt out."""
+    to opt out.
+
+    The guard is an eager job, so without caching the keyed frame's
+    upstream runs twice — once here, once under the candidate join.
+    ``materialize=True`` persists it (bounded ``core.cache`` registry)
+    so both share one materialization; callers MUST use the RETURNED
+    frame. Reserve it for truncated/bounded generators (the
+    ``_smallest_k_per_key`` outputs, whose salted two-phase top-k is
+    the expensive thing not to run twice); for unbounded generators
+    the guard deliberately stays storage-free — it may be about to
+    REFUSE a corpus-sized frame, and persisting one just to reject it
+    would trade the documented extra linear pass for executor-storage
+    exhaustion on exactly the inputs the guard exists to catch."""
     if max_candidate_pairs is None:
-        return
+        return keyed
+    if materialize:
+        from ..core.cache import managed_persist
+        keyed = managed_persist(keyed)
     row = (keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
            .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_p"),
                 F.max("_n").alias("_mx"))
            .collect()[0])
     npairs = int(row["_p"] or 0)
     if npairs > max_candidate_pairs:
+        if materialize:
+            from ..core.cache import release
+            release(keyed)
         raise ValueError(
             f"{op}: candidate-pair volume {npairs:,} exceeds "
             f"max_candidate_pairs={max_candidate_pairs:,} (hottest join "
@@ -87,6 +106,7 @@ def _cap_candidate_pairs(keyed: DataFrame, key_cols: list[str],
             f"bound the candidate generator (max_token_df / "
             f"max_postings_per_token), or pass max_candidate_pairs=None "
             f"to force the enumeration")
+    return keyed
 
 
 def _smallest_k_per_key(df: DataFrame, key_cols: list[str],
@@ -209,8 +229,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     if max_postings_per_token is not None:
         inv = _smallest_k_per_key(inv, ["_tok"], "_id",
                                   max_postings_per_token)
-    _cap_candidate_pairs(inv, ["_tok"], max_candidate_pairs,
-                         "ngram_jaccard_pairs(inverted)")
+    inv = _cap_candidate_pairs(
+        inv, ["_tok"], max_candidate_pairs,
+        "ngram_jaccard_pairs(inverted)",
+        materialize=max_postings_per_token is not None)
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (a.join(b, (F.col("a._tok") == F.col("b._tok")) &
@@ -279,8 +301,9 @@ def _jaccard_prefix(ts: DataFrame, threshold: float,
                            .alias("_tok"))
         pref = _smallest_k_per_key(pref, ["_tok"], "_id",
                                    max_postings_per_token)
-        _cap_candidate_pairs(pref, ["_tok"], max_candidate_pairs,
-                             "ngram_jaccard_pairs(prefix)")
+        pref = _cap_candidate_pairs(pref, ["_tok"], max_candidate_pairs,
+                                    "ngram_jaccard_pairs(prefix)",
+                                    materialize=True)
         cand = (pref.alias("pa")
                 .join(pref.alias("pb"),
                       (F.col("pa._tok") == F.col("pb._tok")) &
@@ -763,9 +786,13 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
                                    id_col, max_docs_per_bucket)
     # guard shares the persisted fingerprints: one cheap keyed count
     # over |docs| x (k+1) rows, not a recompute of the simhash UDF
-    # (post-truncation when capped, so the bounded form passes it)
-    _cap_candidate_pairs(cand, ["block", "block_val"],
-                         max_candidate_pairs, "simhash_neardup_pairs")
+    # (post-truncation when capped, so the bounded form passes it);
+    # the capped path also persists the truncated buckets so the
+    # salted top-k isn't re-run under the self-join
+    cand = _cap_candidate_pairs(
+        cand, ["block", "block_val"], max_candidate_pairs,
+        "simhash_neardup_pairs",
+        materialize=max_docs_per_bucket is not None)
     a, b = cand.alias("a"), cand.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     hamming = F.bit_count(xor)
@@ -1304,8 +1331,10 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     if max_postings_per_token is not None:
         inv = _smallest_k_per_key(inv, ["_tok"], "_id",
                                   max_postings_per_token)
-    _cap_candidate_pairs(inv, ["_tok"], max_candidate_pairs,
-                         "containment_pairs(inverted)")
+    inv = _cap_candidate_pairs(
+        inv, ["_tok"], max_candidate_pairs,
+        "containment_pairs(inverted)",
+        materialize=max_postings_per_token is not None)
     a, b = inv.alias("a"), inv.alias("b")
     inter = (a.join(b, (F.col("a._tok") == F.col("b._tok")) &
                        (F.col("a._id") < F.col("b._id")))

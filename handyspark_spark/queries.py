@@ -921,7 +921,7 @@ def q_jaccard_pairs_capped(spark, sf_dir):
     """The bounded-candidate form of jaccard_pairs: prefix postings are
     deterministically truncated to the 64 smallest doc ids per token
     (salted two-phase top-k — no hot-key window), capping candidate
-    volume at C(16,2) per token at ANY corpus scale. Emitted pairs keep
+    volume at C(64,2) per token at ANY corpus scale. Emitted pairs keep
     exact Jaccard (verification uses full token sets); this is the
     variant that stays oracle-checkable at sf10 where the uncapped
     enumeration exhausts disk."""

@@ -283,3 +283,52 @@ def test_grid_sum_exact_at_wraparound_magnitudes(spark):
     from pyspark.errors.exceptions.captured import ArithmeticException
     with _pytest.raises(ArithmeticException):
         df.agg(F.sum("u").alias("s")).collect()
+
+
+def test_grid_sum_exact_beyond_double_mantissa(spark):
+    """Round-7 hardening: the hi/lo split must be exact for PER-ROW
+    units beyond 2^53, where the old raw-double floor mis-binned.
+    4e18 - 1 is the canonical breaker: double rounds it UP to 4e18, so
+    floor(units/1e9) lands one quotient high and the independent pmod
+    remainder no longer pairs with it (total off by exactly 1e9). The
+    corrected split keeps q·1e9 + r == units per row identically."""
+    from handyspark_spark.operators.agg import grid_sum
+    from pyspark.sql import functions as F
+    vals = [4 * 10**18 - 1, 10**18 + 10**9 - 1, -(4 * 10**18 - 1),
+            123_456_789, -987_654_321, 0]
+    df = spark.createDataFrame([(v,) for v in vals], "u long")
+    got = df.agg(grid_sum(F.col("u"), 1).alias("s")).collect()[0]["s"]
+    assert int(got) == sum(vals)
+    # per-group exactness too (grouping sets shape)
+    df2 = spark.createDataFrame([(v % 2, v) for v in vals],
+                                "g long, u long")
+    got2 = {r["g"]: int(r["s"]) for r in
+            df2.groupBy("g").agg(grid_sum(F.col("u"), 1).alias("s"))
+            .collect()}
+    want2 = {}
+    for v in vals:
+        want2[v % 2] = want2.get(v % 2, 0) + v
+    assert got2 == want2
+
+
+def test_corr_pairwise_shape_matches_fused_on_empty_strata(spark):
+    """Round-6 advice: a (stratum, pair) with ZERO pairwise-complete
+    rows must still appear (NULL corr) in pairwise mode — the fused
+    path emits it via F.corr -> NULL, and the per-pair groupBy used to
+    silently drop it. Both modes must return identical (stratum,
+    col_x, col_y) key sets."""
+    from handyspark_spark.operators.agg import corr_plan
+    rows = [("a", 1.0, 2.0), ("a", 2.0, 1.0), ("a", 3.0, 5.0),
+            # stratum b: x and y never non-null together
+            ("b", 1.0, None), ("b", 2.0, None), ("b", None, 7.0)]
+    sdf = spark.createDataFrame(rows, "g string, x double, y double")
+    fused = {(r.g, r.col_x, r.col_y): r.corr for r in
+             corr_plan(sdf, ["x", "y"], method="spearman",
+                       strata=["g"]).collect()}
+    pw = {(r.g, r.col_x, r.col_y): r.corr for r in
+          corr_plan(sdf, ["x", "y"], method="spearman", strata=["g"],
+                    pairwise=True).collect()}
+    assert set(pw) == set(fused)
+    assert pw[("b", "x", "y")] is None
+    # well-formed strata still agree between modes (aligned-null data)
+    assert abs(pw[("a", "x", "y")] - fused[("a", "x", "y")]) < 1e-9
