@@ -3,7 +3,7 @@ frames — a layer the reference's fixed-fixture strategy lacks."""
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from handyspark_spark import toHandy
@@ -250,3 +250,172 @@ def test_ivfpq_invariants_across_configs(spark, n_centroids, m, nbits,
                       books=books, encoded=enc_df).collect()
     assert {(r["query_id"], r["neighbor_id"], r["rank"])
             for r in out2} == got
+
+
+# ---------------------------------------------------------------------------
+# HandyStrata dispatch/recombination fuzz (SURVEY §7 risk 1): random
+# strata composition/order/NULL-keys/ops vs pandas groupby. Reference
+# behavior being mirrored: tests/handyspark/sql/test_dataframe.py:135-139
+# (stratified agg) and 284-289 (stratified value_counts).
+# ---------------------------------------------------------------------------
+
+_STRATA_OPS = ["mean", "min", "max", "count", "stddev", "median",
+               "nunique"]
+
+
+def _norm_key(k):
+    """Stratum label normalization: engine uses None/NaN for NULL keys
+    depending on index arity; pandas groupby(dropna=False) uses NaN."""
+    if k is None:
+        return "∅"
+    if isinstance(k, float) and np.isnan(k):
+        return "∅"
+    return k
+
+
+def _norm_idx(idx):
+    return tuple(_norm_key(k) for k in idx) if isinstance(idx, tuple) \
+        else (_norm_key(idx),)
+
+
+@given(data=st.data())
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_stratified_agg_fuzz_matches_pandas_groupby(spark, data):
+    """Randomized strata types/order/NULL-buckets/op against pandas
+    groupby(dropna=False): the engine keeps NULL strata as their own
+    bucket and runs every ``@agg`` op as ONE grouped job — results per
+    (stratum-combo) must equal pandas exactly (median exact=True is
+    type-7 interpolation on both sides; values are NaN-free because
+    plain Spark aggs keep native NaN propagation by documented
+    contract)."""
+    n = data.draw(st.integers(min_value=12, max_value=48), label="n")
+    c1 = data.draw(st.lists(st.sampled_from(["a", "b", "c", None]),
+                            min_size=n, max_size=n), label="c1")
+    c2 = data.draw(st.lists(st.sampled_from(["x", "y", None]),
+                            min_size=n, max_size=n), label="c2")
+    vals = data.draw(st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_infinity=False),
+        min_size=n, max_size=n), label="vals")
+    strata = data.draw(st.sampled_from(
+        [["c1"], ["c2"], ["c1", "c2"], ["c2", "c1"]]), label="strata")
+    op = data.draw(st.sampled_from(_STRATA_OPS), label="op")
+
+    pdf = pd.DataFrame({"c1": c1, "c2": c2,
+                        "v": [round(v, 6) for v in vals]})
+    sdf = spark.createDataFrame(pdf, "c1 string, c2 string, v double")
+    col = toHandy(sdf).stratify(list(strata)).cols["v"]
+    if op == "median":
+        got = col.median(exact=True)
+    elif op == "nunique":
+        got = col.nunique(exact=True)
+    else:
+        got = getattr(col, op)()
+
+    g = pdf.groupby(strata, dropna=False)["v"]
+    want = {"mean": g.mean, "min": g.min, "max": g.max, "count": g.count,
+            "stddev": g.std, "median": g.median, "nunique": g.nunique
+            }[op]()
+
+    got_d = {_norm_idx(k): v for k, v in got.items()}
+    want_d = {_norm_idx(k): v for k, v in want.items()}
+    assert set(got_d) == set(want_d), (strata, op)
+    for k in want_d:
+        a, b = got_d[k], want_d[k]
+        if pd.isna(b):
+            assert a is None or pd.isna(a), (k, op, a, b)
+        else:
+            assert abs(float(a) - float(b)) < 1e-6, (k, op, a, b)
+
+
+@given(data=st.data())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_stratified_value_counts_and_mode_fuzz(spark, data):
+    """Random categorical strata + counted column with NULL keys:
+    stratified value_counts equals pandas groupby.value_counts
+    (dropna on the VALUE, NULL strata kept), and mode equals pandas'
+    min-tie-break mode per stratum."""
+    n = data.draw(st.integers(min_value=10, max_value=40), label="n")
+    key = data.draw(st.lists(st.sampled_from(["g1", "g2", None]),
+                             min_size=n, max_size=n), label="key")
+    val = data.draw(st.lists(st.sampled_from(["u", "v", "w", None]),
+                             min_size=n, max_size=n), label="val")
+    pdf = pd.DataFrame({"k": key, "c": val})
+    sdf = spark.createDataFrame(pdf, "k string, c string")
+    strata_col = toHandy(sdf).stratify(["k"]).cols["c"]
+
+    got_vc = {( _norm_key(k), v): int(c) for (k, v), c in
+              strata_col.value_counts().items()}
+    want_vc = {(_norm_key(k), v): int(c) for (k, v), c in
+               pdf.groupby("k", dropna=False)["c"]
+               .value_counts(dropna=True).items()}
+    assert got_vc == want_vc
+
+    # mode only over strata that have at least one non-null value
+    has_val = pdf.dropna(subset=["c"]).groupby("k", dropna=False)["c"]
+    want_mode = {(_norm_key(k),): s.mode().min()
+                 for k, s in has_val}
+    got_mode = {_norm_idx(k): v for k, v in strata_col.mode().items()}
+    for k in want_mode:
+        assert got_mode.get(k) == want_mode[k], k
+
+
+@given(data=st.data())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_bucket_strata_fuzz_matches_closed_form(spark, data):
+    """Random Bucket/Quantile strata (random bins), optionally combined
+    with a categorical stratum in either order: per-stratum means must
+    match pandas grouping on the closed-form bucket ids (equal-width:
+    linspace edges, last bin right-closed; quantile: checked by
+    partition invariants — every row lands in exactly one bucket and
+    bucket count <= bins)."""
+    from handyspark_spark import Bucket, Quantile
+    n = data.draw(st.integers(min_value=15, max_value=45), label="n")
+    bvals = data.draw(st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+                  allow_infinity=False),
+        min_size=n, max_size=n), label="bvals")
+    assume(max(bvals) > min(bvals))          # zero-width grid undefined
+    bins = data.draw(st.integers(min_value=2, max_value=5), label="bins")
+    cat = data.draw(st.lists(st.sampled_from(["p", "q"]),
+                             min_size=n, max_size=n), label="cat")
+    vals = data.draw(st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+                  allow_infinity=False),
+        min_size=n, max_size=n), label="vals")
+    kind = data.draw(st.sampled_from(["bucket", "quantile"]), label="kind")
+    shape = data.draw(st.sampled_from(["solo", "cat_first", "cat_last"]),
+                      label="shape")
+
+    pdf = pd.DataFrame({"b": [round(v, 6) for v in bvals], "g": cat,
+                        "v": [round(v, 6) for v in vals]})
+    sdf = spark.createDataFrame(pdf, "b double, g string, v double")
+    stratum = (Bucket("b", bins) if kind == "bucket"
+               else Quantile("b", bins))
+    strata = {"solo": [stratum], "cat_first": ["g", stratum],
+              "cat_last": [stratum, "g"]}[shape]
+    got = toHandy(sdf).stratify(strata).cols["v"].mean()
+
+    # totals invariant: weighted recombination loses no rows
+    cnt = toHandy(sdf).stratify(strata).cols["v"].count()
+    assert int(cnt.sum()) == n
+    n_bucket_labels = len({k[strata.index(stratum)]
+                           if isinstance(k, tuple) else k
+                           for k in cnt.index})
+    assert n_bucket_labels <= bins
+
+    if kind == "bucket":
+        lo, hi = pdf["b"].min(), pdf["b"].max()
+        w = (hi - lo) / bins
+        ids = np.minimum(np.floor((pdf["b"] - lo) / w), bins - 1)
+        keys = {"solo": [ids], "cat_first": ["g", ids],
+                "cat_last": [ids, "g"]}[shape]
+        want = pdf.groupby(keys)["v"].mean()
+        assert sorted(np.round(got.dropna().values, 6)) == pytest.approx(
+            sorted(np.round(want.dropna().values, 6)), abs=1e-6)
