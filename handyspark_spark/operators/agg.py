@@ -275,7 +275,13 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         # zero-variance or <2-row stratum gives NULL on the diagonal
         # in BOTH modes — pandas' corr diagonal is NaN there too, so
         # no lit(1.0) special case belongs here.)
+        from functools import reduce as _reduce
         from ..core.cache import managed_persist
+        # The spine persist intentionally OUTLIVES this function: the
+        # returned plan is lazy and every pair's branch re-reads the
+        # spine at execution, so releasing it here would turn the
+        # cache into P recomputes. The bounded managed registry is the
+        # documented backstop for exactly this lifetime.
         spine = (managed_persist(df.select(*strata).distinct())
                  if strata else None)
         outs = []
@@ -292,7 +298,19 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
                      .alias("corr")],
                     strata).select(*strata, "corr")
                 if spine is not None:
-                    res = spine.join(res, strata, "left")
+                    # NULL-SAFE stratum equality: a name-list join uses
+                    # plain `=`, under which a NULL-valued stratum in
+                    # `res` could never match its spine row and would
+                    # always surface corr=NULL even when a real corr
+                    # exists for the NULL bucket.
+                    sp, rs = spine.alias("_sp"), res.alias("_rs")
+                    cond = _reduce(
+                        lambda a, b: a & b,
+                        [F.col(f"_sp.{c}").eqNullSafe(F.col(f"_rs.{c}"))
+                         for c in strata])
+                    res = sp.join(rs, cond, "left").select(
+                        *[F.col(f"_sp.{c}").alias(c) for c in strata],
+                        F.col("_rs.corr").alias("corr"))
                 outs.append(res.select(
                     *strata, F.lit(cx).alias("col_x"),
                     F.lit(cy).alias("col_y"), "corr"))

@@ -3792,6 +3792,62 @@ def q_leakage_safe_split(spark, sf_dir):
 _PQ_INDEX_META: dict = {}
 
 
+def _dataset_fingerprint(sf_dir, table="embeddings"):
+    """Content fingerprint of the parquet files backing an index
+    cache: sha256 over the table's resolved path plus every data
+    file's (relative name, size, mtime_ns). Two datasets with the
+    same ROW COUNT but different content (a regenerated testdata dir,
+    two sf_dirs that happen to share n) get different fingerprints,
+    so a cached index/codes dir can never be served against data it
+    was not built from (round-7 advice: the n=<count> key alone was
+    the first silently-wrong cross-process cache in this harness)."""
+    import hashlib
+    import os
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.sha256(os.path.realpath(root).encode())
+    if os.path.isdir(root):
+        for dirp, dirs, files in sorted(os.walk(root)):
+            dirs.sort()
+            for fn in sorted(files):
+                st = os.stat(os.path.join(dirp, fn))
+                rel = os.path.relpath(os.path.join(dirp, fn), root)
+                h.update(f"|{rel}|{st.st_size}|{st.st_mtime_ns}"
+                         .encode())
+    else:
+        st = os.stat(root)
+        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _fingerprinted_index_dir(path, fp):
+    """Marker-last validity check + stale-cache discard for an index
+    dir keyed by row count: returns True when ``path`` carries a
+    committed ``_FINGERPRINT`` matching ``fp`` (build complete AND
+    same source data — the marker is written LAST, after cells and
+    codes, so its presence implies completeness); otherwise removes
+    any stale/partial dir and returns False so the caller rebuilds."""
+    import os
+    import shutil
+    fp_file = os.path.join(path, "_FINGERPRINT")
+    if os.path.exists(fp_file):
+        with open(fp_file) as f:
+            if f.read().strip() == fp:
+                return True
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+    return False
+
+
+def _commit_fingerprint(path, fp):
+    import os
+    tmp = os.path.join(path, "_FINGERPRINT.tmp")
+    with open(tmp, "w") as f:
+        f.write(fp)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "_FINGERPRINT"))
+
+
 def _pq_index(spark, sf_dir):
     """fit->save ONCE per (session, sf_dir); returns
     (index, corpus_n, encoded_codes_df). The cached corpus count also
@@ -3799,13 +3855,19 @@ def _pq_index(spark, sf_dir):
     a count job per invocation.
 
     The corpus is ENCODED ONCE with the frozen index and persisted at
-    ``<path>/codes.parquet`` (skipped when a committed write already
-    exists — codebooks are deterministic, so codes are too); every
-    search then scans |docs| x m small ints instead of re-running the
-    encode projection per query batch — the train-once/encode-once/
-    search-encoded production shape (see ``ivfpq_topk``'s encoded=
-    contract). The DuckDB oracle is unaffected: it reads only
-    ``cells.parquet`` and re-derives the encode itself."""
+    ``<path>/codes.parquet``; every search then scans |docs| x m small
+    ints instead of re-running the encode projection per query batch —
+    the train-once/encode-once/search-encoded production shape (see
+    ``ivfpq_topk``'s encoded= contract). The DuckDB oracle is
+    unaffected: it reads only ``cells.parquet`` and re-derives the
+    encode itself.
+
+    Cross-process reuse is gated by a CONTENT FINGERPRINT of the
+    source parquet (``_dataset_fingerprint``), committed marker-last:
+    fingerprint present + matching => cells AND codes are complete and
+    were built from exactly this data, so fit AND encode are both
+    skipped (codebooks are deterministic, so this serves identical
+    results); anything else => the dir is discarded and rebuilt."""
     import os
     from .pipeline.ann_index import PQIndex
     key = (id(spark), sf_dir)
@@ -3814,12 +3876,16 @@ def _pq_index(spark, sf_dir):
         df = _t(spark, sf_dir, "embeddings")
         n = df.count()
         path = f"/tmp/hsq_pq_idx/n={n}"
-        PQIndex.fit(df, m=16, nbits=4).save(path, spark)
-        idx = PQIndex.load(spark, path)
+        fp = _dataset_fingerprint(sf_dir)
         codes_path = f"{path}/codes.parquet"
-        if not os.path.exists(os.path.join(codes_path, "_SUCCESS")):
+        if not _fingerprinted_index_dir(path, fp):
+            PQIndex.fit(df, m=16, nbits=4).save(path, spark)
+            idx = PQIndex.load(spark, path)
             (idx.encode(df).select("vec_id", "pq_code")
              .write.mode("overwrite").parquet(codes_path))
+            _commit_fingerprint(path, fp)
+        else:
+            idx = PQIndex.load(spark, path)
         meta = (idx, n, spark.read.parquet(codes_path))
         _PQ_INDEX_META[key] = meta
     return meta
@@ -3940,6 +4006,10 @@ _IVFPQ_INDEX_META: dict = {}
 
 
 def _ivfpq_index(spark, sf_dir):
+    """Same fingerprint-gated cross-process cache as ``_pq_index``:
+    a committed matching ``_FINGERPRINT`` (written last) lets a new
+    process skip the fit entirely; a stale or partial dir is
+    discarded and rebuilt."""
     from .pipeline.ann_index import IVFPQIndex
     key = (id(spark), sf_dir)
     meta = _IVFPQ_INDEX_META.get(key)
@@ -3947,7 +4017,11 @@ def _ivfpq_index(spark, sf_dir):
         df = _t(spark, sf_dir, "embeddings")
         n = df.count()
         path = f"/tmp/hsq_ivfpq_idx/n={n}"
-        IVFPQIndex.fit(df, n_centroids=16, m=16, nbits=4).save(path, spark)
+        fp = _dataset_fingerprint(sf_dir)
+        if not _fingerprinted_index_dir(path, fp):
+            IVFPQIndex.fit(df, n_centroids=16, m=16, nbits=4) \
+                      .save(path, spark)
+            _commit_fingerprint(path, fp)
         meta = (IVFPQIndex.load(spark, path), n)
         _IVFPQ_INDEX_META[key] = meta
     return meta

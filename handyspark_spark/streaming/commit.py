@@ -104,8 +104,15 @@ class ManifestCommitter(DirCommitter):
         if os.path.isdir(final) and not self.is_published(final):
             shutil.rmtree(final)                    # crashed prior write
         write_fn(final)
+        # flush+fsync the marker: it IS the commit point, so it must
+        # hit stable storage before this publish is reported done — a
+        # torn marker after power loss would make a fully-written
+        # batch permanently invisible (or worse, get discarded and
+        # rewritten as "crashed" on the retry).
         with open(os.path.join(final, self.MARKER), "w") as f:
             f.write("1")
+            f.flush()
+            os.fsync(f.fileno())
 
     def is_published(self, final):
         return os.path.exists(os.path.join(final, self.MARKER))

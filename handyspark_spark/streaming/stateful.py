@@ -236,8 +236,16 @@ class VersionedStateStore(StateStore):
         # staging detour is needed (unlike the swap protocol)
         merged.write.mode("overwrite").parquet(vdir)
         tmp = self._pointer(state_path) + ".tmp"
+        # flush+fsync BEFORE the rename: os.replace orders the name
+        # swap, not the data blocks — after a power loss the pointer
+        # could otherwise survive as an empty/torn file and wedge
+        # every subsequent last_batch_id on int(''). The loud failure
+        # stays for genuinely unparseable pointers; this just makes
+        # the commit point itself durable.
         with open(tmp, "w") as f:
             f.write(str(batch_id))
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._pointer(state_path))
         for d in os.listdir(state_path):
             if d.startswith("v=") and d != f"v={batch_id}":

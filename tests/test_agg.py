@@ -320,7 +320,12 @@ def test_corr_pairwise_shape_matches_fused_on_empty_strata(spark):
     from handyspark_spark.operators.agg import corr_plan
     rows = [("a", 1.0, 2.0), ("a", 2.0, 1.0), ("a", 3.0, 5.0),
             # stratum b: x and y never non-null together
-            ("b", 1.0, None), ("b", 2.0, None), ("b", None, 7.0)]
+            ("b", 1.0, None), ("b", 2.0, None), ("b", None, 7.0),
+            # NULL-valued stratum: the spine left-join must be
+            # NULL-SAFE (round-7 advice) so this bucket's keys match
+            # between modes instead of pairwise surfacing an
+            # unmatchable spine row
+            (None, 1.0, 2.0), (None, 2.0, 4.0), (None, 3.0, 5.0)]
     sdf = spark.createDataFrame(rows, "g string, x double, y double")
     fused = {(r.g, r.col_x, r.col_y): r.corr for r in
              corr_plan(sdf, ["x", "y"], method="spearman",
@@ -330,5 +335,6 @@ def test_corr_pairwise_shape_matches_fused_on_empty_strata(spark):
                     pairwise=True).collect()}
     assert set(pw) == set(fused)
     assert pw[("b", "x", "y")] is None
+    assert (None, "x", "y") in pw and (None, "x", "y") in fused
     # well-formed strata still agree between modes (aligned-null data)
     assert abs(pw[("a", "x", "y")] - fused[("a", "x", "y")]) < 1e-9

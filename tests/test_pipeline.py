@@ -1843,3 +1843,75 @@ def test_pq_topk_deterministic_under_ties_and_batching(spark):
         assert [r.neighbor_id for r in got_q] == [w[0] for w in want], q
         for r, w in zip(got_q, want):
             assert abs(r.score - round(w[1], 6)) < 1e-9
+
+
+def test_index_cache_rejects_same_n_different_data(spark, tmp_path):
+    """Round-7 advice: /tmp/hsq_pq_idx was keyed by row count alone, so
+    a REGENERATED dataset with the same n could silently reuse stale
+    codes against a freshly fit index. The fingerprinted cache must
+    (a) reuse on a byte-identical second process-entry, (b) detect
+    same-n-different-content and rebuild codes from scratch, and
+    (c) still return correct (brute-force-equal at rerank>=n) results
+    after the rebuild."""
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from handyspark_spark import queries as Q
+
+    src = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sub = src.head(37).copy()          # unique n -> isolated cache dir
+    cache_dir = f"/tmp/hsq_pq_idx/n={len(sub)}"
+    shutil.rmtree(cache_dir, ignore_errors=True)
+
+    dir_a = tmp_path / "a"
+    dir_a.mkdir()
+    sub.to_parquet(dir_a / "embeddings.parquet")
+    Q._PQ_INDEX_META.clear()
+    idx_a, n_a, codes_a = Q._pq_index(spark, str(dir_a))
+    assert n_a == 37
+    fp_file = os.path.join(cache_dir, "_FINGERPRINT")
+    fp_a = open(fp_file).read()
+    codes_a_rows = {r.vec_id: list(r.pq_code) for r in codes_a.collect()}
+
+    # (a) same content, new "process" (cleared session cache, a copied
+    # dir with identical bytes would change mtime -> different fp, so
+    # re-enter through the SAME dir): fit is skipped, fp unchanged
+    Q._PQ_INDEX_META.clear()
+    before_cells_mtime = os.path.getmtime(
+        os.path.join(cache_dir, "cells.parquet"))
+    Q._pq_index(spark, str(dir_a))
+    assert open(fp_file).read() == fp_a
+    assert os.path.getmtime(
+        os.path.join(cache_dir, "cells.parquet")) == before_cells_mtime
+
+    # (b) same n, different content -> rebuild
+    flipped = sub.copy()
+    # shift embeddings one vec_id over (same n, same value SET, but a
+    # different id->vector mapping — codes must change per id)
+    flipped["embedding"] = list(flipped["embedding"].iloc[1:]) + \
+        [flipped["embedding"].iloc[0]]
+    dir_b = tmp_path / "b"
+    dir_b.mkdir()
+    flipped.to_parquet(dir_b / "embeddings.parquet")
+    Q._PQ_INDEX_META.clear()
+    idx_b, n_b, codes_b = Q._pq_index(spark, str(dir_b))
+    assert n_b == 37
+    assert open(fp_file).read() != fp_a          # fresh fingerprint
+    codes_b_rows = {r.vec_id: list(r.pq_code) for r in codes_b.collect()}
+    assert codes_b_rows != codes_a_rows          # fresh ENCODE, not stale
+
+    # (c) rebuilt index is correct on dataset B: exact switch == brute
+    from handyspark_spark.pipeline.similarity import brute_force_topk
+    df_b = spark.read.parquet(str(dir_b / "embeddings.parquet"))
+    qs = df_b.filter(F.col("vec_id") < 3)
+    got = {(r.query_id, r.neighbor_id)
+           for r in idx_b.search(df_b, qs, k=3, rerank=n_b,
+                                 encoded=codes_b).collect()}
+    want = {(r.query_id, r.neighbor_id)
+            for r in brute_force_topk(df_b, qs, k=3).collect()}
+    assert got == want and len(got) > 0
+
+    shutil.rmtree(cache_dir, ignore_errors=True)

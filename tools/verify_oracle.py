@@ -79,7 +79,24 @@ def main():
     expect_guard, countonly = sets["--expect-guard"], sets["--countonly"]
     sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
     only = set(rest[1:])
-    results = {}
+
+    # Per-query wall time rides along in the artifact (round-7 verdict
+    # task: builder-vs-driver timing diffs should be direct). Every
+    # branch of the loop records its outcome exactly once via
+    # ``results[name] = {...}``, so a stamping dict covers them all
+    # without touching each branch.
+    import time
+
+    class _TimedResults(dict):
+        t0: float | None = None
+
+        def __setitem__(self, k, v):
+            if isinstance(v, dict) and self.t0 is not None \
+                    and "secs" not in v:
+                v["secs"] = round(time.monotonic() - self.t0, 3)
+            super().__setitem__(k, v)
+
+    results = _TimedResults()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     from pyspark.sql import SparkSession
@@ -103,6 +120,7 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        results.t0 = time.monotonic()
         if name in skip:
             print(f"SKIP {name} (excluded on the command line)")
             results[name] = {"status": "skip", "err": "excluded"}
