@@ -35,12 +35,23 @@ invisible until referenced).
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Callable
+
+from .fs import FS, LocalFS
 
 
 class DirCommitter:
-    """Publish a directory write with all-or-none visibility."""
+    """Publish a directory write with all-or-none visibility.
+
+    Control-plane IO (markers, listings, discards, renames) goes
+    through the ``fs`` binding (``fs.FS``; default ``LocalFS``) — pass
+    an ``FsspecFS`` to run the same protocol against a real object
+    store, or a ``MemoryFS`` to test it under injected crashes and
+    non-atomic renames. The data plane (``write_fn`` writing parquet)
+    still receives a path string for the engine to write to."""
+
+    def __init__(self, fs: FS | None = None):
+        self.fs = fs or LocalFS()
 
     def publish(self, write_fn: Callable[[str], None], final: str) -> None:
         """Run ``write_fn(path)`` so that ``final`` becomes visible
@@ -69,19 +80,19 @@ class PosixRenameCommitter(DirCommitter):
 
     def publish(self, write_fn, final):
         staged = final + self.SUFFIX
-        shutil.rmtree(staged, ignore_errors=True)   # crashed prior stage
+        self.fs.rm_recursive(staged)                # crashed prior stage
         write_fn(staged)
-        os.rename(staged, final)
+        self.fs.rename(staged, final)
 
     def is_published(self, final):
-        return os.path.exists(final)
+        return self.fs.exists(final)
 
     def published(self, parent):
-        if not os.path.isdir(parent):
+        if not self.fs.isdir(parent):
             return []
         return sorted(
-            os.path.join(parent, d) for d in os.listdir(parent)
-            if os.path.isdir(os.path.join(parent, d))
+            os.path.join(parent, d) for d in self.fs.listdir(parent)
+            if self.fs.isdir(os.path.join(parent, d))
             and not d.endswith((self.SUFFIX, "._prev")))
 
 
@@ -93,33 +104,32 @@ class ManifestCommitter(DirCommitter):
     A marker-less directory is a crashed write: invisible to
     ``published``, discarded and rewritten by the retrying publish.
 
-    This implementation does the discard with ``shutil`` (the test
-    environment is a local FS); on a real object store the discard is
-    a prefix delete and the marker write a single PUT — both primitive
-    store operations, which is the point of the protocol."""
+    Every step maps to a PRIMITIVE operation of the bound ``fs``: the
+    discard is a prefix delete, the marker write a single PUT — which
+    is the point of the protocol. Bind ``FsspecFS`` for a real object
+    store; the default ``LocalFS`` keeps local behavior (fsynced
+    marker) identical to prior rounds."""
 
     MARKER = "_HS_COMMITTED"
 
     def publish(self, write_fn, final):
-        if os.path.isdir(final) and not self.is_published(final):
-            shutil.rmtree(final)                    # crashed prior write
+        if self.fs.isdir(final) and not self.is_published(final):
+            self.fs.rm_recursive(final)             # crashed prior write
         write_fn(final)
-        # flush+fsync the marker: it IS the commit point, so it must
-        # hit stable storage before this publish is reported done — a
-        # torn marker after power loss would make a fully-written
-        # batch permanently invisible (or worse, get discarded and
-        # rewritten as "crashed" on the retry).
-        with open(os.path.join(final, self.MARKER), "w") as f:
-            f.write("1")
-            f.flush()
-            os.fsync(f.fileno())
+        # The marker PUT is the commit point, so it must be durable
+        # (LocalFS: flush+fsync+rename; object store: one PUT) before
+        # this publish is reported done — a torn marker after power
+        # loss would make a fully-written batch permanently invisible
+        # (or worse, get discarded and rewritten as "crashed" on the
+        # retry).
+        self.fs.put_atomic(os.path.join(final, self.MARKER), "1")
 
     def is_published(self, final):
-        return os.path.exists(os.path.join(final, self.MARKER))
+        return self.fs.exists(os.path.join(final, self.MARKER))
 
     def published(self, parent):
-        if not os.path.isdir(parent):
+        if not self.fs.isdir(parent):
             return []
         return sorted(
-            os.path.join(parent, d) for d in os.listdir(parent)
+            os.path.join(parent, d) for d in self.fs.listdir(parent)
             if self.is_published(os.path.join(parent, d)))

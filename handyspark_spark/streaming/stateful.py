@@ -197,60 +197,66 @@ class VersionedStateStore(StateStore):
     data directories are immutable once referenced and invisible until
     then (manifest-last, the lakehouse-format protocol).
 
-    The pointer update is ``os.replace`` of a one-line file here; on a
-    real object store it is a single overwrite PUT of the pointer key —
-    atomic per-key everywhere, which is the point: no multi-key rename
-    anywhere in the protocol. Crash windows: during the version write
-    the pointer still names the old state (the replayed batch
-    overwrites the orphan); between pointer flip and GC both versions
-    exist and the pointer names the new one. Unreferenced versions are
-    garbage-collected on the next commit."""
+    The pointer update goes through ``fs.put_atomic`` — on LocalFS a
+    write-tmp + fsync + rename (durable: after power loss the pointer
+    is either the old or the new value, never an empty/torn file that
+    would wedge ``last_batch_id`` on ``int('')``); on an object store
+    a single overwrite PUT of the pointer key — atomic per-key
+    everywhere, which is the point: no multi-key rename anywhere in
+    the protocol. Crash windows: during the version write the pointer
+    still names the old state (the replayed batch overwrites the
+    orphan); between pointer flip and GC both versions exist and the
+    pointer names the new one. Unreferenced versions are
+    garbage-collected on the next commit.
+
+    IO binding: control-plane operations (pointer, listing, GC) go
+    through ``fs`` (``streaming.fs.FS``, default ``LocalFS``; bind
+    ``FsspecFS`` for a real remote store). The data plane is the
+    ``_write_version``/``_read_version`` pair — parquet via Spark by
+    default, overridable when the version payload lives somewhere the
+    engine cannot address directly (the MemoryFS tests do this)."""
 
     CURRENT = "_CURRENT"
+
+    def __init__(self, fs=None):
+        from .fs import LocalFS
+        self.fs = fs or LocalFS()
 
     def _pointer(self, state_path):
         import os
         return os.path.join(state_path, self.CURRENT)
 
+    def _write_version(self, merged, vdir):
+        merged.write.mode("overwrite").parquet(vdir)
+
+    def _read_version(self, spark, vdir):
+        return spark.read.parquet(vdir)
+
     def last_batch_id(self, state_path):
-        import os
         p = self._pointer(state_path)
-        if not os.path.exists(p):
+        if not self.fs.exists(p):
             return None
-        with open(p) as f:
-            return int(f.read().strip())
+        return int(self.fs.read_text(p).strip())
 
     def read(self, spark, state_path):
         import os
         last = self.last_batch_id(state_path)
         if last is None:
             return None
-        return spark.read.parquet(os.path.join(state_path, f"v={last}"))
+        return self._read_version(
+            spark, os.path.join(state_path, f"v={last}"))
 
     def commit(self, merged, state_path, batch_id):
         import os
-        import shutil
-        os.makedirs(state_path, exist_ok=True)
+        self.fs.makedirs(state_path)
         vdir = os.path.join(state_path, f"v={batch_id}")
         # reads v=<prev> while writing v=<new>: distinct dirs, so no
         # staging detour is needed (unlike the swap protocol)
-        merged.write.mode("overwrite").parquet(vdir)
-        tmp = self._pointer(state_path) + ".tmp"
-        # flush+fsync BEFORE the rename: os.replace orders the name
-        # swap, not the data blocks — after a power loss the pointer
-        # could otherwise survive as an empty/torn file and wedge
-        # every subsequent last_batch_id on int(''). The loud failure
-        # stays for genuinely unparseable pointers; this just makes
-        # the commit point itself durable.
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer(state_path))
-        for d in os.listdir(state_path):
+        self._write_version(merged, vdir)
+        self.fs.put_atomic(self._pointer(state_path), str(batch_id))
+        for d in self.fs.listdir(state_path):
             if d.startswith("v=") and d != f"v={batch_id}":
-                shutil.rmtree(os.path.join(state_path, d),
-                              ignore_errors=True)
+                self.fs.rm_recursive(os.path.join(state_path, d))
 
 
 def maintain_state_table(stream: DataFrame, state_path: str,

@@ -1012,3 +1012,152 @@ def test_versioned_state_store_matches_batch_and_replays(spark, tables,
             finalize_state(store.read(spark, state),
                            ["user_id"]).collect()}
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# Commit protocols over the fs binding (round-8: object-store seam)
+# ---------------------------------------------------------------------------
+
+def _fs_bindings(tmp_path):
+    """The same protocol tests run over the local binding and the
+    in-memory object-store binding — 'object-store-safe' is exercised
+    through the SAME API on both."""
+    from handyspark_spark.streaming.fs import LocalFS, MemoryFS
+    return [("local", LocalFS(), str(tmp_path / "root")),
+            ("memory", MemoryFS(), "bucket/root")]
+
+
+@pytest.mark.parametrize("committer_cls_name",
+                         ["PosixRenameCommitter", "ManifestCommitter"])
+def test_committer_contract_over_both_fs_bindings(tmp_path,
+                                                  committer_cls_name):
+    """publish/is_published/published contract for BOTH committers over
+    BOTH fs bindings: committed batches are listed, a crashed prior
+    attempt is discarded and rewritten by the retry, staging leftovers
+    and marker-less partials are invisible."""
+    import os
+
+    from handyspark_spark.streaming import commit as C
+
+    cls = getattr(C, committer_cls_name)
+    for label, fs, root in _fs_bindings(tmp_path):
+        com = cls(fs=fs)
+        parent = os.path.join(root, committer_cls_name)
+
+        def write_two(path, payload="x"):
+            fs.put_atomic(os.path.join(path, "part-0"), payload)
+            fs.put_atomic(os.path.join(path, "part-1"), payload)
+
+        b0 = os.path.join(parent, "batch=0")
+        com.publish(lambda p: write_two(p, "b0"), b0)
+        assert com.is_published(b0), label
+        assert com.published(parent) == [b0], label
+
+        # crashed prior attempt for batch=1: data landed, commit
+        # point didn't (stage dir for rename; marker-less final for
+        # manifest) -> invisible, then the retry publishes cleanly
+        b1 = os.path.join(parent, "batch=1")
+        if committer_cls_name == "PosixRenameCommitter":
+            write_two(b1 + com.SUFFIX, "junk")
+        else:
+            write_two(b1, "junk")
+        assert not com.is_published(b1), label
+        assert com.published(parent) == [b0], label
+        com.publish(lambda p: write_two(p, "b1"), b1)
+        assert com.published(parent) == [b0, b1], label
+        assert fs.read_text(os.path.join(b1, "part-0")) == "b1", \
+            f"{label}: stale crashed data survived the retry"
+
+
+def test_manifest_survives_crash_where_rename_tears(tmp_path):
+    """THE reason ManifestCommitter exists: on an object store a
+    'rename' is per-key copy+delete. Crash-inject mid-publish on the
+    MemoryFS binding: the rename committer leaves a HALF-VISIBLE final
+    directory (is_published=True on a torn write — silent corruption),
+    while the manifest committer's wreck is marker-less, invisible,
+    and healed by the replay."""
+    import os
+
+    from handyspark_spark.streaming.commit import (ManifestCommitter,
+                                                   PosixRenameCommitter)
+    from handyspark_spark.streaming.fs import CrashInjected, MemoryFS
+
+    def write_many(fs):
+        def w(path):
+            for i in range(6):
+                fs.put_atomic(os.path.join(path, f"part-{i}"), str(i))
+        return w
+
+    # rename committer: crash INSIDE the non-atomic rename
+    fs = MemoryFS()
+    com = PosixRenameCommitter(fs=fs)
+    final = "bucket/corpus/batch=0"
+    fs.fail_after = 6 + 3            # 6 staged puts + 3 rename copies
+    with pytest.raises(CrashInjected):
+        com.publish(write_many(fs), final)
+    fs.fail_after = None
+    assert com.is_published(final)   # torn dir LOOKS committed
+    assert len(fs.listdir(final)) < 6   # ...but is half-visible: WRONG
+
+    # manifest committer: crash after SOME data puts, before the marker
+    fs2 = MemoryFS()
+    com2 = ManifestCommitter(fs=fs2)
+    final2 = "bucket/corpus/batch=0"
+    fs2.fail_after = 3
+    with pytest.raises(CrashInjected):
+        com2.publish(write_many(fs2), final2)
+    fs2.fail_after = None
+    assert not com2.is_published(final2)     # wreck is invisible
+    assert com2.published("bucket/corpus") == []
+    com2.publish(write_many(fs2), final2)    # the replaying batch
+    assert com2.is_published(final2)
+    assert len(fs2.listdir(final2)) == 7     # 6 parts + marker
+
+
+def test_versioned_state_store_protocol_on_memory_object_store():
+    """VersionedStateStore's pointer/GC/replay protocol exercised
+    end-to-end on the MemoryFS object-store binding (version payloads
+    carried as single-PUT objects via the _write/_read_version seam):
+    commits flip the pointer and GC old versions, a crash BEFORE the
+    pointer flip leaves the previous state live and the replayed batch
+    heals it, and replayed() dedups batch ids."""
+    import os
+
+    from handyspark_spark.streaming.fs import CrashInjected, MemoryFS
+    from handyspark_spark.streaming.stateful import VersionedStateStore
+
+    fs = MemoryFS()
+
+    class KVStateStore(VersionedStateStore):
+        def _write_version(self, merged, vdir):
+            # one PUT per version object: 'merged' is a plain dict here
+            self.fs.put_atomic(os.path.join(vdir, "state.json"),
+                               repr(merged))
+
+        def _read_version(self, spark, vdir):
+            return eval(self.fs.read_text(  # noqa: S307 - test-only
+                os.path.join(vdir, "state.json")))
+
+    store = KVStateStore(fs=fs)
+    path = "bucket/state"
+    assert store.last_batch_id(path) is None
+    store.commit({"a": 1}, path, 0)
+    assert store.last_batch_id(path) == 0
+    assert store.read(None, path) == {"a": 1}
+    store.commit({"a": 3}, path, 1)
+    assert store.read(None, path) == {"a": 3}
+    assert fs.listdir(path) == ["_CURRENT", "v=1"]    # v=0 GC'd
+    assert store.replayed(path, 1) and store.replayed(path, 0)
+    assert not store.replayed(path, 2)
+
+    # crash DURING the v=2 write, before the pointer flip: the orphan
+    # is invisible, previous state still rules, replay overwrites it
+    fs.fail_after = fs.ops + 0       # next mutating op dies
+    with pytest.raises(CrashInjected):
+        store.commit({"a": 9}, path, 2)
+    fs.fail_after = None
+    assert store.last_batch_id(path) == 1
+    assert store.read(None, path) == {"a": 3}
+    store.commit({"a": 9}, path, 2)  # the replayed batch
+    assert store.read(None, path) == {"a": 9}
+    assert fs.listdir(path) == ["_CURRENT", "v=2"]
