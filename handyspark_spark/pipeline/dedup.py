@@ -1413,9 +1413,76 @@ def _containment_bitmask(ts: DataFrame, threshold: float) -> DataFrame:
 # ExactSubstr: duplicate n-gram span detection / removal
 # ---------------------------------------------------------------------------
 
+def _hot_gram_hits(df: DataFrame, g: DataFrame, text_col: str,
+                   id_col: str, nn: int, min_count: int, hot_min: int,
+                   sample_rate_inv: int, n_salts: int,
+                   max_hot_grams: int) -> DataFrame:
+    """Duplicate-position decision for ``duplicate_ngram_spans``'s
+    ``strategy='hot'`` (full rationale there): a sampled prepass
+    builds the broadcast hot list, then ONE projection of ``g`` is
+    window-counted over (gram, salt) — salt spreads hot grams, count
+    decides cold ones exactly. Returns (id_col, _pos) duplicate
+    positions."""
+    from .text import let_bound, tokens as _toks
+
+    id_c = F.col(id_col)
+
+    def body_sample(tk):
+        m = F.greatest(F.size(tk) - F.lit(nn - 1), F.lit(0))
+        idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+               .otherwise(F.array().cast("array<int>"))
+        # filter indices FIRST: gram hashes (the expensive slice +
+        # concat per position) are computed only for the ~1/rate
+        # survivors. The sample key is (doc, pos)-derived, so a gram's
+        # sampled count is Binomial(corpus_count, 1/rate) regardless
+        # of whether its repeats sit in one document or a million.
+        keep = F.filter(
+            idx,
+            lambda i: F.pmod(F.xxhash64(id_c, i,
+                                        F.lit("dup-span-sample")),
+                             F.lit(sample_rate_inv)) == 0)
+        return F.transform(
+            keep,
+            lambda i: F.struct(
+                F.xxhash64(F.concat_ws(" ", F.slice(tk, i, nn)))
+                 .alias("h1"),
+                F.xxhash64(F.concat_ws(" ", F.slice(tk, i, nn)),
+                           F.lit("dup-span-salt")).alias("h2")))
+
+    hot = (df.select(id_c,
+                     F.explode(let_bound(_toks(text_col), body_sample))
+                     .alias("_g"))
+           .select(F.col("_g.h1").alias("_h1"),
+                   F.col("_g.h2").alias("_h2"))
+           .groupBy("_h1", "_h2")
+           .agg(F.count(F.lit(1)).alias("_scnt"))
+           .filter(F.col("_scnt") >= max(min_count, hot_min))
+           # bounded broadcast: keep the HOTTEST grams; anything
+           # truncated falls to the exact cold path (slower task,
+           # same answer)
+           .orderBy(F.desc("_scnt"), "_h1", "_h2")
+           .limit(max_hot_grams)
+           .select("_h1", "_h2", F.lit(True).alias("_hot")))
+
+    j = g.join(F.broadcast(hot), ["_h1", "_h2"], "left")
+    salt = F.when(
+        F.col("_hot"),
+        F.pmod(F.xxhash64(id_c, F.col("_pos"), F.lit("dup-span-spread")),
+               F.lit(n_salts))).otherwise(F.lit(0))
+    wc = Window.partitionBy("_h1", "_h2", "_salt")
+    return (j.withColumn("_salt", salt)
+             .withColumn("_cnt", F.count(F.lit(1)).over(wc))
+             .filter(F.coalesce(F.col("_hot"), F.lit(False))
+                     | (F.col("_cnt") >= min_count))
+             .select(id_col, "_pos"))
+
+
 def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 16,
-                          min_count: int = 2) -> DataFrame:
+                          min_count: int = 2, strategy: str = "hot",
+                          hot_min: int = 8, sample_rate_inv: int = 64,
+                          n_salts: int = 64,
+                          max_hot_grams: int = 4_000_000) -> DataFrame:
     """ExactSubstr-style duplicate-span detection (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): find,
     per document, the maximal token spans covered by ``n``-token
@@ -1443,6 +1510,37 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
     collision needs ~2^64 distinct grams; the DuckDB oracle groups the
     raw gram string and agrees at every tested SF.
 
+    ``strategy``:
+
+    - ``'hot'`` (default, round 8) — single-full-projection hybrid.
+      The grouped form below pays TWO full gram projections (the
+      aggregate side shuffles combined rows, the join side raw rows,
+      so the exchanges differ by construction and exchange reuse
+      cannot merge them — the documented ~2x trade of round 6). The
+      hybrid replaces the second projection with a CHEAP prepass: a
+      deterministic 1/``sample_rate_inv`` position sample (tokenize +
+      index filter, gram hashes computed only for surviving indices)
+      is counted per gram, and every gram with ``>= max(min_count,
+      hot_min)`` SAMPLED occurrences goes into a bounded broadcast
+      hot list (top-``max_hot_grams`` by sample count). Because the
+      sample is a subset of the corpus, sample_count >= min_count
+      PROVES corpus_count >= min_count — the hot bypass is exact, not
+      heuristic. The main pass then projects grams ONCE, left-joins
+      the broadcast list, and window-counts over (gram, salt): hot
+      rows are already decided (their count is ignored) and carry a
+      position-derived salt so a boilerplate gram repeated k times
+      corpus-wide spreads over ``n_salts`` tasks instead of
+      serializing into one; cold rows keep salt 0, so their window
+      partition holds ALL their occurrences and the count stays
+      exact. Skew bound: a cold gram's corpus count C has a sampled
+      Binomial(C, 1/64) count that must have stayed below hot_min=8 —
+      P < 1e-9 once C > ~3000 — so cold window partitions are small
+      with overwhelming probability, and a miss only slows one task,
+      never changes the answer.
+    - ``'grouped'`` — the round-6 two-pass groupBy+join form:
+      deterministic skew-splittability (AQE skew join) with no
+      probabilistic argument, at the cost of the second projection.
+
     Returns (id_col, span_start, span_end, span_tokens): 1-based token
     coordinates, ``span_end`` exclusive; overlapping/adjacent duplicate
     grams merge into one span.
@@ -1468,11 +1566,19 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
                    F.explode(let_bound(_toks(text_col), body)).alias("_g"))
          .select(id_col, F.col("_g.pos").alias("_pos"),
                  F.col("_g.h1").alias("_h1"), F.col("_g.h2").alias("_h2")))
-    dup = (g.groupBy("_h1", "_h2")
-           .agg(F.count(F.lit(1)).alias("_cnt"))
-           .filter(F.col("_cnt") >= int(min_count)))
-    hits = (g.join(dup.select("_h1", "_h2"), ["_h1", "_h2"])
-            .drop("_h1", "_h2"))
+    if strategy == "hot":
+        hits = _hot_gram_hits(df, g, text_col, id_col, nn, int(min_count),
+                              int(hot_min), int(sample_rate_inv),
+                              int(n_salts), int(max_hot_grams))
+    elif strategy == "grouped":
+        dup = (g.groupBy("_h1", "_h2")
+               .agg(F.count(F.lit(1)).alias("_cnt"))
+               .filter(F.col("_cnt") >= int(min_count)))
+        hits = (g.join(dup.select("_h1", "_h2"), ["_h1", "_h2"])
+                .drop("_h1", "_h2"))
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} "
+                         "(expected 'hot' or 'grouped')")
     wd = Window.partitionBy(id_col).orderBy("_pos")
     new_island = F.when(
         F.lag("_pos").over(wd).isNull()
@@ -1490,7 +1596,8 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
 
 def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 16,
-                          min_count: int = 2) -> DataFrame:
+                          min_count: int = 2,
+                          strategy: str = "hot") -> DataFrame:
     """Remove every duplicate span found by ``duplicate_ngram_spans``
     and reassemble the surviving text — the apply step of ExactSubstr
     dedup.
@@ -1508,7 +1615,8 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     """
     from .text import let_bound, tokens as _toks
 
-    spans = (duplicate_ngram_spans(df, text_col, id_col, n, min_count)
+    spans = (duplicate_ngram_spans(df, text_col, id_col, n, min_count,
+                                   strategy=strategy)
              .groupBy(id_col)
              .agg(F.collect_list(F.struct("span_start", "span_end"))
                   .alias("_spans")))

@@ -1915,3 +1915,52 @@ def test_index_cache_rejects_same_n_different_data(spark, tmp_path):
     assert got == want and len(got) > 0
 
     shutil.rmtree(cache_dir, ignore_errors=True)
+
+
+def test_dup_spans_hot_strategy_equals_grouped(docs, spark):
+    """The round-8 single-projection 'hot' hybrid must be VALUE-
+    IDENTICAL to the round-6 grouped form in every routing regime:
+    everything-cold (nothing sampled -> pure window path),
+    everything-hot (every position sampled, hot_min at min_count ->
+    pure broadcast-bypass path), and the default mixed routing."""
+    from handyspark_spark.pipeline.dedup import duplicate_ngram_spans
+
+    d = docs.limit(400)
+    want = sorted(tuple(r) for r in duplicate_ngram_spans(
+        d, n=8, min_count=2, strategy="grouped").collect())
+    assert len(want) > 0
+    regimes = [
+        {},                                          # default mixed
+        {"sample_rate_inv": 1, "hot_min": 2},        # all duplicates hot
+        {"sample_rate_inv": 1 << 40},                # nothing sampled
+        {"sample_rate_inv": 1, "hot_min": 2,
+         "max_hot_grams": 1},                        # truncation -> cold
+    ]
+    for kw in regimes:
+        got = sorted(tuple(r) for r in duplicate_ngram_spans(
+            d, n=8, min_count=2, strategy="hot", **kw).collect())
+        assert got == want, f"hot regime {kw} diverged"
+    # same-doc repeats and gaps keep ExactSubstr semantics on the
+    # hot bypass too
+    text = "a b c d " + "f1 f2 f3 f4 f5 f6 f7 f8 " + "a b c d"
+    one = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(duplicate_ngram_spans(
+        one, n=4, min_count=2, strategy="hot", sample_rate_inv=1,
+        hot_min=2).collect(), key=lambda r: r["span_start"])
+    assert [(r["span_start"], r["span_end"]) for r in rows] \
+        == [(1, 5), (13, 17)]
+
+
+def test_dup_spans_hot_plan_shape(docs):
+    """Plan pins for the hot hybrid: the hot list arrives by BROADCAST
+    (no shuffle of the corpus for the routing decision), the count
+    window is keyed by (_h1, _h2, _salt) so a hot gram spreads over
+    n_salts tasks instead of serializing, and no Python evaluator
+    appears anywhere."""
+    from handyspark_spark.pipeline.dedup import duplicate_ngram_spans
+    plan = duplicate_ngram_spans(docs, n=8, strategy="hot") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "_salt" in plan and "windowspecdefinition(_h1" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
