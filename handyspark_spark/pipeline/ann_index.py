@@ -186,7 +186,7 @@ class PQIndex:
     def search(self, df: DataFrame, queries: DataFrame, k: int = 5,
                rerank: int | None = None,
                encoded: DataFrame | None = None,
-               dtype: str = "float64") -> DataFrame:
+               dtype: str = "float32") -> DataFrame:
         return pq_topk(df, queries, k=k, vec_col=self.vec_col,
                        id_col=self.id_col, rerank=rerank,
                        books=self.books, encoded=encoded, dtype=dtype)
@@ -267,7 +267,7 @@ class IVFPQIndex:
     def search(self, df: DataFrame, queries: DataFrame, k: int = 5,
                nprobe: int = 4, rerank: int | None = None,
                encoded: DataFrame | None = None,
-               dtype: str = "float64") -> DataFrame:
+               dtype: str = "float32") -> DataFrame:
         return ivfpq_topk(df, queries, k=k, nprobe=nprobe,
                           vec_col=self.vec_col, id_col=self.id_col,
                           rerank=rerank, centroids=self.centroids,

@@ -3979,7 +3979,10 @@ def q_ann_pq(spark, sf_dir):
     df = _t(spark, sf_dir, "embeddings")
     queries_df = df.filter((F.col("vec_id") % 50 == 0)
                            & (F.col("vec_id") < 100_000))
-    return idx.search(df, queries_df, k=5, rerank=50, encoded=codes)
+    # dtype pinned: the DuckDB oracle reproduces the ADC shortlist in
+    # DOUBLE; the library's production default is fp32 (see pq_topk)
+    return idx.search(df, queries_df, k=5, rerank=50, encoded=codes,
+                      dtype="float64")
 
 
 @query("ann_pq_exact", _ANN_EXACT_SQL)
@@ -3994,7 +3997,8 @@ def q_ann_pq_exact(spark, sf_dir):
     idx, n, codes = _pq_index(spark, sf_dir)
     df = _t(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 8)
-    out = idx.search(df, queries_df, k=5, rerank=n, encoded=codes)
+    out = idx.search(df, queries_df, k=5, rerank=n, encoded=codes,
+                     dtype="float64")
     return (out.withColumnRenamed("score", "cosine")
             .withColumn("rank", F.col("rank").cast("int")))
 
@@ -4136,7 +4140,8 @@ def q_ann_ivfpq(spark, sf_dir):
     idx, n = _ivfpq_index(spark, sf_dir)
     df = _t(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 8)
-    out = idx.search(df, queries_df, k=5, nprobe=16, rerank=50)
+    out = idx.search(df, queries_df, k=5, nprobe=16, rerank=50,
+                     dtype="float64")
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 

@@ -1816,8 +1816,11 @@ def test_pq_topk_deterministic_under_ties_and_batching(spark):
                          None)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
     try:
+        # fp64 pinned: the independent expectation below computes the
+        # ADC scores in float64 numpy (library default is now fp32)
         got = pq_topk(df, df.filter(F.col("vec_id") < 3), k=5,
-                      books=books, rerank=None).collect()
+                      books=books, rerank=None,
+                      dtype="float64").collect()
     finally:
         if old is not None:
             spark.conf.set(
