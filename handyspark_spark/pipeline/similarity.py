@@ -532,6 +532,17 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     else:
         enc = pq_encode(df, books, vec_col, id_col).select(
             F.col(id_col).alias("neighbor_id"), "pq_code")
+    # The ADC scan's parallelism must come from the CLUSTER, not from
+    # however many files the compact codes table happens to occupy: a
+    # 200k-row codes.parquet reads as ~3 input splits, serializing a
+    # |queries| x |codes| numpy scan into 3 tasks (measured 98s at
+    # 2000 x 200k where 32 tasks do it in ~8s). The codes are a few
+    # bytes per row, so the round-robin shuffle is trivial next to one
+    # serialized scan; at production scale the table spans >= cluster
+    # parallelism in files and this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if enc.rdd.getNumPartitions() < par:
+        enc = enc.repartition(par)
 
     qrows = (queries.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).cast("array<double>")
@@ -774,6 +785,12 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     else:
         enc = ivfpq_encode(df, C, books, vec_col, id_col) \
             .select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
+    # Same file-layout-vs-cluster parallelism guard as pq_topk: any
+    # cell filter the caller pushed into `encoded` sits BELOW this
+    # shuffle, so parquet cell pruning still happens at the scan; only
+    # the surviving (pruned) rows are spread.
+    if enc.rdd.getNumPartitions() < sc.defaultParallelism:
+        enc = enc.repartition(sc.defaultParallelism)
 
     qrows = (queries.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).cast("array<double>")
