@@ -341,8 +341,20 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         # window/agg key), where the old loops paid one full-table
         # exchange (unkeyed) or one distinct-agg + join-back (keyed)
         # PER column
-        from .rank import melted_avg_ranks
-        df = melted_avg_ranks(df, list(colnames), strata=strata)
+        from .rank import broadcast_dim_ranks, melted_avg_ranks
+        ranked = None
+        if not strata:
+            # Zero-exchange fast path (round 8): when the ranked
+            # columns' combined distinct-value count is bounded
+            # (MEASURED, not guessed — see broadcast_dim_ranks), rank
+            # dims broadcast-join onto the base scan and F.corr
+            # reduces map-side: no melt, no pivot, no full-table
+            # shuffle. Unbounded-cardinality columns return None here
+            # and take the melted-window path below; stratified ranks
+            # always do (dims would need per-stratum keys).
+            ranked = broadcast_dim_ranks(df, list(colnames))
+        df = ranked if ranked is not None \
+            else melted_avg_ranks(df, list(colnames), strata=strata)
         src = {c: f"_rk_{c}" for c in colnames}
     else:
         src = {c: c for c in colnames}

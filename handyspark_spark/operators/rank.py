@@ -322,6 +322,67 @@ def melted_avg_ranks(df: DataFrame, cols: list[str],
     return ranked.groupBy("_rid").agg(*aggs)
 
 
+def broadcast_dim_ranks(df: DataFrame, cols: list[str],
+                        prefix: str = "_rk_",
+                        max_dim_rows: int = 4_000_000) -> DataFrame | None:
+    """Fractional (average) ranks via DISTINCT-VALUE rank dimensions —
+    the zero-full-table-exchange form, applicable when the ranked
+    columns' combined cardinality is bounded.
+
+    A column's average rank is a FUNCTION OF ITS VALUE:
+    ``rank(v) = #smaller + (cnt_v + 1) / 2``. So instead of shuffling
+    every row through a ranked window and pivoting back (two M·N-row
+    exchanges in ``melted_avg_ranks`` — the right shape when
+    cardinality ~ rows), build one (column, value, rank) DIM TABLE
+    with a map-side-combined distinct aggregation, cumulative-sum it
+    over |distinct| rows, and BROADCAST-join it back onto the base
+    scan: the data rows never enter an exchange at all, and the
+    downstream consumer (a corr aggregate) reduces map-side. Measured
+    at sf10 on lineitem (60M rows, 2 columns): 57s melted → see
+    SCALE.md round-8.
+
+    Returns the base frame plus ``{prefix}{col}`` double columns (NULL
+    where the value was NULL — the pairwise-skip convention), or
+    ``None`` when the combined dim exceeds ``max_dim_rows`` (truly
+    continuous columns at scale): the caller falls back to the melted
+    path. The gate is a MEASURED count of the already-needed dim, not
+    a guess, so the broadcast can never blow up the driver.
+
+    NaN note: Spark normalizes NaN in groupBy and join keys (NaN
+    groups with and joins to NaN) and sorts it after every number, so
+    NaN values get the same terminal rank the melted path assigns.
+    """
+    from ..core.cache import managed_persist, release
+
+    vals = F.array(*[F.col(c).cast("double") for c in cols])
+    dims = (df.select(F.posexplode(vals).alias("_cid", "_v"))
+            .filter(F.col("_v").isNotNull())
+            .groupBy("_cid", "_v")
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+    dims = managed_persist(dims)
+    if dims.count() > max_dim_rows:
+        release(dims)
+        return None
+    # rank(v) = #smaller + (cnt_v + 1)/2 — cumulative window over the
+    # |distinct| dim rows only (per column, so a 4M-row worst case)
+    w = (Window.partitionBy("_cid").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = dims.withColumn(
+        "_r", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+        + (F.col("_cnt") + 1) / 2.0)
+    out = df
+    for i, c in enumerate(cols):
+        dim_c = F.broadcast(
+            ranked.filter(F.col("_cid") == i)
+            .select(F.col("_v").alias(f"_dv_{i}"),
+                    F.col("_r").alias(f"{prefix}{c}")))
+        out = (out.join(dim_c,
+                        F.col(c).cast("double") == F.col(f"_dv_{i}"),
+                        "left")
+               .drop(f"_dv_{i}"))
+    return out
+
+
 def keyed_top_k(df: DataFrame, key_cols: list[str], order_by: list,
                 k: int, salt_col: str | Column | None = None,
                 n_salts: int = 32) -> DataFrame:

@@ -338,3 +338,59 @@ def test_corr_pairwise_shape_matches_fused_on_empty_strata(spark):
     assert (None, "x", "y") in pw and (None, "x", "y") in fused
     # well-formed strata still agree between modes (aligned-null data)
     assert abs(pw[("a", "x", "y")] - fused[("a", "x", "y")]) < 1e-9
+
+
+def test_spearman_broadcast_dim_fast_path_equals_melted(spark):
+    """Round-8 zero-exchange spearman: the broadcast rank-dim path must
+    equal the melted-window path (and pandas) on data with ties,
+    misordered ids, and NULLs; forcing the dim gate to reject must
+    fall back to the melted path with identical results."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from handyspark_spark.operators.agg import corr_plan
+    from handyspark_spark.operators.rank import broadcast_dim_ranks
+
+    rng = random.Random(7)
+    rows = [(float(rng.randint(0, 8)),                 # heavy ties
+             rng.choice([None, float(rng.randint(0, 30)) / 3.0]))
+            for _ in range(500)]
+    sdf = spark.createDataFrame(rows, "x double, y double")
+
+    def corr_of(df_out):
+        return {(r.col_x, r.col_y): r.corr for r in df_out.collect()}
+
+    fast = corr_of(corr_plan(sdf, ["x", "y"], method="spearman"))
+    # force the melted path by making the gate reject
+    import handyspark_spark.operators.rank as R
+    orig = R.broadcast_dim_ranks
+    R.broadcast_dim_ranks = lambda *a, **k: None
+    try:
+        melted = corr_of(corr_plan(sdf, ["x", "y"], method="spearman"))
+    finally:
+        R.broadcast_dim_ranks = orig
+    assert set(fast) == set(melted)
+    for k in fast:
+        assert abs(fast[k] - melted[k]) < 1e-9, k
+    # pandas agreement (rank-then-pearson, scipy-free) on the
+    # complete-pair subset — conventions coincide because y's NULLs
+    # are the only nulls, so x's own-non-null ranks restricted to
+    # complete pairs are a monotone transform of the re-ranked subset
+    # only on null-FREE data; check there
+    pdf = pd.DataFrame(rows, columns=["x", "y"]).dropna()
+    sub = spark.createDataFrame(pdf, schema="x double, y double")
+    fast_nf = corr_of(corr_plan(sub, ["x", "y"], method="spearman"))
+    want = pdf["x"].rank(method="average").corr(
+        pdf["y"].rank(method="average"))
+    assert abs(fast_nf[("x", "y")] - want) < 1e-9
+    assert math.isclose(fast[("x", "x")], 1.0)
+    # direct rank check: fast-path ranks equal pandas average ranks
+    # (over ALL x rows, not the complete-pair subset)
+    full = pd.DataFrame(rows, columns=["x", "y"])
+    ranked = broadcast_dim_ranks(sdf, ["x"]).select("x", "_rk_x")
+    got = {r.x: r._rk_x for r in ranked.distinct().collect()}
+    exp = full["x"].rank(method="average")
+    for xv, g in got.items():
+        assert abs(g - exp[full["x"] == xv].iloc[0]) < 1e-9
