@@ -271,17 +271,35 @@ def test_melted_avg_ranks_matches_pandas(spark):
 
 
 def test_melted_rank_exchange_count_constant_in_M(spark):
-    """The fused spearman plan keeps a constant exchange count as the
-    matrix grows (the per-column loop paid +2 exchanges per column)."""
+    """The MELTED spearman plan keeps a constant exchange count as the
+    matrix grows (the per-column loop paid +2 exchanges per column).
+    Forced onto the melted path — on this bounded-cardinality data the
+    round-8 broadcast-dim fast path would otherwise engage; its own
+    property (no data-row exchange at all) is pinned separately."""
+    import handyspark_spark.operators.rank as R
     from handyspark_spark.core.util import exchange_count
     from handyspark_spark.operators.agg import corr_plan
     rng = np.random.RandomState(5)
     pdf = pd.DataFrame({f"c{i}": rng.randn(500) for i in range(6)})
     sdf = spark.createDataFrame(pdf)
-    e2 = exchange_count(corr_plan(sdf, ["c0", "c1"], method="spearman"))
-    e6 = exchange_count(corr_plan(sdf, [f"c{i}" for i in range(6)],
-                                  method="spearman"))
+    orig = R.broadcast_dim_ranks
+    R.broadcast_dim_ranks = lambda *a, **k: None
+    try:
+        e2 = exchange_count(corr_plan(sdf, ["c0", "c1"],
+                                      method="spearman"))
+        e6 = exchange_count(corr_plan(sdf, [f"c{i}" for i in range(6)],
+                                      method="spearman"))
+    finally:
+        R.broadcast_dim_ranks = orig
     assert e6 == e2 <= 5
+    # fast path: every data-side join is a broadcast of a dim — the
+    # base rows never sort-merge or window-shuffle
+    plan = corr_plan(sdf, [f"c{i}" for i in range(6)],
+                     method="spearman") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition(_rid" not in plan   # no pivot-back
 
 
 def test_grouped_rank_suite_matches_window_and_stays_parallel(
