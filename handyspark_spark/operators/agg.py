@@ -249,11 +249,21 @@ def mutual_info_plan(df: DataFrame, col_x: str, col_y: str,
 
 def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
               strata: list[str] | None = None,
-              pairwise: bool = False) -> DataFrame:
+              pairwise: bool = False,
+              max_dim_rows: int = 4_000_000) -> DataFrame:
     """Pairwise correlation matrix as a long-form DataFrame
     (col_x, col_y, corr). Pearson via native F.corr (one agg, all pairs at
     once); Spearman via rank transform + Pearson (ref dataframe.py:495-505
     used mllib RDD Statistics — replaced with pure DataFrame ops).
+
+    EAGERNESS NOTE (spearman, no strata only): probing the zero-exchange
+    fast path runs ONE Spark job at plan-CONSTRUCTION time (a
+    map-side-combined distinct count over the ranked columns — see
+    ``broadcast_dim_ranks``), and when the gate accepts, the rank dim
+    stays persisted for the returned plan's lifetime (bounded managed
+    registry). Callers that only want to BUILD/inspect a lazy plan
+    should pass ``max_dim_rows=0``, which skips the probe entirely and
+    always takes the (fully lazy) melted-window path.
 
     ``pairwise`` (spearman only): pandas-parity mode for MISALIGNED
     nulls — each (x, y) pair filters to its pairwise-complete rows and
@@ -343,7 +353,7 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
         # PER column
         from .rank import broadcast_dim_ranks, melted_avg_ranks
         ranked = None
-        if not strata:
+        if not strata and max_dim_rows > 0:
             # Zero-exchange fast path (round 8): when the ranked
             # columns' combined distinct-value count is bounded
             # (MEASURED, not guessed — see broadcast_dim_ranks), rank
@@ -351,8 +361,10 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
             # reduces map-side: no melt, no pivot, no full-table
             # shuffle. Unbounded-cardinality columns return None here
             # and take the melted-window path below; stratified ranks
-            # always do (dims would need per-stratum keys).
-            ranked = broadcast_dim_ranks(df, list(colnames))
+            # always do (dims would need per-stratum keys). The probe
+            # is an EAGER job — max_dim_rows=0 opts out (see docstring).
+            ranked = broadcast_dim_ranks(df, list(colnames),
+                                         max_dim_rows=max_dim_rows)
         df = ranked if ranked is not None \
             else melted_avg_ranks(df, list(colnames), strata=strata)
         src = {c: f"_rk_{c}" for c in colnames}

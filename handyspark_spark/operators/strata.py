@@ -51,11 +51,25 @@ class Bucket:
         lo, hi = float(self.edges[0]), float(self.edges[-1])
         w = (hi - lo) / self.bins
         c = F.col(self.colname).cast("double")
-        return F.least(F.floor((c - F.lit(lo)) / F.lit(w)),
-                       F.lit(self.bins - 1)).cast("int")
+        if w == 0.0:
+            # Degenerate range (constant column): every non-null row belongs
+            # in bucket 0; nulls stay null, matching the general formula's
+            # null propagation. Avoids an ANSI DIVIDE_BY_ZERO.
+            return F.when(c.isNotNull(), F.lit(0)).cast("int")
+        # F.least SKIPS nulls, so guard explicitly: null input → null bucket
+        return F.when(
+            c.isNotNull(),
+            F.least(F.floor((c - F.lit(lo)) / F.lit(w)),
+                    F.lit(self.bins - 1))).cast("int")
 
     def clauses(self) -> dict[int, str]:
         out = {}
+        if float(self.edges[0]) == float(self.edges[-1]):
+            # Collapsed range: the only populated bucket is 0; label it as
+            # the closed point-interval (others never occur but stay sane).
+            v = round(float(self.edges[0]), 2)
+            return {i: f"{self.colname} >= {v} and {self.colname} <= {v}"
+                    for i in range(self.bins)}
         for i in range(self.bins):
             lo, hi = self.edges[i], self.edges[i + 1]
             op = "<=" if i == self.bins - 1 else "<"
@@ -94,7 +108,9 @@ class Quantile(Bucket):
         expr = F.lit(0)
         for e in self.edges[1:-1]:
             expr = expr + (c >= F.lit(float(e))).cast("int")
-        return F.least(expr, F.lit(self.bins - 1)).cast("int")
+        # F.least SKIPS nulls, so guard explicitly: null input → null bucket
+        return F.when(c.isNotNull(),
+                      F.least(expr, F.lit(self.bins - 1))).cast("int")
 
 
 class HandyStrata:
@@ -171,6 +187,16 @@ class HandyStrata:
         strip = lambda n: n[5:] if isinstance(n, str) and n.startswith("_bkt_") else n
         idx = obj.index
         if isinstance(idx, pd.MultiIndex):
+            # Null-stratum groups have no clause representation — drop them
+            # (pandas groupby convention).
+            mask = np.ones(len(obj), dtype=bool)
+            for name in idx.names:
+                if name in self._labelers:
+                    mask &= ~pd.isna(idx.get_level_values(name))
+            if not mask.all():
+                obj = obj[mask]
+                obj.index = obj.index.remove_unused_levels()
+            idx = obj.index
             new_levels = []
             for name, level in zip(idx.names, idx.levels):
                 if name in self._labelers:
@@ -181,6 +207,10 @@ class HandyStrata:
             obj.index = idx.set_levels(new_levels).set_names(
                 [strip(n) for n in idx.names])
         elif idx.name in self._labelers:
+            mask = ~pd.isna(idx)
+            if not mask.all():
+                obj = obj[mask]
+                idx = obj.index
             lab = self._labelers[idx.name]
             obj.index = pd.Index([lab.get(int(v), v) for v in idx],
                                  name=strip(idx.name))

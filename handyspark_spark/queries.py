@@ -3783,69 +3783,21 @@ def q_leakage_safe_split(spark, sf_dir):
 
 
 # PQ index artifacts live at a path the DuckDB oracle can reconstruct
-# WITHOUT session state: /tmp/hsq_pq_idx/n={corpus rows}/ — the oracle
-# globs the hive-partitioned cells and filters n to the registered
-# embeddings view's COUNT(*), so the same static SQL string works at
-# every SF and concurrent runs at different SFs never collide. Trained
+# WITHOUT session state: {root}/hsq_pq_idx/n={rows}/fp={fingerprint}/ —
+# the oracle globs the hive-partitioned cells, filters n to the
+# registered embeddings view's COUNT(*), and picks the fp named by the
+# atomically-updated n={rows}/_CURRENT pointer (see
+# pipeline/index_cache.py for the full protocol rationale). Trained
 # codebooks are deterministic (hash-ordered sample + seeded k-means),
-# so re-saves are idempotent.
+# so re-saves are idempotent. fp dirs are IMMUTABLE once committed:
+# two datasets with equal n coexist in sibling dirs instead of
+# rmtree-racing one shared dir (round-8 advice).
 _PQ_INDEX_META: dict = {}
 
 
 def _dataset_fingerprint(sf_dir, table="embeddings"):
-    """Content fingerprint of the parquet files backing an index
-    cache: sha256 over the table's resolved path plus every data
-    file's (relative name, size, mtime_ns). Two datasets with the
-    same ROW COUNT but different content (a regenerated testdata dir,
-    two sf_dirs that happen to share n) get different fingerprints,
-    so a cached index/codes dir can never be served against data it
-    was not built from (round-7 advice: the n=<count> key alone was
-    the first silently-wrong cross-process cache in this harness)."""
-    import hashlib
-    import os
-    root = os.path.join(sf_dir, f"{table}.parquet")
-    h = hashlib.sha256(os.path.realpath(root).encode())
-    if os.path.isdir(root):
-        for dirp, dirs, files in sorted(os.walk(root)):
-            dirs.sort()
-            for fn in sorted(files):
-                st = os.stat(os.path.join(dirp, fn))
-                rel = os.path.relpath(os.path.join(dirp, fn), root)
-                h.update(f"|{rel}|{st.st_size}|{st.st_mtime_ns}"
-                         .encode())
-    else:
-        st = os.stat(root)
-        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:16]
-
-
-def _fingerprinted_index_dir(path, fp):
-    """Marker-last validity check + stale-cache discard for an index
-    dir keyed by row count: returns True when ``path`` carries a
-    committed ``_FINGERPRINT`` matching ``fp`` (build complete AND
-    same source data — the marker is written LAST, after cells and
-    codes, so its presence implies completeness); otherwise removes
-    any stale/partial dir and returns False so the caller rebuilds."""
-    import os
-    import shutil
-    fp_file = os.path.join(path, "_FINGERPRINT")
-    if os.path.exists(fp_file):
-        with open(fp_file) as f:
-            if f.read().strip() == fp:
-                return True
-    if os.path.exists(path):
-        shutil.rmtree(path, ignore_errors=True)
-    return False
-
-
-def _commit_fingerprint(path, fp):
-    import os
-    tmp = os.path.join(path, "_FINGERPRINT.tmp")
-    with open(tmp, "w") as f:
-        f.write(fp)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, "_FINGERPRINT"))
+    from .pipeline.index_cache import dataset_fingerprint
+    return dataset_fingerprint(sf_dir, table)
 
 
 def _pq_index(spark, sf_dir):
@@ -3862,41 +3814,52 @@ def _pq_index(spark, sf_dir):
     unaffected: it reads only ``cells.parquet`` and re-derives the
     encode itself.
 
-    Cross-process reuse is gated by a CONTENT FINGERPRINT of the
-    source parquet (``_dataset_fingerprint``), committed marker-last:
-    fingerprint present + matching => cells AND codes are complete and
-    were built from exactly this data, so fit AND encode are both
-    skipped (codebooks are deterministic, so this serves identical
-    results); anything else => the dir is discarded and rebuilt."""
-    import os
+    Cross-process reuse is CONTENT-ADDRESSED: the dataset fingerprint
+    is part of the directory path, the ``_FINGERPRINT`` marker is
+    committed last (presence => cells AND codes are complete and were
+    built from exactly this data, so fit AND encode are both skipped),
+    and the per-n ``_CURRENT`` pointer is re-aimed on every build or
+    cache-hit so the DuckDB oracle reads the same artifacts this
+    session just used (pipeline/index_cache.py)."""
     from .pipeline.ann_index import PQIndex
+    from .pipeline.index_cache import IndexCache
     key = (id(spark), sf_dir)
     meta = _PQ_INDEX_META.get(key)
     if meta is None:
         df = _t(spark, sf_dir, "embeddings")
         n = df.count()
-        path = f"/tmp/hsq_pq_idx/n={n}"
+        cache = IndexCache("hsq_pq_idx")
         fp = _dataset_fingerprint(sf_dir)
+        path = cache.dir_for(n, fp)
         codes_path = f"{path}/codes.parquet"
-        if not _fingerprinted_index_dir(path, fp):
+        if not cache.is_committed(n, fp):
             PQIndex.fit(df, m=16, nbits=4).save(path, spark)
             idx = PQIndex.load(spark, path)
             (idx.encode(df).select("vec_id", "pq_code")
              .write.mode("overwrite").parquet(codes_path))
-            _commit_fingerprint(path, fp)
+            cache.commit(n, fp)
         else:
             idx = PQIndex.load(spark, path)
+            cache.point_current(n, fp)
         meta = (idx, n, spark.read.parquet(codes_path))
         _PQ_INDEX_META[key] = meta
     return meta
 
 
 _ANN_PQ_SQL = """
-WITH books AS (
+WITH cur AS (
+  -- which fp=... dir the Spark side just used for THIS corpus size:
+  -- the atomically-replaced _CURRENT pointer under the n= parent
+  SELECT trim(content) AS fp
+  FROM read_text('/tmp/hsq_pq_idx/*/_CURRENT')
+  WHERE CAST(regexp_extract(filename, 'n=(\\d+)', 1) AS BIGINT)
+        = (SELECT COUNT(*) FROM embeddings)
+), books AS (
   SELECT subspace, code, pos, val
-  FROM read_parquet('/tmp/hsq_pq_idx/*/cells.parquet/*.parquet',
+  FROM read_parquet('/tmp/hsq_pq_idx/*/*/cells.parquet/*.parquet',
                     hive_partitioning = 1)
   WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM embeddings)
+    AND fp = (SELECT fp FROM cur)
 ), cent AS (
   SELECT subspace, code, list(val ORDER BY pos) AS cv
   FROM books GROUP BY subspace, code
@@ -4010,22 +3973,25 @@ _IVFPQ_INDEX_META: dict = {}
 
 
 def _ivfpq_index(spark, sf_dir):
-    """Same fingerprint-gated cross-process cache as ``_pq_index``:
-    a committed matching ``_FINGERPRINT`` (written last) lets a new
-    process skip the fit entirely; a stale or partial dir is
-    discarded and rebuilt."""
+    """Same content-addressed cross-process cache as ``_pq_index``:
+    fp-in-path immutable dirs, marker-last commit, per-n _CURRENT
+    pointer for the oracle (pipeline/index_cache.py)."""
     from .pipeline.ann_index import IVFPQIndex
+    from .pipeline.index_cache import IndexCache
     key = (id(spark), sf_dir)
     meta = _IVFPQ_INDEX_META.get(key)
     if meta is None:
         df = _t(spark, sf_dir, "embeddings")
         n = df.count()
-        path = f"/tmp/hsq_ivfpq_idx/n={n}"
+        cache = IndexCache("hsq_ivfpq_idx")
         fp = _dataset_fingerprint(sf_dir)
-        if not _fingerprinted_index_dir(path, fp):
+        path = cache.dir_for(n, fp)
+        if not cache.is_committed(n, fp):
             IVFPQIndex.fit(df, n_centroids=16, m=16, nbits=4) \
                       .save(path, spark)
-            _commit_fingerprint(path, fp)
+            cache.commit(n, fp)
+        else:
+            cache.point_current(n, fp)
         meta = (IVFPQIndex.load(spark, path), n)
         _IVFPQ_INDEX_META[key] = meta
     return meta
@@ -4039,17 +4005,24 @@ def _ivfpq_index(spark, sf_dir):
 # verify-the-approximate-math convention as _ANN_PQ_SQL, extended by
 # the cell-assignment and residual steps.
 _ANN_IVFPQ_SQL = """
-WITH cc AS (
+WITH cur AS (
+  SELECT trim(content) AS fp
+  FROM read_text('/tmp/hsq_ivfpq_idx/*/_CURRENT')
+  WHERE CAST(regexp_extract(filename, 'n=(\\d+)', 1) AS BIGINT)
+        = (SELECT COUNT(*) FROM embeddings)
+), cc AS (
   SELECT cell, list(val ORDER BY pos) AS cv
-  FROM read_parquet('/tmp/hsq_ivfpq_idx/*/cells.parquet/*.parquet',
+  FROM read_parquet('/tmp/hsq_ivfpq_idx/*/*/cells.parquet/*.parquet',
                     hive_partitioning = 1)
   WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM embeddings)
+    AND fp = (SELECT fp FROM cur)
   GROUP BY cell
 ), bc AS (
   SELECT subspace, code, list(val ORDER BY pos) AS bv
-  FROM read_parquet('/tmp/hsq_ivfpq_idx/*/books.parquet/*.parquet',
+  FROM read_parquet('/tmp/hsq_ivfpq_idx/*/*/books.parquet/*.parquet',
                     hive_partitioning = 1)
   WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM embeddings)
+    AND fp = (SELECT fp FROM cur)
   GROUP BY subspace, code
 ), v AS (
   SELECT vec_id,

@@ -1851,11 +1851,15 @@ def test_pq_topk_deterministic_under_ties_and_batching(spark):
 def test_index_cache_rejects_same_n_different_data(spark, tmp_path):
     """Round-7 advice: /tmp/hsq_pq_idx was keyed by row count alone, so
     a REGENERATED dataset with the same n could silently reuse stale
-    codes against a freshly fit index. The fingerprinted cache must
-    (a) reuse on a byte-identical second process-entry, (b) detect
-    same-n-different-content and rebuild codes from scratch, and
+    codes against a freshly fit index. Round-8 advice tightened this
+    further: the fingerprint is now IN THE PATH, so same-n datasets own
+    sibling immutable dirs instead of rmtree-racing one shared dir. The
+    cache must (a) reuse on a byte-identical second process-entry,
+    (b) give same-n-different-content its OWN dir (fresh fit+encode)
+    while LEAVING the first dataset's committed dir untouched,
     (c) still return correct (brute-force-equal at rerank>=n) results
-    after the rebuild."""
+    after the rebuild, and (d) keep the per-n _CURRENT pointer aimed at
+    whichever fp the session last validated."""
     import os
     import shutil
 
@@ -1863,61 +1867,135 @@ def test_index_cache_rejects_same_n_different_data(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from handyspark_spark import queries as Q
+    from handyspark_spark.pipeline.index_cache import IndexCache
 
     src = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
     sub = src.head(37).copy()          # unique n -> isolated cache dir
-    cache_dir = f"/tmp/hsq_pq_idx/n={len(sub)}"
-    shutil.rmtree(cache_dir, ignore_errors=True)
+    cache = IndexCache("hsq_pq_idx")
+    n_parent = cache.n_dir(len(sub))
+    shutil.rmtree(n_parent, ignore_errors=True)
 
-    dir_a = tmp_path / "a"
-    dir_a.mkdir()
-    sub.to_parquet(dir_a / "embeddings.parquet")
-    Q._PQ_INDEX_META.clear()
-    idx_a, n_a, codes_a = Q._pq_index(spark, str(dir_a))
-    assert n_a == 37
-    fp_file = os.path.join(cache_dir, "_FINGERPRINT")
-    fp_a = open(fp_file).read()
-    codes_a_rows = {r.vec_id: list(r.pq_code) for r in codes_a.collect()}
+    try:
+        dir_a = tmp_path / "a"
+        dir_a.mkdir()
+        sub.to_parquet(dir_a / "embeddings.parquet")
+        Q._PQ_INDEX_META.clear()
+        idx_a, n_a, codes_a = Q._pq_index(spark, str(dir_a))
+        assert n_a == 37
+        fp_a = Q._dataset_fingerprint(str(dir_a))
+        dir_a_cache = cache.dir_for(37, fp_a)
+        assert open(os.path.join(dir_a_cache, "_FINGERPRINT")).read() == fp_a
+        assert cache.current(37) == fp_a
+        codes_a_rows = {r.vec_id: list(r.pq_code)
+                        for r in codes_a.collect()}
 
-    # (a) same content, new "process" (cleared session cache, a copied
-    # dir with identical bytes would change mtime -> different fp, so
-    # re-enter through the SAME dir): fit is skipped, fp unchanged
-    Q._PQ_INDEX_META.clear()
-    before_cells_mtime = os.path.getmtime(
-        os.path.join(cache_dir, "cells.parquet"))
-    Q._pq_index(spark, str(dir_a))
-    assert open(fp_file).read() == fp_a
-    assert os.path.getmtime(
-        os.path.join(cache_dir, "cells.parquet")) == before_cells_mtime
+        # (a) same content, new "process" (cleared session cache): fit
+        # is skipped, artifacts untouched, pointer re-aimed
+        Q._PQ_INDEX_META.clear()
+        before_cells_mtime = os.path.getmtime(
+            os.path.join(dir_a_cache, "cells.parquet"))
+        Q._pq_index(spark, str(dir_a))
+        assert os.path.getmtime(
+            os.path.join(dir_a_cache, "cells.parquet")) == before_cells_mtime
+        assert cache.current(37) == fp_a
 
-    # (b) same n, different content -> rebuild
-    flipped = sub.copy()
-    # shift embeddings one vec_id over (same n, same value SET, but a
-    # different id->vector mapping — codes must change per id)
-    flipped["embedding"] = list(flipped["embedding"].iloc[1:]) + \
-        [flipped["embedding"].iloc[0]]
-    dir_b = tmp_path / "b"
-    dir_b.mkdir()
-    flipped.to_parquet(dir_b / "embeddings.parquet")
-    Q._PQ_INDEX_META.clear()
-    idx_b, n_b, codes_b = Q._pq_index(spark, str(dir_b))
-    assert n_b == 37
-    assert open(fp_file).read() != fp_a          # fresh fingerprint
-    codes_b_rows = {r.vec_id: list(r.pq_code) for r in codes_b.collect()}
-    assert codes_b_rows != codes_a_rows          # fresh ENCODE, not stale
+        # (b) same n, different content -> sibling dir, fresh encode
+        flipped = sub.copy()
+        # shift embeddings one vec_id over (same n, same value SET, but
+        # a different id->vector mapping — codes must change per id)
+        flipped["embedding"] = list(flipped["embedding"].iloc[1:]) + \
+            [flipped["embedding"].iloc[0]]
+        dir_b = tmp_path / "b"
+        dir_b.mkdir()
+        flipped.to_parquet(dir_b / "embeddings.parquet")
+        Q._PQ_INDEX_META.clear()
+        idx_b, n_b, codes_b = Q._pq_index(spark, str(dir_b))
+        assert n_b == 37
+        fp_b = Q._dataset_fingerprint(str(dir_b))
+        assert fp_b != fp_a
+        # (d) pointer follows the most recent validation...
+        assert cache.current(37) == fp_b
+        # ...and dataset A's dir is STILL committed and intact — no
+        # rmtree race, a live session holding A's lazy readers is safe
+        assert open(os.path.join(dir_a_cache, "_FINGERPRINT")).read() == fp_a
+        assert {r.vec_id: list(r.pq_code)
+                for r in spark.read.parquet(
+                    f"{dir_a_cache}/codes.parquet").collect()} \
+            == codes_a_rows
+        codes_b_rows = {r.vec_id: list(r.pq_code)
+                        for r in codes_b.collect()}
+        assert codes_b_rows != codes_a_rows      # fresh ENCODE, not stale
 
-    # (c) rebuilt index is correct on dataset B: exact switch == brute
-    from handyspark_spark.pipeline.similarity import brute_force_topk
-    df_b = spark.read.parquet(str(dir_b / "embeddings.parquet"))
-    qs = df_b.filter(F.col("vec_id") < 3)
-    got = {(r.query_id, r.neighbor_id)
-           for r in idx_b.search(df_b, qs, k=3, rerank=n_b,
-                                 encoded=codes_b).collect()}
-    want = {(r.query_id, r.neighbor_id)
-            for r in brute_force_topk(df_b, qs, k=3).collect()}
-    assert got == want and len(got) > 0
+        # (c) rebuilt index is correct on dataset B: exact == brute
+        from handyspark_spark.pipeline.similarity import brute_force_topk
+        df_b = spark.read.parquet(str(dir_b / "embeddings.parquet"))
+        qs = df_b.filter(F.col("vec_id") < 3)
+        got = {(r.query_id, r.neighbor_id)
+               for r in idx_b.search(df_b, qs, k=3, rerank=n_b,
+                                     encoded=codes_b).collect()}
+        want = {(r.query_id, r.neighbor_id)
+                for r in brute_force_topk(df_b, qs, k=3).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        # always remove the whole n= parent: a stale committed dir at
+        # this n would otherwise be unioned into later DuckDB oracle
+        # globs (round-8 advice)
+        Q._PQ_INDEX_META.clear()
+        shutil.rmtree(n_parent, ignore_errors=True)
 
-    shutil.rmtree(cache_dir, ignore_errors=True)
+
+def test_index_cache_protocol_on_memory_fs():
+    """The IndexCache control plane runs on the FS seam: on a KV store
+    with object-store semantics (MemoryFS), the marker-last protocol
+    must treat a crash-before-marker wreck as absent, an interrupted
+    commit must leave the dir invalid, and _CURRENT must be one atomic
+    pointer flip."""
+    import pytest
+
+    from handyspark_spark.pipeline.index_cache import IndexCache
+    from handyspark_spark.streaming.fs import CrashInjected, MemoryFS
+
+    fs = MemoryFS()
+    cache = IndexCache("idx", root="mem://cache", fs=fs)
+
+    # no dir at all -> miss
+    assert not cache.is_committed(10, "aaaa")
+
+    # simulate a build that crashed before the marker: artifacts
+    # present, no marker -> miss, wreck discarded
+    fs.store[f"{cache.dir_for(10, 'aaaa')}/cells.parquet/part-0"] = "x"
+    assert not cache.is_committed(10, "aaaa")
+    assert not fs.isdir(cache.dir_for(10, "aaaa"))
+
+    # full build + commit -> hit, pointer aimed
+    fs.store[f"{cache.dir_for(10, 'aaaa')}/cells.parquet/part-0"] = "x"
+    cache.commit(10, "aaaa")
+    assert cache.is_committed(10, "aaaa")
+    assert cache.current(10) == "aaaa"
+
+    # sibling dataset, same n: own dir, pointer flips, first dir intact
+    fs.store[f"{cache.dir_for(10, 'bbbb')}/cells.parquet/part-0"] = "y"
+    cache.commit(10, "bbbb")
+    assert cache.current(10) == "bbbb"
+    assert cache.is_committed(10, "aaaa")
+    assert fs.store[f"{cache.dir_for(10, 'aaaa')}/cells.parquet/part-0"] \
+        == "x"
+    # cache-hit validation re-aims the pointer without touching data
+    cache.point_current(10, "aaaa")
+    assert cache.current(10) == "aaaa"
+
+    # crash DURING commit (marker is the first mutating op): the dir
+    # must read as uncommitted afterwards — marker-last means the
+    # marker's absence proves incompleteness
+    fs2 = MemoryFS()
+    cache2 = IndexCache("idx", root="mem://cache", fs=fs2)
+    fs2.store[f"{cache2.dir_for(5, 'cccc')}/cells.parquet/part-0"] = "x"
+    fs2.fail_after = 0
+    with pytest.raises(CrashInjected):
+        cache2.commit(5, "cccc")
+    fs2.fail_after = None
+    assert not cache2.is_committed(5, "cccc")    # wreck -> discarded
+    assert cache2.current(5) is None
 
 
 def test_dup_spans_hot_strategy_equals_grouped(docs, spark):

@@ -413,7 +413,12 @@ def test_bucket_strata_fuzz_matches_closed_form(spark, data):
     if kind == "bucket":
         lo, hi = pdf["b"].min(), pdf["b"].max()
         w = (hi - lo) / bins
-        ids = np.minimum(np.floor((pdf["b"] - lo) / w), bins - 1)
+        if w == 0:
+            # collapsed range (rounding can defeat the assume above):
+            # contract is "every row in bucket 0"
+            ids = np.zeros(len(pdf))
+        else:
+            ids = np.minimum(np.floor((pdf["b"] - lo) / w), bins - 1)
         keys = {"solo": [ids], "cat_first": ["g", ids],
                 "cat_last": [ids, "g"]}[shape]
         want = pdf.groupby(keys)["v"].mean()

@@ -273,25 +273,26 @@ def test_melted_avg_ranks_matches_pandas(spark):
 def test_melted_rank_exchange_count_constant_in_M(spark):
     """The MELTED spearman plan keeps a constant exchange count as the
     matrix grows (the per-column loop paid +2 exchanges per column).
-    Forced onto the melted path — on this bounded-cardinality data the
-    round-8 broadcast-dim fast path would otherwise engage; its own
-    property (no data-row exchange at all) is pinned separately."""
-    import handyspark_spark.operators.rank as R
+    Forced onto the melted path via the ``max_dim_rows=0`` opt-out
+    (which must also keep plan construction LAZY — no eager dim-count
+    probe); on this bounded-cardinality data the round-8 broadcast-dim
+    fast path would otherwise engage; its own property (no data-row
+    exchange at all) is pinned separately."""
     from handyspark_spark.core.util import exchange_count
     from handyspark_spark.operators.agg import corr_plan
     rng = np.random.RandomState(5)
     pdf = pd.DataFrame({f"c{i}": rng.randn(500) for i in range(6)})
     sdf = spark.createDataFrame(pdf)
-    orig = R.broadcast_dim_ranks
-    R.broadcast_dim_ranks = lambda *a, **k: None
-    try:
-        e2 = exchange_count(corr_plan(sdf, ["c0", "c1"],
-                                      method="spearman"))
-        e6 = exchange_count(corr_plan(sdf, [f"c{i}" for i in range(6)],
-                                      method="spearman"))
-    finally:
-        R.broadcast_dim_ranks = orig
+    e2 = exchange_count(corr_plan(sdf, ["c0", "c1"],
+                                  method="spearman", max_dim_rows=0))
+    e6 = exchange_count(corr_plan(sdf, [f"c{i}" for i in range(6)],
+                                  method="spearman", max_dim_rows=0))
     assert e6 == e2 <= 5
+    # the opt-out must not have engaged the broadcast-dim fast path
+    plan0 = corr_plan(sdf, ["c0", "c1"], method="spearman",
+                      max_dim_rows=0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "_rid" in plan0      # melted pivot-back key (fast path has none)
     # fast path: every data-side join is a broadcast of a dim — the
     # base rows never sort-merge or window-shuffle
     plan = corr_plan(sdf, [f"c{i}" for i in range(6)],

@@ -279,3 +279,26 @@ def test_between_time_rejects_bad_inclusive(tables):
     hdf = toHandy(tables["events"])
     with _pytest.raises(ValueError):
         hdf.pandas["ts"].between_time("09:00", "17:00", inclusive="boht")
+
+
+def test_bucket_constant_column_degenerate_range(spark):
+    """Fuzz-found (round 8): a constant stratum column collapses the
+    linspace range to width 0; contract is every non-null row in bucket 0
+    (no ANSI DIVIDE_BY_ZERO), nulls stay unbucketed, and the clause label
+    is the closed point-interval."""
+    pdf = pd.DataFrame({"b": [0.0] * 6 + [None],
+                        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]})
+    sdf = spark.createDataFrame(pdf, "b double, v double")
+
+    bkt = Bucket("b", 4)
+    res = toHandy(sdf).stratify([bkt]).cols["v"].mean()
+    assert len(res) == 1
+    assert res.iloc[0] == pytest.approx(3.5)
+    assert res.index[0] == "b >= 0.0 and b <= 0.0"
+
+    cnt = toHandy(sdf).stratify([bkt]).cols["v"].count()
+    assert int(cnt.sum()) == 6          # null stratum rows drop out
+
+    # quantile flavor must not crash either and must keep all rows
+    qcnt = toHandy(sdf).stratify([Quantile("b", 3)]).cols["v"].count()
+    assert int(qcnt.sum()) == 6
