@@ -67,50 +67,73 @@ def pretrain_funnel(df, text_col="text", id_col="doc_id",
       keep) -> near-dup dedup (LSH groups, keep group min) ->
       benchmark decontamination (n-gram anti-join)
 
-    Each stage consumes the previous stage's DataFrame lazily — Catalyst
-    fuses the whole funnel into one job graph; counts come from ONE
-    aggregation per stage over the shared lineage. At 100 TB the funnel
-    is: one scan + the two dedup exchanges + a broadcast anti-join; the
-    gates are free (projections on the same scan).
+    Round-9 shared-scan fusion: instead of five separate stage counts
+    (each its own aggregation job over a persisted intermediate — 32
+    exchanges), every doc carries SURVIVAL FLAGS on one lineage:
+
+    - ``_q``      quality gate (a projection — free);
+    - ``_e``      first-copy-per-md5 among quality rows, as a
+      CONDITIONAL min over the md5 window (no pre-filter, so the
+      window exchange is shared by every downstream branch and
+      Catalyst reuses it instead of re-scanning);
+    - ``_nd``     joined flag: doc is its LSH cluster's keeper
+      (clusters computed over the exact-survivor branch only);
+    - ``_hit``    joined flag: shares a 13-gram with the benchmark.
+
+    All five counts then come from ONE conditional aggregation
+    (count + 4 sums) unpivoted with ``stack`` — a single pass over the
+    corpus plus the two dedup subtrees, instead of one job per stage.
+    At 100 TB: one scan, the md5 window exchange, the LSH band
+    exchanges, two keyed flag joins, one scalar agg.
 
     Returns (stage, n_docs) with stages ordered raw/quality/exact/
     neardup/decontaminated."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .dedup import decontaminate, minhash_lsh_groups
-    from .text import gopher_rules
+    from .dedup import minhash_lsh_groups
+    from .text import gopher_rules, rolling_hashes
 
     rules = gopher_rules(text_col)
-    gated = df.filter(rules["pass"])
-
-    from pyspark.sql import Window
-
-    from ..core.cache import managed_persist
     w = Window.partitionBy(F.md5(F.col(text_col)))
-    # persist the shared lineage: the exact-dedup window feeds the LSH
-    # stage AND three downstream stage counts; uncached, the quality
-    # gate + window re-execute per count (and the LSH signatures twice)
-    exact = managed_persist(
-        gated.withColumn("_first", F.min(id_col).over(w))
-        .filter(F.col("_first") == F.col(id_col)).drop("_first"))
+    base = (df.withColumn("_q", rules["pass"])
+            .withColumn("_qfirst",
+                        F.min(F.when(F.col("_q"), F.col(id_col))).over(w))
+            .withColumn("_e", F.col("_q")
+                        & (F.col("_qfirst") == F.col(id_col))))
+    exact = base.filter(F.col("_e")).select(id_col, text_col)
 
     groups = minhash_lsh_groups(exact, text_col=text_col, id_col=id_col,
                                 num_hashes=num_hashes, bands=bands)
     keep = (groups.groupBy("cluster_id")
             .agg(F.min(id_col).alias(id_col))
-            .select(id_col))
-    neardup = managed_persist(exact.join(keep, id_col, "left_semi"))
+            .select(id_col, F.lit(True).alias("_nd")))
 
     if bench is None:
         bench = df.filter(F.col(id_col) % 37 == 0)
-    clean = decontaminate(neardup, bench, text_col=text_col,
-                          id_col=id_col, method="ngram")
+    # contamination hits computed over the exact branch (a superset of
+    # the near-dup keepers — the flag is only consulted where _nd holds,
+    # so the result is identical to decontaminating the keepers)
+    bkeys = (bench.select(F.explode(rolling_hashes(text_col, 13))
+                          .alias("_k")).distinct())
+    hits = (exact.select(id_col,
+                         F.explode(rolling_hashes(text_col, 13))
+                         .alias("_k"))
+            .join(F.broadcast(bkeys), "_k", "left_semi")
+            .select(id_col).distinct()
+            .select(id_col, F.lit(True).alias("_hit")))
 
-    stages = [("1_raw", df), ("2_quality", gated), ("3_exact", exact),
-              ("4_neardup", neardup), ("5_decontaminated", clean)]
-    out = None
-    for name, frame in stages:
-        c = frame.agg(F.lit(name).alias("stage"),
-                      F.count(F.lit(1)).alias("n_docs"))
-        out = c if out is None else out.unionByName(c)
-    return out
+    nd = F.col("_e") & F.coalesce(F.col("_nd"), F.lit(False))
+    flagged = (base.select(id_col, "_q", "_e")
+               .join(keep, id_col, "left")
+               .join(hits, id_col, "left"))
+    row = flagged.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("_q").cast("long")).alias("n2"),
+        F.sum(F.col("_e").cast("long")).alias("n3"),
+        F.sum(nd.cast("long")).alias("n4"),
+        F.sum((nd & ~F.coalesce(F.col("_hit"), F.lit(False)))
+              .cast("long")).alias("n5"))
+    return row.select(F.expr(
+        "stack(5, '1_raw', n1, '2_quality', n2, '3_exact', n3, "
+        "'4_neardup', n4, '5_decontaminated', n5) AS (stage, n_docs)"))

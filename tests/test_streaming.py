@@ -1019,12 +1019,23 @@ def test_versioned_state_store_matches_batch_and_replays(spark, tables,
 # ---------------------------------------------------------------------------
 
 def _fs_bindings(tmp_path):
-    """The same protocol tests run over the local binding and the
-    in-memory object-store binding — 'object-store-safe' is exercised
-    through the SAME API on both."""
+    """The same protocol tests run over the local binding, the
+    in-memory object-store binding, and (when fsspec is installed) the
+    FsspecFS adapter over fsspec's memory filesystem — 'object-store-
+    safe' is exercised through the SAME API on all of them."""
     from handyspark_spark.streaming.fs import LocalFS, MemoryFS
-    return [("local", LocalFS(), str(tmp_path / "root")),
-            ("memory", MemoryFS(), "bucket/root")]
+    out = [("local", LocalFS(), str(tmp_path / "root")),
+           ("memory", MemoryFS(), "bucket/root")]
+    try:
+        import fsspec  # noqa: F401
+        from handyspark_spark.streaming.fs import FsspecFS
+        import secrets
+        # unique root: fsspec's memory fs is process-global state
+        out.append(("fsspec-memory", FsspecFS(protocol="memory"),
+                    f"/fsspec-{secrets.token_hex(4)}/root"))
+    except ImportError:
+        pass
+    return out
 
 
 @pytest.mark.parametrize("committer_cls_name",
@@ -1161,3 +1172,145 @@ def test_versioned_state_store_protocol_on_memory_object_store():
     store.commit({"a": 9}, path, 2)  # the replayed batch
     assert store.read(None, path) == {"a": 9}
     assert fs.listdir(path) == ["_CURRENT", "v=2"]
+
+
+# ---------------------------------------------------------------------------
+# FsspecFS adapter (round-9: the one previously-untested seam binding)
+# ---------------------------------------------------------------------------
+
+class _FakeFsspecFS:
+    """Minimal stand-in implementing exactly the slice of the fsspec
+    API the adapter touches (exists/isdir/ls/makedirs/rm/pipe/cat/mv)
+    with memory-filesystem semantics: lets the adapter's TRANSLATION
+    layer (name parsing, guards, encode/decode) run in environments
+    where fsspec itself is absent. The real-package test below
+    (`test_fsspec_adapter_over_real_memory_fs`) supersedes this when
+    fsspec is installed."""
+
+    def __init__(self):
+        self.store: dict[str, bytes] = {}
+
+    @staticmethod
+    def _n(p):
+        return "/" + str(p).strip("/")
+
+    def exists(self, p):
+        return self._n(p) in self.store or self.isdir(p)
+
+    def isdir(self, p):
+        pref = self._n(p) + "/"
+        return any(k.startswith(pref) for k in self.store)
+
+    def ls(self, p, detail=False):
+        assert detail is False
+        pref = self._n(p) + "/"
+        return sorted({pref + k[len(pref):].split("/", 1)[0]
+                       for k in self.store if k.startswith(pref)})
+
+    def makedirs(self, p, exist_ok=False):
+        pass
+
+    def rm(self, p, recursive=False):
+        p = self._n(p)
+        ks = [k for k in self.store if k == p or k.startswith(p + "/")]
+        if not ks:
+            raise FileNotFoundError(p)
+        for k in ks:
+            del self.store[k]
+
+    def pipe(self, p, data):
+        assert isinstance(data, bytes)
+        self.store[self._n(p)] = data
+
+    def cat(self, p):
+        return self.store[self._n(p)]
+
+    def mv(self, src, dst, recursive=False):
+        s, d = self._n(src), self._n(dst)
+        for k in [k for k in self.store
+                  if k == s or k.startswith(s + "/")]:
+            self.store[d + k[len(s):]] = self.store.pop(k)
+
+
+def _exercise_fs_contract(fs, root):
+    """The FS surface contract every binding must satisfy — shared by
+    the fake-fsspec and real-fsspec adapter tests."""
+    import os
+
+    from handyspark_spark.streaming.commit import ManifestCommitter
+
+    # put/read roundtrip + atomic overwrite
+    fs.put_atomic(f"{root}/a/x.txt", "one")
+    assert fs.read_text(f"{root}/a/x.txt") == "one"
+    fs.put_atomic(f"{root}/a/x.txt", "two")
+    assert fs.read_text(f"{root}/a/x.txt") == "two"
+
+    # listdir returns child NAMES (not full paths), files and dirs
+    fs.put_atomic(f"{root}/a/b/y.txt", "y")
+    assert fs.listdir(f"{root}/a") == ["b", "x.txt"]
+    assert fs.listdir(f"{root}/absent") == []
+    assert fs.isdir(f"{root}/a") and not fs.isdir(f"{root}/a/x.txt")
+    assert fs.exists(f"{root}/a/x.txt") and not fs.exists(f"{root}/nope")
+
+    # rename moves the whole subtree
+    fs.rename(f"{root}/a", f"{root}/moved")
+    assert not fs.exists(f"{root}/a/x.txt")
+    assert fs.read_text(f"{root}/moved/b/y.txt") == "y"
+
+    # rm_recursive: deletes subtree, no-op when absent
+    fs.rm_recursive(f"{root}/moved")
+    assert not fs.exists(f"{root}/moved")
+    fs.rm_recursive(f"{root}/moved")          # must not raise
+
+    # the committer protocol runs end-to-end over this binding
+    com = ManifestCommitter(fs=fs)
+    parent = f"{root}/corpus"
+
+    def write_two(path):
+        fs.put_atomic(os.path.join(path, "part-0"), "p0")
+        fs.put_atomic(os.path.join(path, "part-1"), "p1")
+
+    b0 = os.path.join(parent, "batch=0")
+    com.publish(write_two, b0)
+    assert com.is_published(b0)
+    # marker-less partial is invisible and healed by the retry
+    b1 = os.path.join(parent, "batch=1")
+    fs.put_atomic(os.path.join(b1, "part-0"), "junk")
+    assert not com.is_published(b1)
+    assert com.published(parent) == [b0]
+    com.publish(write_two, b1)
+    assert com.published(parent) == [b0, b1]
+    assert fs.read_text(os.path.join(b1, "part-0")) == "p0"
+
+
+def test_fsspec_adapter_contract_on_fake_fs():
+    """FsspecFS's translation layer (ls name-parsing, isdir guards,
+    bytes encode/decode, recursive mv/rm mapping) against a minimal
+    in-test fsspec lookalike — runs even where fsspec is absent."""
+    from handyspark_spark.streaming.fs import FsspecFS
+    _exercise_fs_contract(FsspecFS(fs=_FakeFsspecFS()), "/bucket/root")
+
+
+def test_fsspec_adapter_over_real_memory_fs():
+    """Same contract over the REAL fsspec memory filesystem (skipped
+    when fsspec is not installed): proves the adapter drives an actual
+    fsspec implementation, not just the lookalike."""
+    import secrets
+
+    pytest.importorskip("fsspec")
+    from handyspark_spark.streaming.fs import FsspecFS
+    _exercise_fs_contract(FsspecFS(protocol="memory"),
+                          f"/fsspec-{secrets.token_hex(4)}/root")
+
+
+def test_fsspec_adapter_importerror_names_package():
+    """Constructing the adapter without fsspec installed must raise an
+    ImportError naming the missing package (import-gated contract)."""
+    try:
+        import fsspec  # noqa: F401
+        pytest.skip("fsspec installed here — constructor succeeds")
+    except ImportError:
+        pass
+    from handyspark_spark.streaming.fs import FsspecFS
+    with pytest.raises(ImportError, match="fsspec"):
+        FsspecFS(protocol="memory")
