@@ -1597,7 +1597,8 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
 def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 16,
                           min_count: int = 2,
-                          strategy: str = "hot") -> DataFrame:
+                          strategy: str = "hot",
+                          spans: DataFrame | None = None) -> DataFrame:
     """Remove every duplicate span found by ``duplicate_ngram_spans``
     and reassemble the surviving text — the apply step of ExactSubstr
     dedup.
@@ -1610,13 +1611,22 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     (O(len x spans) per row, no Python). Docs with no duplicate span
     pass through untouched via the left join.
 
+    ``spans``: a precomputed ``duplicate_ngram_spans`` result (same
+    ``n``!) to strip against. The detect pass dominates the whole
+    operation (sf10: ~34s of the ~38s total), so a pipeline that
+    inspects spans and then strips should compute them ONCE and pass
+    them here instead of paying detection twice. When omitted, spans
+    are computed from ``df`` with the given parameters.
+
     Returns (id_col, n_tokens, n_removed, clean_text); ``clean_text``
     is '' when the whole document was duplicated.
     """
     from .text import let_bound, tokens as _toks
 
-    spans = (duplicate_ngram_spans(df, text_col, id_col, n, min_count,
-                                   strategy=strategy)
+    if spans is None:
+        spans = duplicate_ngram_spans(df, text_col, id_col, n, min_count,
+                                      strategy=strategy)
+    spans = (spans
              .groupBy(id_col)
              .agg(F.collect_list(F.struct("span_start", "span_end"))
                   .alias("_spans")))

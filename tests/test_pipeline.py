@@ -1696,6 +1696,14 @@ def test_strip_duplicate_spans_roundtrip(spark):
                == (len(r["clean_text"].split(" "))
                    if r["clean_text"] else 0)
                for r in out.values())
+    # spans= injection (detect-once/strip-once pipeline shape) must be
+    # byte-identical to the recomputing form
+    from handyspark_spark.pipeline.dedup import duplicate_ngram_spans
+    pre = duplicate_ngram_spans(df, n=4, min_count=2)
+    out2 = {r["doc_id"]: r for r in
+            strip_duplicate_spans(df, n=4, spans=pre).collect()}
+    assert {k: tuple(v) for k, v in out.items()} \
+        == {k: tuple(v) for k, v in out2.items()}
 
 
 def test_dup_spans_no_python_in_plan(docs):
