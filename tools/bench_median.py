@@ -29,10 +29,26 @@ def main():
         p = subprocess.run([sys.executable,
                             os.path.join(here, "bench.py")],
                            capture_output=True, text=True)
-        line = [ln for ln in p.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        runs.append(json.loads(line))
-        print(f"run {i}: total={runs[-1]['value']}s", flush=True)
+        # bench.py TRUNCATES its stdout line to fit the driver's tail
+        # buffer (queries_shown < total past ~100 queries) — the full
+        # per-query payload is what it writes to bench_full.json; read
+        # THAT, and stash a per-run copy since each run overwrites it.
+        full = os.path.join(here, "bench_full.json")
+        if p.returncode != 0 or not os.path.exists(full):
+            sys.exit(f"run {i}: bench failed (rc={p.returncode}); "
+                     f"stderr tail: {p.stderr[-500:]}")
+        with open(full) as f:
+            rec = json.load(f)
+        with open(f"/tmp/bench_run_{i}.json", "w") as f:
+            json.dump(rec, f)
+        runs.append(rec)
+        print(f"run {i}: total={rec['value']}s n={len(rec['queries'])}",
+              flush=True)
+
+    missing = [(i, q) for i, r in enumerate(runs)
+               for q in set(runs[0]["queries"]) - set(r["queries"])]
+    if missing:
+        sys.exit(f"runs disagree on the query set: {missing}")
 
     qnames = runs[0]["queries"].keys()
     med = {q: round(statistics.median(r["queries"][q] for r in runs), 3)
