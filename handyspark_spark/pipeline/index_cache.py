@@ -146,3 +146,33 @@ class IndexCache:
             return self.fs.read_text(p).strip()
         except (OSError, KeyError):
             return None
+
+    def prune_siblings(self, n: int, keep_fp: str,
+                       max_age_s: float | None = 7 * 86400) -> list[str]:
+        """Best-effort GC of OTHER fp dirs under ``n=`` (immutable dirs
+        accumulate forever otherwise). Never touches ``keep_fp`` or the
+        ``_CURRENT`` pointer. A sibling is removed only when its commit
+        marker is older than ``max_age_s`` (``None`` = remove regardless
+        of age) — a recently-committed sibling may belong to a LIVE
+        concurrent session over a same-rowcount dataset, and deleting
+        under it would break its lazy readers; a week-old one is a
+        leftover. Age comes from the local marker file's mtime, so with
+        a non-Local FS (no mtimes) only ``max_age_s=None`` prunes.
+        Returns the removed dir paths."""
+        import time
+        removed = []
+        for name in self.fs.listdir(self.n_dir(n)):
+            if not name.startswith("fp=") or name == f"fp={keep_fp}":
+                continue
+            path = f"{self.n_dir(n)}/{name}"
+            if max_age_s is not None:
+                try:
+                    age = time.time() - os.stat(
+                        f"{path}/{self.MARKER}").st_mtime
+                except OSError:
+                    age = None      # no local marker -> age unknowable
+                if age is None or age < max_age_s:
+                    continue
+            self.fs.rm_recursive(path)
+            removed.append(path)
+        return removed

@@ -3841,6 +3841,7 @@ def _pq_index(spark, sf_dir):
         else:
             idx = PQIndex.load(spark, path)
             cache.point_current(n, fp)
+        cache.prune_siblings(n, fp)     # age-gated GC of stale same-n dirs
         meta = (idx, n, spark.read.parquet(codes_path))
         _PQ_INDEX_META[key] = meta
     return meta
@@ -3992,6 +3993,7 @@ def _ivfpq_index(spark, sf_dir):
             cache.commit(n, fp)
         else:
             cache.point_current(n, fp)
+        cache.prune_siblings(n, fp)     # age-gated GC of stale same-n dirs
         meta = (IVFPQIndex.load(spark, path), n)
         _IVFPQ_INDEX_META[key] = meta
     return meta

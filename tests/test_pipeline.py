@@ -2053,3 +2053,29 @@ def test_dup_spans_hot_plan_shape(docs):
     assert "_salt" in plan and "windowspecdefinition(_h1" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_index_cache_prune_siblings():
+    """Sibling GC: prunes only OTHER fp dirs, never the kept one or the
+    _CURRENT pointer; age-gated pruning skips dirs whose marker age is
+    unknowable (non-local FS); max_age_s=None prunes regardless."""
+    from handyspark_spark.pipeline.index_cache import IndexCache
+    from handyspark_spark.streaming.fs import MemoryFS
+
+    fs = MemoryFS()
+    cache = IndexCache("idx", root="mem://c", fs=fs)
+    for fp in ("aaaa", "bbbb", "cccc"):
+        fs.store[f"{cache.dir_for(7, fp)}/cells.parquet/p0"] = "x"
+        cache.commit(7, fp)
+
+    # age-gated: MemoryFS has no mtimes -> nothing prunable
+    assert cache.prune_siblings(7, "cccc") == []
+    assert cache.is_committed(7, "aaaa")
+
+    # unconditional: siblings go, kept fp + pointer stay
+    gone = cache.prune_siblings(7, "cccc", max_age_s=None)
+    assert sorted(gone) == [cache.dir_for(7, "aaaa"),
+                            cache.dir_for(7, "bbbb")]
+    assert cache.is_committed(7, "cccc")
+    assert cache.current(7) == "cccc"
+    assert not fs.isdir(cache.dir_for(7, "aaaa"))
