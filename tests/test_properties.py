@@ -424,3 +424,80 @@ def test_bucket_strata_fuzz_matches_closed_form(spark, data):
         want = pdf.groupby(keys)["v"].mean()
         assert sorted(np.round(got.dropna().values, 6)) == pytest.approx(
             sorted(np.round(want.dropna().values, 6)), abs=1e-6)
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ordered_window_ops_fuzz_match_pandas(spark, data):
+    """Random (partition, unique order, values with missing) frames:
+    the ordered-window family must equal pandas groupby semantics at
+    every NON-MISSING input position (the pinned convention: Spark's
+    null-skipping aggregation equals pandas skipna accumulation away
+    from the NaN positions themselves), and ffill/bfill/interpolate/
+    rolling must match everywhere. rank runs on a separate non-null
+    column (pandas keeps NaN unranked; Spark windows sort nulls —
+    documented difference, not fuzzed)."""
+    n = data.draw(st.integers(min_value=6, max_value=40), label="n")
+    part = data.draw(st.lists(st.sampled_from(["p", "q"]),
+                              min_size=n, max_size=n), label="part")
+    order = data.draw(st.lists(st.integers(min_value=-1000,
+                                           max_value=1000),
+                               min_size=n, max_size=n, unique=True),
+                      label="order")
+    vals = data.draw(st.lists(
+        st.one_of(st.none(),
+                  st.floats(min_value=-1e4, max_value=1e4,
+                            allow_nan=False, allow_infinity=False)),
+        min_size=n, max_size=n), label="vals")
+    rvals = data.draw(st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+        min_size=n, max_size=n), label="rvals")
+    win = data.draw(st.integers(min_value=1, max_value=5), label="win")
+    method = data.draw(st.sampled_from(["min", "dense", "first"]),
+                       label="method")
+    asc = data.draw(st.booleans(), label="asc")
+
+    pdf = pd.DataFrame({"p": part, "o": order,
+                        "v": [round(v, 6) if v is not None else None
+                              for v in vals],
+                        "r": [round(v, 6) for v in rvals]})
+    sdf = spark.createDataFrame(
+        pdf, "p string, o long, v double, r double")
+    h = toHandy(sdf)
+    s = h.ordered(by="o", partition="p")["v"]
+    sr = h.ordered(by="o", partition="p")["r"]
+    out = (h.assign(cumsum=s.cumsum(), cummax=s.cummax(),
+                    shift=s.shift(1), diff=s.diff(1),
+                    ffill=s.ffill(), bfill=s.bfill(),
+                    interp=s.interpolate(),
+                    roll=s.rolling_mean(win),
+                    rnk=sr.rank(method=method, ascending=asc))
+           ._df.toPandas().sort_values(["p", "o"]).reset_index(drop=True))
+
+    g = pdf.sort_values(["p", "o"]).reset_index(drop=True)
+    gb = g.groupby("p")["v"]
+    exp = pd.DataFrame({
+        "cumsum": gb.cumsum(), "cummax": gb.cummax(),
+        "shift": gb.shift(1), "diff": gb.diff(1),
+        "ffill": gb.ffill(), "bfill": gb.bfill(),
+        "interp": gb.apply(lambda x: x.interpolate())
+                    .reset_index(level=0, drop=True).sort_index(),
+        "roll": g.groupby("p")["v"]
+                 .rolling(win, min_periods=1).mean()
+                 .reset_index(level=0, drop=True).sort_index(),
+        "rnk": g.groupby("p")["r"].rank(method=method, ascending=asc),
+    })
+    known = g["v"].notna()
+    for col in ["cumsum", "cummax", "shift", "diff"]:
+        a = out.loc[known, col].astype(float)
+        b = exp.loc[known, col].astype(float)
+        assert np.allclose(a.fillna(1e18), b.fillna(1e18),
+                           atol=1e-6), col
+    for col in ["ffill", "bfill", "interp", "roll"]:
+        a = out[col].astype(float)
+        b = exp[col].astype(float)
+        assert np.allclose(a.fillna(1e18), b.fillna(1e18),
+                           atol=1e-6), col
+    assert np.allclose(out["rnk"].astype(float),
+                       exp["rnk"].astype(float)), "rank"
