@@ -617,16 +617,28 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     shortlist = (cand.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= rerank)
                  .select("query_id", "neighbor_id"))
-    return _exact_rerank(df, queries, shortlist, k, vec_col, id_col)
+    return _exact_rerank(df, queries, shortlist, k, vec_col, id_col,
+                         shortlist_rows=len(qids) * rerank)
 
 
 def _exact_rerank(df: DataFrame, queries: DataFrame, shortlist: DataFrame,
-                  k: int, vec_col: str, id_col: str) -> DataFrame:
+                  k: int, vec_col: str, id_col: str,
+                  shortlist_rows: int | None = None) -> DataFrame:
     """Exact re-rank of a (query_id, neighbor_id) shortlist: join raw
     vectors back in (hash join keyed on the corpus id — touches only
     candidate rows) and score true cosine; the broadcast query frame
     carries the query vectors. Shared by the PQ and IVF-PQ rerank
-    paths."""
+    paths.
+
+    ``shortlist_rows``: the caller's |queries| x rerank bound. When the
+    shortlist is KNOWN large (the exact-switch shape, rerank ~ corpus)
+    the corpus join is pinned to sort-merge — otherwise AQE sees a
+    shuffle size under its broadcast threshold (ids compress well) and
+    builds a multi-million-row HashedRelation on the driver, which
+    measured 4x SLOWER than SMJ at sf10 (8 x 200k shortlist: rerank
+    stage 8.2s broadcast vs 2.0s merge) and is a driver-memory hazard
+    at scale. Small production shortlists (rerank ~ 50) keep AQE's
+    broadcast conversion."""
     c = with_norm(
         df.select(F.col(id_col).alias("neighbor_id"),
                   F.col(vec_col).cast("array<double>").alias("_c0")),
@@ -635,6 +647,8 @@ def _exact_rerank(df: DataFrame, queries: DataFrame, shortlist: DataFrame,
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("_q0")),
         F.col("_q0"), "_qv", "_qn").drop("_q0")
+    if shortlist_rows is not None and shortlist_rows > 500_000:
+        c = c.hint("merge")
     scored = (shortlist.join(c, "neighbor_id")
               .join(F.broadcast(q), "query_id"))
     cos = dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
@@ -868,7 +882,8 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     shortlist = (cand.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= rerank)
                  .select("query_id", "neighbor_id"))
-    return _exact_rerank(df, queries, shortlist, k, vec_col, id_col)
+    return _exact_rerank(df, queries, shortlist, k, vec_col, id_col,
+                         shortlist_rows=len(qids) * rerank)
 
 
 # ---------------------------------------------------------------------------

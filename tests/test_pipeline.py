@@ -2079,3 +2079,32 @@ def test_index_cache_prune_siblings():
     assert cache.is_committed(7, "cccc")
     assert cache.current(7) == "cccc"
     assert not fs.isdir(cache.dir_for(7, "aaaa"))
+
+
+def test_exact_switch_rerank_never_broadcasts_shortlist(spark):
+    """rerank ~ corpus => the shortlist is |queries| x |corpus| rows;
+    AQE's size estimate (ids compress well) would broadcast it as a
+    driver-built HashedRelation — measured 4x slower than merge at sf10
+    and a driver-memory hazard at scale. The corpus join must be pinned
+    to SortMergeJoin when the declared shortlist bound is large, while
+    the small-rerank production shape keeps broadcast eligibility."""
+    import numpy as np
+    import pandas as pd
+
+    from handyspark_spark.pipeline.similarity import (pq_codebooks,
+                                                      pq_topk)
+    rng = np.random.RandomState(0)
+    pdf = pd.DataFrame({"vec_id": range(300),
+                        "embedding": [rng.randn(8).astype("float32")
+                                      for _ in range(300)]})
+    df = spark.createDataFrame(pdf)
+    qs = df.filter("vec_id < 3")
+    books = pq_codebooks(df, "embedding", "vec_id", m=2, nbits=3)
+
+    big = pq_topk(df, qs, k=3, rerank=300_000, books=books)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_big
+
+    small = pq_topk(df, qs, k=3, rerank=10, books=books)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan_small
