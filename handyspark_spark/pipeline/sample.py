@@ -249,16 +249,24 @@ def dsir_weights(df: DataFrame, target: DataFrame,
         return (frame.select(*cols, F.explode(grams).alias("_g"))
                 .select(*cols, b.alias("_b")))
 
-    def hist(frame: DataFrame, col: str) -> DataFrame:
-        return (bucketed(frame, col, keep_id=False)
-                .groupBy("_b").agg(F.count(F.lit(1)).alias("_c")))
-
-    # the histograms are <= ``buckets`` rows but COMPUTING one costs a
-    # full corpus gram scan — persist them so the total-count action and
-    # the ratio join reuse one materialization (without this the corpus
-    # is re-tokenized three times: q hist, qt total, feats join)
-    p = hist(target, tcol).withColumnRenamed("_c", "_pc").persist()
-    q = hist(df, text_col).withColumnRenamed("_c", "_qc").persist()
+    # ONE corpus gram projection (round 9): the raw-side histogram AND
+    # the per-doc features both derive from per-doc bucket counts, so
+    # tokenize+md5 every corpus gram once, reduce to (id, bucket, c)
+    # with a map-side-combined groupBy, persist THAT, and read the q
+    # histogram off it (a buckets-row aggregate of an already-cached
+    # frame). The previous shape projected the corpus twice (hist pass
+    # + feats pass) — and the dup_spans round-9 profile showed this
+    # operator family is PROJECTION-bound, not shuffle-bound. Measured
+    # at sf1: 14.4 -> 11.8s cold. The persist intentionally outlives
+    # this function (the returned plan reads it); the bounded managed
+    # registry reclaims it.
+    from ..core.cache import managed_persist
+    docb = managed_persist(
+        bucketed(df, text_col, keep_id=True)
+        .groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c")))
+    q = (docb.groupBy("_b").agg(F.sum("_c").alias("_qc"))).persist()
+    p = (bucketed(target, tcol, keep_id=False)
+         .groupBy("_b").agg(F.count(F.lit(1)).alias("_pc"))).persist()
     pt = p.agg(F.sum("_pc")).collect()[0][0] or 0
     qt = q.agg(F.sum("_qc")).collect()[0][0] or 0
     lr = (F.log((F.coalesce(F.col("_pc"), F.lit(0)) + smoothing)
@@ -279,11 +287,11 @@ def dsir_weights(df: DataFrame, target: DataFrame,
                                             schema=ratio.schema)
     p.unpersist()
     q.unpersist()
-    feats = bucketed(df, text_col, keep_id=True)
-    return (feats.join(F.broadcast(ratio), "_b", "left")
+    return (docb.join(F.broadcast(ratio), "_b", "left")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-                 (F.sum("_lr_u") / F.lit(1e6)).alias("log_weight")))
+            .agg(F.sum("_c").cast("bigint").alias("n_feats"),
+                 (F.sum(F.col("_lr_u") * F.col("_c")) / F.lit(1e6))
+                 .alias("log_weight")))
 
 
 def temperature_mix_rates(df: DataFrame, source_col: str,
