@@ -127,13 +127,18 @@ def pretrain_funnel(df, text_col="text", id_col="doc_id",
     flagged = (base.select(id_col, "_q", "_e")
                .join(keep, id_col, "left")
                .join(hits, id_col, "left"))
+    # coalesce: F.sum over zero rows is NULL — on an empty input every
+    # stage must report 0 (the old per-stage count() contract, and what
+    # the monotonicity property assumes)
     row = flagged.agg(
         F.count(F.lit(1)).alias("n1"),
-        F.sum(F.col("_q").cast("long")).alias("n2"),
-        F.sum(F.col("_e").cast("long")).alias("n3"),
-        F.sum(nd.cast("long")).alias("n4"),
-        F.sum((nd & ~F.coalesce(F.col("_hit"), F.lit(False)))
-              .cast("long")).alias("n5"))
+        F.coalesce(F.sum(F.col("_q").cast("long")),
+                   F.lit(0)).alias("n2"),
+        F.coalesce(F.sum(F.col("_e").cast("long")),
+                   F.lit(0)).alias("n3"),
+        F.coalesce(F.sum(nd.cast("long")), F.lit(0)).alias("n4"),
+        F.coalesce(F.sum((nd & ~F.coalesce(F.col("_hit"), F.lit(False)))
+                         .cast("long")), F.lit(0)).alias("n5"))
     return row.select(F.expr(
         "stack(5, '1_raw', n1, '2_quality', n2, '3_exact', n3, "
         "'4_neardup', n4, '5_decontaminated', n5) AS (stage, n_docs)"))

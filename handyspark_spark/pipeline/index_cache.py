@@ -55,8 +55,7 @@ def cache_root() -> str:
     return os.environ.get("HSQ_INDEX_CACHE_ROOT", DEFAULT_ROOT)
 
 
-def dataset_fingerprint(sf_dir: str, table: str = "embeddings",
-                        fs: FS | None = None) -> str:
+def dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
     """Content fingerprint of the parquet files backing an index cache:
     sha256 over the table's resolved path plus every data file's
     (relative name, size, mtime_ns). Two datasets with the same ROW
@@ -64,7 +63,13 @@ def dataset_fingerprint(sf_dir: str, table: str = "embeddings",
     that happen to share n) get different fingerprints, so a cached
     index/codes dir can never be served against data it was not built
     from (round-7 advice: the bare ``n=<count>`` key was the first
-    silently-wrong cross-process cache in this harness)."""
+    silently-wrong cross-process cache in this harness).
+
+    Deliberately LOCAL-ONLY (os.walk/os.stat): the fingerprint describes
+    the dataset Spark is about to SCAN, and the sf_dir inputs in this
+    harness are always local paths. The cache CONTROL plane (markers,
+    pointers, pruning) goes through the FS seam; the fingerprint of the
+    source data does not need to."""
     root = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.sha256(os.path.realpath(root).encode())
     if os.path.isdir(root):
@@ -156,9 +161,10 @@ class IndexCache:
         of age) — a recently-committed sibling may belong to a LIVE
         concurrent session over a same-rowcount dataset, and deleting
         under it would break its lazy readers; a week-old one is a
-        leftover. Age comes from the local marker file's mtime, so with
-        a non-Local FS (no mtimes) only ``max_age_s=None`` prunes.
-        Returns the removed dir paths."""
+        leftover. Age comes from ``fs.mtime`` on the marker; when the
+        FS does not expose mtimes (returns None — 'age unknowable')
+        only ``max_age_s=None`` prunes. Returns the removed dir
+        paths."""
         import time
         removed = []
         for name in self.fs.listdir(self.n_dir(n)):
@@ -166,11 +172,8 @@ class IndexCache:
                 continue
             path = f"{self.n_dir(n)}/{name}"
             if max_age_s is not None:
-                try:
-                    age = time.time() - os.stat(
-                        f"{path}/{self.MARKER}").st_mtime
-                except OSError:
-                    age = None      # no local marker -> age unknowable
+                mt = self.fs.mtime(f"{path}/{self.MARKER}")
+                age = None if mt is None else time.time() - mt
                 if age is None or age < max_age_s:
                     continue
             self.fs.rm_recursive(path)

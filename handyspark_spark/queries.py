@@ -3800,6 +3800,19 @@ def _dataset_fingerprint(sf_dir, table="embeddings"):
     return dataset_fingerprint(sf_dir, table)
 
 
+def _with_cache_root(sql):
+    """Point an oracle SQL string's index-cache globs at the SAME root
+    the Spark side writes (HSQ_INDEX_CACHE_ROOT, default /tmp).
+    Resolved once at import — set the env var before the process
+    starts; a mid-session change would desynchronize the two halves
+    (round-9 advice: the hardcoded '/tmp/hsq_*' globs read stale
+    artifacts when the env var redirected the writer)."""
+    from .pipeline.index_cache import cache_root
+    root = cache_root().rstrip("/")
+    return sql.replace("'/tmp/hsq_", f"'{root}/hsq_") if root != "/tmp" \
+        else sql
+
+
 def _pq_index(spark, sf_dir):
     """fit->save ONCE per (session, sf_dir); returns
     (index, corpus_n, encoded_codes_df). The cached corpus count also
@@ -3847,7 +3860,7 @@ def _pq_index(spark, sf_dir):
     return meta
 
 
-_ANN_PQ_SQL = """
+_ANN_PQ_SQL = _with_cache_root("""
 WITH cur AS (
   -- which fp=... dir the Spark side just used for THIS corpus size:
   -- the atomically-replaced _CURRENT pointer under the n= parent
@@ -3921,7 +3934,7 @@ SELECT * FROM (
   JOIN embeddings qe ON qe.vec_id = s.query_id
   JOIN embeddings ne ON ne.vec_id = s.neighbor_id
 ) WHERE rank <= 5
-"""
+""")
 
 
 @query("ann_pq", _ANN_PQ_SQL)
@@ -4006,7 +4019,7 @@ def _ivfpq_index(spark, sf_dir):
 # identity), top-50 shortlist, exact-cosine rerank — the same
 # verify-the-approximate-math convention as _ANN_PQ_SQL, extended by
 # the cell-assignment and residual steps.
-_ANN_IVFPQ_SQL = """
+_ANN_IVFPQ_SQL = _with_cache_root("""
 WITH cur AS (
   SELECT trim(content) AS fp
   FROM read_text('/tmp/hsq_ivfpq_idx/*/_CURRENT')
@@ -4097,7 +4110,7 @@ SELECT * FROM (
   JOIN embeddings qe ON qe.vec_id = s.query_id
   JOIN embeddings ne ON ne.vec_id = s.neighbor_id
 ) WHERE rank <= 5
-"""
+""")
 
 
 @query("ann_ivfpq", _ANN_IVFPQ_SQL)

@@ -88,6 +88,12 @@ class FS:
         inside) a per-key copy-then-delete."""
         raise NotImplementedError
 
+    def mtime(self, path: str) -> float | None:
+        """Last-modified time of an object as a POSIX timestamp, or
+        ``None`` when the store does not expose one (age-based policies
+        must then fall back to their 'age unknowable' branch)."""
+        return None
+
 
 class LocalFS(FS):
     """os/shutil binding — the default; matches the pre-seam behavior
@@ -126,6 +132,12 @@ class LocalFS(FS):
 
     def rename(self, src, dst):
         os.rename(src, dst)
+
+    def mtime(self, path):
+        try:
+            return os.stat(path).st_mtime
+        except OSError:
+            return None
 
 
 class FsspecFS(FS):
@@ -174,6 +186,13 @@ class FsspecFS(FS):
 
     def rename(self, src, dst):
         self.fs.mv(src, dst, recursive=True)
+
+    def mtime(self, path):
+        try:
+            ts = self.fs.modified(path)
+        except (NotImplementedError, OSError, KeyError, ValueError):
+            return None
+        return ts.timestamp() if ts is not None else None
 
 
 class MemoryFS(FS):

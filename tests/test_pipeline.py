@@ -1549,6 +1549,18 @@ def test_pretrain_funnel_stages_monotonic(spark, docs):
     assert counts[-1] > 0
 
 
+def test_pretrain_funnel_empty_input_all_zero(spark, docs):
+    """F.sum over zero rows is NULL — the fused one-pass funnel must
+    coalesce every stage back to 0 on an empty corpus (the old
+    per-stage count() contract the monotonicity property assumes)."""
+    from handyspark_spark.pipeline import pretrain_funnel
+    empty = docs.filter(F.lit(False))
+    out = {r["stage"]: r["n_docs"] for r in pretrain_funnel(
+        empty, bands=2, bench=docs.limit(0)).collect()}
+    assert out == {"1_raw": 0, "2_quality": 0, "3_exact": 0,
+                   "4_neardup": 0, "5_decontaminated": 0}
+
+
 def test_containment_catches_subset_docs(spark):
     from handyspark_spark.pipeline.dedup import containment_pairs
     df = spark.createDataFrame(
@@ -2079,6 +2091,85 @@ def test_index_cache_prune_siblings():
     assert cache.is_committed(7, "cccc")
     assert cache.current(7) == "cccc"
     assert not fs.isdir(cache.dir_for(7, "aaaa"))
+
+
+def test_index_cache_pointer_interleaving_never_mixes():
+    """Concurrency pin for the _CURRENT pointer protocol: two builders
+    over same-rowcount datasets (different fps) interleaved with a
+    reader, at EVERY interleaving of their protocol steps. Because the
+    fp is in the path (immutable dirs) and the pointer/marker puts are
+    atomic, the reader must either (a) see a loud miss (no pointer, or
+    pointer to a dir without a committed matching marker) or (b) see a
+    fully consistent dir — every artifact from the SAME build the
+    pointer names. Mixed artifacts (cells from A, codes from B) must be
+    impossible in every ordering."""
+    import itertools
+
+    from handyspark_spark.pipeline.index_cache import IndexCache
+    from handyspark_spark.streaming.fs import MemoryFS
+
+    n = 42
+
+    def build_steps(cache, fp):
+        # the real builder sequence: write artifacts, then marker-last
+        # commit (which also re-aims _CURRENT), then a later cache-hit
+        # validation that re-aims the pointer again
+        d = cache.dir_for(n, fp)
+        fs = cache.fs
+        yield lambda: fs.put_atomic(f"{d}/cells.parquet/p0", fp)
+        yield lambda: fs.put_atomic(f"{d}/codes.parquet/p0", fp)
+        yield lambda: cache.commit(n, fp)
+        yield lambda: cache.point_current(n, fp)
+
+    def read(cache):
+        # the oracle's read path: resolve pointer, validate marker
+        # READ-ONLY, then read every artifact of the named dir
+        fp = cache.current(n)
+        if fp is None:
+            return "miss"
+        d = cache.dir_for(n, fp)
+        fs = cache.fs
+        try:
+            if fs.read_text(f"{d}/{cache.MARKER}").strip() != fp:
+                return "miss"
+            vals = {fs.read_text(f"{d}/cells.parquet/p0"),
+                    fs.read_text(f"{d}/codes.parquet/p0")}
+        except (OSError, KeyError):
+            return "miss"           # loud: incomplete/vanished dir
+        return fp, vals
+
+    for order in sorted(set(itertools.permutations("AAAABBBB"))):
+        fs = MemoryFS()
+        cache = IndexCache("idx", root="mem://c", fs=fs)
+        gens = {"A": build_steps(cache, "fp_a"),
+                "B": build_steps(cache, "fp_b")}
+        for who in order:
+            next(gens[who])()
+            got = read(cache)
+            if got != "miss":
+                fp, vals = got
+                assert vals == {fp}, (order, got)
+
+
+def test_fs_mtime_seam():
+    """fs.mtime: LocalFS exposes real mtimes; the base/MemoryFS
+    contract returns None ('age unknowable'), which prune_siblings
+    treats as not-prunable under an age gate."""
+    import os
+    import tempfile
+    import time
+
+    from handyspark_spark.streaming.fs import FS, LocalFS, MemoryFS
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "marker")
+        with open(p, "w") as f:
+            f.write("x")
+        mt = LocalFS().mtime(p)
+        assert mt is not None and abs(time.time() - mt) < 300
+        assert LocalFS().mtime(os.path.join(d, "absent")) is None
+    assert MemoryFS().mtime("mem://a/b") is None
+    assert FS().mtime("anything") is None
 
 
 def test_exact_switch_rerank_never_broadcasts_shortlist(spark):
