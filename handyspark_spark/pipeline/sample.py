@@ -206,11 +206,47 @@ def deterministic_shuffle(df: DataFrame, key_col: str,
             .drop("_shuffle_key"))
 
 
-def dsir_weights(df: DataFrame, target: DataFrame,
+def dsir_doc_buckets(df: DataFrame, text_col: str = "text",
+                     id_col: str | None = "doc_id", n: int = 2,
+                     buckets: int = 8192) -> DataFrame:
+    """The TARGET-INDEPENDENT half of DSIR: per-document hashed n-gram
+    bucket counts ``(id_col, _b, _c)`` — tokenize + md5 every corpus
+    gram ONCE, reduce with a map-side-combined groupBy. This is the
+    expensive projection (the family is projection-bound, SCALE.md
+    round-9); everything target-specific downstream (histograms,
+    log-ratios, per-doc weights) is cheap aggregation over this table.
+    A production pipeline computes it once per corpus snapshot and
+    reuses it across every target distribution — pass the materialized
+    result to ``dsir_weights(doc_buckets=...)``.
+
+    ``id_col=None`` drops the document key: returns the corpus-level
+    ``(_b, _c)`` histogram directly (used for target frames that carry
+    no id column)."""
+    def body(tk):
+        m = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
+        idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
+               .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+
+    from .text import let_bound, tokens
+    grams = let_bound(tokens(text_col), body)
+    b = F.pmod(F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10)
+               .cast("bigint"), F.lit(buckets))
+    keys = [F.col(id_col)] if id_col else []
+    return (df.select(*keys, F.explode(grams).alias("_g"))
+            .select(*keys, b.alias("_b"))
+            .groupBy(*([id_col] if id_col else []), "_b")
+            .agg(F.count(F.lit(1)).alias("_c")))
+
+
+def dsir_weights(df: DataFrame, target: DataFrame | None,
                  text_col: str = "text", id_col: str = "doc_id",
                  target_text_col: str | None = None,
                  n: int = 2, buckets: int = 8192,
-                 smoothing: float = 0.5) -> DataFrame:
+                 smoothing: float = 0.5,
+                 doc_buckets: DataFrame | None = None,
+                 target_doc_buckets: DataFrame | None = None) -> DataFrame:
     """Data Selection with Importance Resampling (DSIR, Xie et al. 2023)
     weights: score each raw document by how much its hashed n-gram
     feature distribution looks like a TARGET corpus (the public
@@ -228,26 +264,19 @@ def dsir_weights(df: DataFrame, target: DataFrame,
     corpus-side n-gram rows; per-doc summation is ONE keyed exchange of
     (id, double). Nothing pairwise, nothing driver-side.
 
+    ``doc_buckets`` / ``target_doc_buckets``: precomputed
+    ``dsir_doc_buckets`` results (same ``n``/``buckets``!) for the raw
+    corpus and the target. The corpus projection dominates the whole
+    operation, and the feature table is TARGET-INDEPENDENT — compute it
+    once per corpus snapshot, reuse it for every target mix (and when
+    the target is an id-slice of the corpus, its table is a FILTER of
+    the same one). ``target`` may be None when ``target_doc_buckets``
+    is given.
+
     Returns (id_col, n_feats, log_weight) — feed ``log_weight`` (or
     exp of it, clipped) to ``weighted_sample`` for the resampling step.
     """
-    from .text import let_bound, tokens
-
     tcol = target_text_col or text_col
-
-    def bucketed(frame: DataFrame, col: str, keep_id: bool):
-        def body(tk):
-            m = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
-            idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
-                   .otherwise(F.array().cast("array<int>"))
-            return F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
-        grams = let_bound(tokens(col), body)
-        b = F.pmod(F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10)
-                   .cast("bigint"), F.lit(buckets))
-        cols = [F.col(id_col)] if keep_id else []
-        return (frame.select(*cols, F.explode(grams).alias("_g"))
-                .select(*cols, b.alias("_b")))
 
     # ONE corpus gram projection (round 9): the raw-side histogram AND
     # the per-doc features both derive from per-doc bucket counts, so
@@ -259,14 +288,22 @@ def dsir_weights(df: DataFrame, target: DataFrame,
     # operator family is PROJECTION-bound, not shuffle-bound. Measured
     # at sf1: 14.4 -> 11.8s cold. The persist intentionally outlives
     # this function (the returned plan reads it); the bounded managed
-    # registry reclaims it.
-    from ..core.cache import managed_persist
-    docb = managed_persist(
-        bucketed(df, text_col, keep_id=True)
-        .groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c")))
+    # registry reclaims it. A caller-supplied doc_buckets (typically a
+    # materialized parquet read) is used as-is — column-pruned scans of
+    # a small source beat squatting in the executor cache.
+    if doc_buckets is None:
+        from ..core.cache import managed_persist
+        docb = managed_persist(
+            dsir_doc_buckets(df, text_col, id_col, n, buckets))
+    else:
+        docb = doc_buckets
     q = (docb.groupBy("_b").agg(F.sum("_c").alias("_qc"))).persist()
-    p = (bucketed(target, tcol, keep_id=False)
-         .groupBy("_b").agg(F.count(F.lit(1)).alias("_pc"))).persist()
+    if target_doc_buckets is not None:
+        p = (target_doc_buckets.groupBy("_b")
+             .agg(F.sum("_c").alias("_pc"))).persist()
+    else:
+        p = (dsir_doc_buckets(target, tcol, None, n, buckets)
+             .withColumnRenamed("_c", "_pc")).persist()
     pt = p.agg(F.sum("_pc")).collect()[0][0] or 0
     qt = q.agg(F.sum("_qc")).collect()[0][0] or 0
     lr = (F.log((F.coalesce(F.col("_pc"), F.lit(0)) + smoothing)

@@ -1501,6 +1501,24 @@ def test_dsir_weights_partition_invariant(spark, docs):
     assert a == b
 
 
+def test_dsir_weights_precomputed_tables_identical(spark, docs):
+    """The detect-once path — dsir_weights fed precomputed
+    dsir_doc_buckets tables (corpus + target-as-filter, the cached
+    production shape) — must return EXACTLY the plain path's values
+    (the micro-grid integer summation makes equality exact, not
+    approximate)."""
+    from handyspark_spark.pipeline.sample import (dsir_doc_buckets,
+                                                  dsir_weights)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    plain = sorted(dsir_weights(docs, target).collect())
+    docb = dsir_doc_buckets(docs)
+    pre = sorted(dsir_weights(
+        docs, None, doc_buckets=docb,
+        target_doc_buckets=docb.filter(F.col("doc_id") % 7 == 0))
+        .collect())
+    assert plain == pre
+
+
 def test_temperature_mix_boosts_small_sources(spark):
     from handyspark_spark.pipeline.sample import temperature_mix_rates
     df = spark.createDataFrame(
