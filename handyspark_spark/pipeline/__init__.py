@@ -96,11 +96,25 @@ def pretrain_funnel(df, text_col="text", id_col="doc_id",
 
     rules = gopher_rules(text_col)
     w = Window.partitionBy(F.md5(F.col(text_col)))
-    base = (df.withColumn("_q", rules["pass"])
-            .withColumn("_qfirst",
-                        F.min(F.when(F.col("_q"), F.col(id_col))).over(w))
-            .withColumn("_e", F.col("_q")
-                        & (F.col("_qfirst") == F.col(id_col))))
+    # The flag-carrying window output feeds THREE branches of the one
+    # fused action (the conditional agg, the LSH subtree, the
+    # contamination subtree). Spark has no cross-branch common-subplan
+    # elimination — only the md5 EXCHANGE gets reused — so without a
+    # persist the scan + quality projection + window evaluate once per
+    # branch (measured at sf10: 12.3 -> 16.0s after the round-9 fusion
+    # dropped the old per-stage persists). Materializing the slim
+    # (id, text, _q, _e) frame restores single evaluation while keeping
+    # the one-pass conditional agg; it is corpus-text-sized, the same
+    # footprint the pre-fusion plan persisted.
+    from ..core.cache import managed_persist
+    base = managed_persist(
+        df.select(id_col, text_col)
+          .withColumn("_q", rules["pass"])
+          .withColumn("_qfirst",
+                      F.min(F.when(F.col("_q"), F.col(id_col))).over(w))
+          .withColumn("_e", F.col("_q")
+                      & (F.col("_qfirst") == F.col(id_col)))
+          .select(id_col, text_col, "_q", "_e"))
     exact = base.filter(F.col("_e")).select(id_col, text_col)
 
     groups = minhash_lsh_groups(exact, text_col=text_col, id_col=id_col,

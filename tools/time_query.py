@@ -1,0 +1,84 @@
+"""Standalone per-query timer: one Spark session, each named queries()
+entry run R times (full collect, the driver contract), per-run seconds
+plus min/median reported — the targeted-measurement companion to
+bench_median.py for chasing a single query's regression without paying
+a full-suite run.
+
+Usage:
+    python tools/time_query.py SF_DIR query [query ...] [--runs N]
+        [--json OUT.json] [--force]
+
+Refuses on an unsettled machine (load1 >= 1.0) unless --force, same as
+the bench protocol. $SPARK_GRAFT_CPUS / $SPARK_GRAFT_DRIVER_MEM size
+the session (defaults 32 / 16g).
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    runs, out_json, force = 3, None, False
+    if "--force" in args:
+        force = True
+        args.remove("--force")
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i:i + 2]
+    if "--json" in args:
+        i = args.index("--json")
+        out_json = args[i + 1]
+        del args[i:i + 2]
+    if len(args) < 2:
+        sys.exit(__doc__)
+    sf_dir, names = args[0], args[1:]
+
+    load1 = os.getloadavg()[0]
+    if load1 >= 1.0 and not force:
+        sys.exit(f"machine not settled (load1={load1:.2f}); wait or "
+                 f"pass --force")
+
+    from pyspark.sql import SparkSession
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.driver.memory", mem)
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    import __spark_entry__ as E
+    qs = E.queries()
+    missing = [n for n in names if n not in qs]
+    if missing:
+        sys.exit(f"unknown queries: {missing}")
+
+    result = {}
+    for name in names:
+        secs = []
+        for r in range(runs):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).collect()
+            secs.append(round(time.monotonic() - t0, 3))
+        result[name] = {"runs": secs, "min": min(secs),
+                        "median": round(statistics.median(secs), 3)}
+        print(f"{name}: runs={secs} min={min(secs)} "
+              f"median={result[name]['median']}", flush=True)
+
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": sf_dir, "cpus": cpus, "runs": runs,
+                       "queries": result}, f, indent=1)
+        print(f"wrote {out_json}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
