@@ -793,7 +793,34 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
         cand, ["block", "block_val"], max_candidate_pairs,
         "simhash_neardup_pairs",
         materialize=max_docs_per_bucket is not None)
-    a, b = cand.alias("a"), cand.alias("b")
+    # Chunked self-join (round 10): pair volume per (block, value)
+    # bucket is C(n, 2) — quadratic in rows while the bucket's BYTE
+    # size stays linear, so AQE's byte-based skew split never fires
+    # and one boilerplate bucket serializes the whole join into a
+    # single straggler task (sf1 profile: top bucket 12,239 docs =
+    # 75M of the 153M candidate pairs; simhash_pairs 46s with the
+    # fingerprints themselves at 1.6s). Split each bucket into
+    # ceil(n/CHUNK) chunks: the left side keeps its hash-assigned
+    # chunk, the right side replicates one row per chunk (extra rows
+    # ~= sum n^2/CHUNK — hundreds of thousands, not millions), and
+    # the chunk id joins as an equality key, so a size-n bucket's
+    # pair evaluation spreads over n/CHUNK tasks instead of one.
+    # Every unordered pair still meets exactly once (the right
+    # replica in the left row's chunk), so the emitted set — and the
+    # first-agreeing-block / exact-Hamming semantics — are unchanged.
+    CHUNK = 256
+    sizes = (cand.groupBy("block", "block_val")
+             .agg(F.count(F.lit(1)).alias("_bn"))
+             .select("block", "block_val",
+                     F.ceil(F.col("_bn") / CHUNK).cast("int").alias("_m")))
+    cand = cand.join(F.broadcast(sizes), ["block", "block_val"])
+    a = (cand.withColumn(
+            "_ck", F.pmod(F.xxhash64(F.col(id_col), F.lit("sh-chunk")),
+                          F.col("_m")).cast("int"))
+         .drop("_m").alias("a"))
+    b = (cand.withColumn(
+            "_ck", F.explode(F.sequence(F.lit(0), F.col("_m") - 1)))
+         .drop("_m").alias("b"))
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     hamming = F.bit_count(xor)
     # a pair can agree on up to k+1 blocks; emit it ONLY from its FIRST
@@ -807,6 +834,7 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     mask = F.lit((1 << width) - 1)
     cond = ((F.col("a.block") == F.col("b.block")) &
             (F.col("a.block_val") == F.col("b.block_val")) &
+            (F.col("a._ck") == F.col("b._ck")) &
             (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) &
             (hamming <= max_hamming))
     if max_docs_per_bucket is None:
@@ -815,7 +843,17 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
                     .bitwiseAND(mask) == 0, F.lit(j))
             for j in range(n_blocks)], F.lit(-1))
         cond = cond & (F.col("a.block") == first_block)
-    out = (a.join(b, cond)
+    # shuffle_hash, NOT broadcast: the planner sees a byte-tiny build
+    # side and broadcasts it, which leaves probe parallelism at the
+    # LEFT side's incoming partition count (the fingerprint scan's file
+    # splits — 2 at sf1) and throws away the chunk key entirely; the
+    # quadratic probe work then serializes into those few tasks
+    # (measured sf1: 97s broadcast vs 21s shuffled, from 47s for the
+    # pre-chunking single-straggler sort-merge). A shuffled hash
+    # join partitions BOTH sides by (block, block_val, _ck), so each
+    # mega-bucket's pair evaluation actually lands on its n/CHUNK
+    # separate tasks.
+    out = (a.hint("shuffle_hash").join(b, cond)
            .select(F.col(f"a.{id_col}").alias("id_a"),
                    F.col(f"b.{id_col}").alias("id_b"),
                    hamming.alias("hamming")))
