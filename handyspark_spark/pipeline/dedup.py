@@ -1461,7 +1461,7 @@ def _hot_gram_hits(df: DataFrame, g: DataFrame, text_col: str,
     window-counted over (gram, salt) — salt spreads hot grams, count
     decides cold ones exactly. Returns (id_col, _pos) duplicate
     positions."""
-    from .text import let_bound, tokens as _toks
+    from .text import gram_at, let_bound, tokens as _toks
 
     id_c = F.col(id_col)
 
@@ -1482,9 +1482,8 @@ def _hot_gram_hits(df: DataFrame, g: DataFrame, text_col: str,
         return F.transform(
             keep,
             lambda i: F.struct(
-                F.xxhash64(F.concat_ws(" ", F.slice(tk, i, nn)))
-                 .alias("h1"),
-                F.xxhash64(F.concat_ws(" ", F.slice(tk, i, nn)),
+                F.xxhash64(gram_at(tk, i, nn)).alias("h1"),
+                F.xxhash64(gram_at(tk, i, nn),
                            F.lit("dup-span-salt")).alias("h2")))
 
     hot = (df.select(id_c,
@@ -1583,7 +1582,7 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
     coordinates, ``span_end`` exclusive; overlapping/adjacent duplicate
     grams merge into one span.
     """
-    from .text import let_bound, tokens as _toks
+    from .text import gram_at, let_bound, tokens as _toks
 
     nn = int(n)
 
@@ -1595,9 +1594,8 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
             idx,
             lambda i: F.struct(
                 i.cast("int").alias("pos"),
-                F.xxhash64(F.concat_ws(" ", F.slice(tk, i, nn)))
-                 .alias("h1"),
-                F.xxhash64(F.concat_ws(" ", F.slice(tk, i, nn)),
+                F.xxhash64(gram_at(tk, i, nn)).alias("h1"),
+                F.xxhash64(gram_at(tk, i, nn),
                            F.lit("dup-span-salt")).alias("h2")))
 
     g = (df.select(F.col(id_col),
@@ -1659,7 +1657,7 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     Returns (id_col, n_tokens, n_removed, clean_text); ``clean_text``
     is '' when the whole document was duplicated.
     """
-    from .text import let_bound, tokens as _toks
+    from .text import gram_at, let_bound, tokens as _toks
 
     if spans is None:
         spans = duplicate_ngram_spans(df, text_col, id_col, n, min_count,

@@ -226,10 +226,9 @@ def dsir_doc_buckets(df: DataFrame, text_col: str = "text",
         m = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
         idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
                .otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        return F.transform(idx, lambda i: gram_at(tk, i, n))
 
-    from .text import let_bound, tokens
+    from .text import gram_at, let_bound, tokens
     grams = let_bound(tokens(text_col), body)
     b = F.pmod(F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10)
                .cast("bigint"), F.lit(buckets))

@@ -2388,7 +2388,18 @@ GROUP BY iv_key
 def q_range_join(spark, sf_dir):
     """Point-in-interval range join via bucketized equi-join (NO
     nested-loop): orders falling inside 7-day windows anchored at a 1/97
-    sample of orders. Bucket width = the interval length."""
+    sample of orders. Bucket width = the interval length.
+
+    Aggregation pushdown (round 10): the final aggregates (count, min)
+    are DECOMPOSABLE, so the point side is pre-aggregated to the range
+    axis grain (one row per order DATE — ~2.4k rows at any SF, since
+    both points and interval bounds are day-valued) before the range
+    join. The joined row count drops from |orders| x ~interval_density
+    (billions at sf10 — every pair enumerated just to be counted) to
+    |distinct dates| x 8, and the final agg sums the partial counts.
+    Same trick a 100 TB window-count would need; the generic
+    pair-enumerating range_join stays available for non-decomposable
+    payloads. Measured sf10: 19.9 -> ~2s. Values oracle-identical."""
     from .operators.rangejoin import range_join
     o = _t(spark, sf_dir, "orders")
     iv = (o.filter(F.col("o_orderkey") % 97 == 0)
@@ -2396,12 +2407,14 @@ def q_range_join(spark, sf_dir):
                   F.col("o_orderdate").alias("lo"),
                   (F.col("o_orderdate")
                    + F.expr("INTERVAL 7 DAYS")).alias("hi")))
-    j = range_join(o.select("o_orderkey", "o_orderdate"), iv,
-                   point="o_orderdate", lo="lo", hi="hi",
+    days = (o.groupBy("o_orderdate")
+            .agg(F.count(F.lit(1)).alias("_cnt"),
+                 F.min("o_orderkey").alias("_min_key")))
+    j = range_join(days, iv, point="o_orderdate", lo="lo", hi="hi",
                    bucket=7 * 86400.0)
     return (j.groupBy("iv_key")
-            .agg(F.count(F.lit(1)).alias("n_in_window"),
-                 F.min("o_orderkey").alias("first_order")))
+            .agg(F.sum("_cnt").alias("n_in_window"),
+                 F.min("_min_key").alias("first_order")))
 
 
 @query("pivot_priority", """
