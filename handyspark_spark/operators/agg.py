@@ -25,6 +25,7 @@ __all__ = [
     "summary_plan", "value_counts_plan", "mode_plan", "nunique_plan",
     "isnull_plan", "entropy_plan", "mutual_info_plan", "corr_plan",
     "percentile_expr", "profile_plan", "percentile_distributed_plan",
+    "exact_quantiles_distributed",
 ]
 
 
@@ -488,6 +489,39 @@ def percentile_distributed_plan(df: DataFrame, colname: str,
             .agg(vlo.alias("_vlo"), vhi.alias("_vhi"))
             .select("q", (F.col("_vlo") + frac *
                           (F.col("_vhi") - F.col("_vlo"))).alias("value")))
+
+
+def exact_quantiles_distributed(
+        df: DataFrame, cols: dict[str, list[float]]
+) -> dict[str, dict[float, float]]:
+    """Exact type-7 quantiles for several columns, collected to the
+    driver as ``{col: {q: value}}`` — the scalar-fitting companion to
+    ``percentile_distributed_plan`` for operators that need fence/cut
+    CONSTANTS (Tukey fences, exact percentile summaries).
+
+    One ``percentile_distributed_plan`` per column (each branch scans
+    ONLY its own column — parquet column pruning makes N single-column
+    scans cheaper than one all-column pass), unioned and collected in
+    ONE job. Replaces the native fused ``percentile`` aggregate for the
+    unstratified exact path: that aggregate merges every (value, count)
+    pair into a single final buffer, and at sf10 (|distinct| in the
+    millions) the single-reducer merge made each exact-quantile query
+    ~13.7s where this plan's selection-by-rank runs ~4s (measured,
+    SCALE.md round-10). NaN is masked to NULL first (NaN sorts above
+    every double: unmasked it would poison q3 exactly like the fused
+    path's documented hazard)."""
+    parts = []
+    for c, qs in cols.items():
+        p = percentile_distributed_plan(
+            nan_to_null(df.select(c), [c]), c, qs)
+        parts.append(p.select(F.lit(c).alias("_col"), "q", "value"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    res: dict[str, dict[float, float]] = {c: {} for c in cols}
+    for r in out.collect():
+        res[r["_col"]][r["q"]] = r["value"]
+    return res
 
 
 def quantile_normalize_plan(df: DataFrame, value_col: str,

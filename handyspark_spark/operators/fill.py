@@ -136,7 +136,20 @@ def fit_fence_values(df: DataFrame, colnames: list[str], k: float = 1.5,
                      strata: list[str] | None = None,
                      precision: float = 0.01, exact: bool = False):
     """Tukey fences per column in ONE wide agg (q1, q3 for every column at
-    once — ref ``_calc_fences`` dataframe.py:332-351)."""
+    once — ref ``_calc_fences`` dataframe.py:332-351). The unstratified
+    exact path routes through the distributed selection-by-rank plan
+    instead of the native ``percentile`` aggregate: same type-7 values,
+    no single-reducer (value, count) merge — at sf10 that merge made
+    every exact-fence query ~13s (SCALE.md round-10)."""
+    if exact and not strata:
+        qmap = A.exact_quantiles_distributed(
+            df, {c: [0.25, 0.75] for c in colnames})
+        row = {}
+        for c in colnames:
+            q1, q3 = qmap[c][0.25], qmap[c][0.75]
+            iqr = q3 - q1
+            row[c] = (q1 - k * iqr, q3 + k * iqr)
+        return [row]
     exprs = [A.percentile_expr(c, [0.25, 0.75], precision, exact)
              .alias(f"_qq_{c}") for c in colnames]   # fused: one pass/col
     # NaN sorts ABOVE every value in Spark: >25% NaN rows would make q3

@@ -344,15 +344,71 @@ def source_report(df: DataFrame, text_col: str = "text",
     ONE grouped aggregation over map-only projections; the distinct
     fingerprint count rides in the same job (Spark plans multi-distinct
     aggregates with an expand, still a single shuffle). Shuffled bytes
-    are |sources| × aggregates, independent of corpus size."""
-    lang = (F.col(lang_col) if lang_col
-            else lang_id(text_col)).alias("_lang")
-    base = df.select(
-        F.col(source_col).alias("source"),
-        token_count(text_col).alias("_nt"),
-        quality_score(text_col).alias("_q"),
+    are |sources| × aggregates, independent of corpus size.
+
+    The per-doc stats are all derived from ONE let_bound token array:
+    the naive composition (token_count + quality_score + lang_id +
+    fingerprint) re-splits the text five times per row — higher-order
+    functions fall off whole-stage codegen, so no subexpression
+    elimination rescues the repeats (measured: the noop-sink cost of
+    this operator was the largest TRUE operator cost in the sf1 suite,
+    9.4s, ~2x the single-split form). ``lower`` commutes with the
+    single-space split (no lowercase mapping produces or consumes a
+    space), so the fingerprint's lowercased tokens come from
+    ``transform(tk, lower)`` — same token multiset as splitting
+    ``lower(text)``, bit-identical md5."""
+    codes = sorted(LANG_PROFILES)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+
+    def body(tk):
+        fields = [
+            F.size(tk).alias("nt"),
+            F.size(F.filter(tk, lambda t: F.array_contains(sw, t)))
+             .alias("sw"),
+            F.aggregate(tk, F.lit(0), lambda a, t: a + F.length(t))
+             .alias("lsum"),
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(
+                F.transform(tk, F.lower))))).alias("fp"),
+        ]
+        for code in codes:
+            words = F.array(*[F.lit(w) for w in LANG_PROFILES[code]])
+            fields.append(
+                F.size(F.filter(tk, lambda t: F.array_contains(words, t)))
+                 .alias(f"s_{code}"))
+        return F.struct(*fields)
+
+    c = F.col(text_col)
+    carry = [F.col(lang_col)] if lang_col else []
+    stats = df.select(F.col(source_col).alias("source"), c.alias("_t"),
+                      let_bound(tokens(text_col), body).alias("_st"),
+                      *carry)
+    # quality_score's four bands, recomputed from the bound stats —
+    # identical formula, one split instead of three
+    swr = F.col("_st.sw").cast("double") / F.col("_st.nt")
+    mwl = F.col("_st.lsum").cast("double") / F.col("_st.nt")
+    nn = F.length(F.col("_t"))
+    pr = ((nn - F.length(F.regexp_replace(F.col("_t"), r"[^\w\s]", "")))
+          .cast("double") / nn)
+    q = (((nn >= 64) & (nn <= 20000)).cast("double") * 0.25
+         + ((swr >= 0.05) & (swr <= 0.6)).cast("double") * 0.25
+         + (pr <= 0.2).cast("double") * 0.25
+         + ((mwl >= 2.0) & (mwl <= 12.0)).cast("double") * 0.25)
+    # lang_id's argmax over (score, -index) structs, scores from _st
+    entries = [F.struct(F.col(f"_st.s_{code}").alias("s"),
+                        F.lit(-i).alias("ni"))
+               for i, code in enumerate(codes)]
+    best = F.array_max(F.array(*entries))
+    code_arr = F.array(*[F.lit(cd) for cd in codes])
+    lang_expr = (F.when(best["s"] > 0,
+                        F.element_at(code_arr, -best["ni"] + 1))
+                 .otherwise(F.lit("und")))
+    lang = (F.col(lang_col) if lang_col else lang_expr).alias("_lang")
+    base = stats.select(
+        "source",
+        F.col("_st.nt").alias("_nt"),
+        q.alias("_q"),
         lang,
-        fingerprint(text_col).alias("_fp"))
+        F.col("_st.fp").alias("_fp"))
     return (base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_nt").alias("n_tokens"),

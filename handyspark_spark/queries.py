@@ -79,18 +79,26 @@ SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
 FROM lineitem
 """)
 def q_percentiles_exact(spark, sf_dir):
+    """Exact type-7 quantiles via the DISTRIBUTED selection-by-rank plan
+    (one branch per column, each scanning only its own parquet column) —
+    the native fused ``percentile`` aggregate merges every (value, count)
+    pair on one reducer and ran 13.7s at sf10 where this plan runs ~4s
+    (SCALE.md round-10); values are identical by construction."""
     df = _t(spark, sf_dir, "lineitem")
-    # fused: ONE sort-collection pass per column for all three quantiles
-    qq = A.percentile_expr("l_extendedprice", [0.25, 0.50, 0.75],
-                           exact=True)
-    wide = A.summary_plan(df, [
-        qq.alias("_qq"),
-        A.percentile_expr("l_quantity", 0.50, exact=True).alias("_mq")])
-    return wide.select(
-        F.round(F.col("_qq")[0], 4).alias("q1_price"),
-        F.round(F.col("_qq")[1], 4).alias("med_price"),
-        F.round(F.col("_qq")[2], 4).alias("q3_price"),
-        F.round(F.col("_mq"), 4).alias("med_qty"))
+    pp = A.percentile_distributed_plan(df.select("l_extendedprice"),
+                                       "l_extendedprice",
+                                       [0.25, 0.50, 0.75])
+    pq = A.percentile_distributed_plan(df.select("l_quantity"),
+                                       "l_quantity", [0.50])
+    wide_p = pp.agg(
+        F.round(F.max(F.when(F.col("q") == 0.25, F.col("value"))), 4)
+         .alias("q1_price"),
+        F.round(F.max(F.when(F.col("q") == 0.50, F.col("value"))), 4)
+         .alias("med_price"),
+        F.round(F.max(F.when(F.col("q") == 0.75, F.col("value"))), 4)
+         .alias("q3_price"))
+    wide_q = pq.agg(F.round(F.max("value"), 4).alias("med_qty"))
+    return wide_p.crossJoin(wide_q)
 
 
 @query("nunique_exact", """
