@@ -424,12 +424,18 @@ def normalize_text(col) -> Column:
     """Canonical text normalization for dedup/fingerprint preprocessing:
     lowercase, strip non-alphanumerics to spaces, collapse runs of
     spaces, trim. Pure projection (whole-stage codegen); the regexes are
-    RE2-compatible so the DuckDB oracle reproduces them verbatim."""
+    RE2-compatible so the DuckDB oracle reproduces them verbatim.
+
+    ONE regexp pass: the spec'd two steps (non-alnum -> ' ', then
+    collapse ' +') are equivalent to replacing every maximal run of
+    non-alphanumerics (spaces included) with a single space — any mixed
+    punct/space run becomes all-spaces after step 1 and one space after
+    step 2, which is exactly what ``[^a-z0-9]+ -> ' '`` produces
+    directly. Halves the regexp scan over the corpus (the operator was
+    regexp-bound at sf10); the oracle keeps the literal two-step form,
+    values bit-identical."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.lower(c)
-    out = F.regexp_replace(out, "[^a-z0-9 ]", " ")
-    out = F.regexp_replace(out, " +", " ")
-    return F.trim(out)
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
 
 
 PII_REDACTIONS = [
