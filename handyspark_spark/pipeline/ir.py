@@ -185,14 +185,17 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
     re-tokenize per gram), exploded, and counted in one grouped job;
     top-k via TakeOrderedAndProject (no global sort materialization).
     Ties broken lexicographically. Returns (ngram, cnt)."""
-    from .text import let_bound
+    from .text import gram_at, let_bound
 
     def body(tk):
         m = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
         idx = F.when(m > 0, F.sequence(F.lit(1), m)) \
                .otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        # gram_at point lookups, not F.slice — slice allocates an
+        # n-element array per position and the gram build dominates the
+        # projection (SCALE.md round-10; idx stops at size-n+1 so every
+        # gram is full-width, identical strings either way)
+        return F.transform(idx, lambda i: gram_at(tk, i, n))
     grams = let_bound(tokens(text_col), body)
     return (df.select(F.explode(grams).alias("ngram"))
             .groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
