@@ -442,25 +442,38 @@ def minhash_signature_arrays(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       num_hashes: int = 16) -> DataFrame:
+                       num_hashes: int = 16,
+                       sigs: DataFrame | None = None) -> DataFrame:
     """(id, seed, minhash) long form — a posexplode of the array form;
-    still map-only (the reference point for the DuckDB oracle)."""
-    arr = minhash_signature_arrays(df, text_col, id_col, num_hashes)
+    still map-only (the reference point for the DuckDB oracle).
+    ``sigs``: precomputed array-form table (see ``_banded``)."""
+    arr = (sigs if sigs is not None else
+           minhash_signature_arrays(df, text_col, id_col, num_hashes))
     return arr.select(
         id_col,
         F.posexplode("sig").alias("seed", "minhash"))
 
 
 def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
-            bands: int, hash_fn: str = "md5") -> DataFrame:
+            bands: int, hash_fn: str = "md5",
+            sigs: DataFrame | None = None) -> DataFrame:
     """(id, band, band_hash) via array slicing of the one-projection
     signature — map-only (the reference formulation needed an explode +
     groupBy shuffle to reassemble bands). ``band_hash`` is a single
     xxhash64 bigint over (band, slice) — an 8-byte join key instead of a
-    32-char md5 string (string-compare joins were the LSH hot spot)."""
+    32-char md5 string (string-compare joins were the LSH hot spot).
+
+    ``sigs``: a precomputed ``minhash_signature_arrays`` table
+    (id_col, sig) — the detect-once seam for the whole LSH family: the
+    signature projection (md5 per token x num_hashes min-folds) is the
+    dominant shared cost of pairs/groups/star-edges/components, and a
+    real pipeline signs the corpus once. The caller owns the contract
+    that ``sigs`` was built with the SAME (num_hashes, hash_fn); the
+    content-addressed cache in queries.py fingerprints both."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature_arrays(df, text_col, id_col, num_hashes,
-                                    hash_fn)
+    if sigs is None:
+        sigs = minhash_signature_arrays(df, text_col, id_col, num_hashes,
+                                        hash_fn)
     band_ids = F.array(*[F.lit(i) for i in range(bands)])
     return (sigs.select(
         id_col, F.explode(band_ids).alias("band"), F.col("sig"))
@@ -475,7 +488,8 @@ def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
 def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
                  num_hashes: int, bands: int,
                  max_bucket_size: int | None,
-                 hash_fn: str = "md5") -> DataFrame:
+                 hash_fn: str = "md5",
+                 sigs: DataFrame | None = None) -> DataFrame:
     """(band, band_hash, _ids: sorted array of member ids) — ONE shuffle:
     group each bucket to an id array (a self-join formulation would
     shuffle AND recompute the md5-heavy signatures once per join side).
@@ -483,7 +497,8 @@ def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
     (x, x) self-pairs downstream; oversized buckets (near-dup CLUSTERS)
     are dropped when ``max_bucket_size`` is set — enumerate them linearly
     with ``minhash_lsh_groups``, not quadratically."""
-    banded = _banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+    banded = _banded(df, text_col, id_col, num_hashes, bands, hash_fn,
+                     sigs=sigs)
     return _group_banded_buckets(banded, id_col, max_bucket_size)
 
 
@@ -526,7 +541,8 @@ def minhash_lsh_star_edges(df: DataFrame, text_col: str = "text",
                            bands: int = 4,
                            max_bucket_size: int | None = None,
                            hash_fn: str = "md5",
-                           recover_hot_buckets: bool = False) -> DataFrame:
+                           recover_hot_buckets: bool = False,
+                           sigs: DataFrame | None = None) -> DataFrame:
     """Linear-size connectivity SKELETON of the LSH candidate graph: per
     bucket, the star (bucket_min, member) instead of the full clique. A
     bucket's clique and its star have the SAME transitive closure, so
@@ -544,7 +560,7 @@ def minhash_lsh_star_edges(df: DataFrame, text_col: str = "text",
     array. The union reaches the UNCAPPED transitive closure while
     keeping every task's memory bounded."""
     buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands,
-                           max_bucket_size, hash_fn)
+                           max_bucket_size, hash_fn, sigs=sigs)
     ids = F.col("_ids")
     n = F.size(ids)
     star = F.transform(
@@ -556,7 +572,8 @@ def minhash_lsh_star_edges(df: DataFrame, text_col: str = "text",
              .select(F.col("_p.id_a"), F.col("_p.id_b"))
              .distinct())
     if recover_hot_buckets and max_bucket_size is not None:
-        banded = _banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+        banded = _banded(df, text_col, id_col, num_hashes, bands, hash_fn,
+                         sigs=sigs)
         edges = edges.unionByName(
             _hot_bucket_star_edges(banded, id_col, max_bucket_size)
         ).distinct()
@@ -566,7 +583,8 @@ def minhash_lsh_star_edges(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      sigs: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidate pairs: signature -> band hashes -> bucket
     self-join on (band, band_hash). Recall/precision tuned by
     (bands, rows-per-band); candidates should be verified with
@@ -579,7 +597,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ``minhash_lsh_groups`` instead of quadratically here. At 100 TB you
     always set this."""
     buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands,
-                           max_bucket_size)
+                           max_bucket_size, sigs=sigs)
     ids = F.col("_ids")
     n = F.size(ids)
     pair_arrays = F.flatten(F.transform(
@@ -598,14 +616,16 @@ def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
                        bands: int = 4,
                        max_bucket_size: int | None = None,
-                       hash_fn: str = "md5") -> DataFrame:
+                       hash_fn: str = "md5",
+                       sigs: DataFrame | None = None) -> DataFrame:
     """Scale-path LSH dedup output: (doc_id, cluster_id) with cluster_id =
     the smallest doc id sharing any LSH bucket — LINEAR output size,
     unlike the pair list which is quadratic inside each duplicate group.
     (One min-propagation round: exact for transitive-via-shared-bucket
     clusters, which covers identical and near-identical documents; chains
     longer than one hop need iterating.)"""
-    banded = _banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+    banded = _banded(df, text_col, id_col, num_hashes, bands, hash_fn,
+                     sigs=sigs)
     all_ids = banded.select(id_col).distinct()
     if max_bucket_size is not None:
         # same bucket universe as capped minhash_lsh_pairs — REQUIRED when
@@ -638,7 +658,8 @@ def minhash_lsh_components(df: DataFrame, text_col: str = "text",
                            max_bucket_size: int | None = None,
                            hash_fn: str = "md5",
                            max_iterations: int = 20,
-                           recover_hot_buckets: bool = False) -> DataFrame:
+                           recover_hot_buckets: bool = False,
+                           sigs: DataFrame | None = None) -> DataFrame:
     """Exact LSH duplicate clusters end-to-end: ONE materialized bucket
     table feeds both the star-edge skeleton AND the seed labels
     (node -> min bucket-min), then ``connected_components`` finishes the
@@ -656,13 +677,14 @@ def minhash_lsh_components(df: DataFrame, text_col: str = "text",
     recovered edge set is a superset — every seeded label remains
     reachable."""
     recover = recover_hot_buckets and max_bucket_size is not None
-    banded = (_banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+    banded = (_banded(df, text_col, id_col, num_hashes, bands, hash_fn,
+                      sigs=sigs)
               .persist() if recover else None)
     src = banded if recover else df
     buckets = (_group_banded_buckets(banded, id_col, max_bucket_size)
                if recover else
                _lsh_buckets(df, text_col, id_col, num_hashes, bands,
-                            max_bucket_size, hash_fn)).persist()
+                            max_bucket_size, hash_fn, sigs=sigs)).persist()
     try:
         ids = F.col("_ids")
         n = F.size(ids)
@@ -1091,7 +1113,8 @@ def dedup_keep_best(df: DataFrame, quality: Column | str | None = None,
                     id_col: str = "doc_id", text_col: str = "text",
                     num_hashes: int = 16, bands: int = 2,
                     max_bucket_size: int | None = 500,
-                    hash_fn: str = "md5") -> DataFrame:
+                    hash_fn: str = "md5",
+                    sigs: DataFrame | None = None) -> DataFrame:
     """Near-dup dedup that KEEPS the best document of every duplicate
     cluster (instead of an arbitrary one): LSH groups -> per-cluster
     argmax of ``quality`` (default: text length) with id tie-break.
@@ -1108,7 +1131,7 @@ def dedup_keep_best(df: DataFrame, quality: Column | str | None = None,
     groups = minhash_lsh_groups(df, id_col=id_col, text_col=text_col,
                                 num_hashes=num_hashes, bands=bands,
                                 max_bucket_size=max_bucket_size,
-                                hash_fn=hash_fn)
+                                hash_fn=hash_fn, sigs=sigs)
     lab = (df.join(groups, id_col, "left")
            .withColumn("cluster_id",
                        F.coalesce(F.col("cluster_id"), F.col(id_col)))

@@ -955,7 +955,8 @@ GROUP BY doc_id, seed
 def q_minhash_signatures(spark, sf_dir):
     from .pipeline.dedup import minhash_signatures
     df = _t(spark, sf_dir, "documents")
-    return minhash_signatures(df, num_hashes=8) \
+    return minhash_signatures(df, num_hashes=8,
+                              sigs=_sig_table(spark, sf_dir, 8)) \
         .withColumn("seed", F.col("seed").cast("int"))
 
 
@@ -1029,7 +1030,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # hot-bucket guard on: giant buckets are enumerated linearly by the
     # minhash_lsh_groups query instead of quadratically here
     return minhash_lsh_pairs(df, num_hashes=16, bands=2,
-                             max_bucket_size=500)
+                             max_bucket_size=500,
+                             sigs=_sig_table(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1717,7 +1719,8 @@ def q_minhash_lsh_groups(spark, sf_dir):
     oracle-checked via the same list-equality banding."""
     from .pipeline.dedup import minhash_lsh_groups
     df = _t(spark, sf_dir, "documents")
-    return minhash_lsh_groups(df, num_hashes=16, bands=2)
+    return minhash_lsh_groups(df, num_hashes=16, bands=2,
+                              sigs=_sig_table(spark, sf_dir))
 
 
 @query("lsh_star_edges_recovered", f"""
@@ -1743,7 +1746,8 @@ def q_lsh_star_edges_recovered(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return minhash_lsh_star_edges(df, num_hashes=16, bands=2,
                                   max_bucket_size=8,
-                                  recover_hot_buckets=True)
+                                  recover_hot_buckets=True,
+                                  sigs=_sig_table(spark, sf_dir))
 
 @query("running_user_stats", """
 SELECT user_id,
@@ -2644,7 +2648,8 @@ def q_dedup_components(spark, sf_dir):
     # exact bucketing (same basis as the lsh_star_edges oracle)
     return minhash_lsh_components(df, num_hashes=16, bands=2,
                                   max_bucket_size=500,
-                                  hash_fn="md5")
+                                  hash_fn="md5",
+                                  sigs=_sig_table(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -3662,7 +3667,8 @@ def q_dedup_keep_best(spark, sf_dir):
     from .pipeline.dedup import dedup_keep_best
     df = _t(spark, sf_dir, "documents")
     out = dedup_keep_best(df, num_hashes=16, bands=2,
-                          max_bucket_size=None)
+                          max_bucket_size=None,
+                          sigs=_sig_table(spark, sf_dir))
     return out.select("doc_id", "cluster_id",
                       F.col("quality").cast("int").alias("quality"))
 
@@ -3792,7 +3798,8 @@ def q_leakage_safe_split(spark, sf_dir):
     from .pipeline.dedup import minhash_lsh_groups
     from .pipeline.sample import split_assign
     df = _t(spark, sf_dir, "documents")
-    groups = minhash_lsh_groups(df, num_hashes=16, bands=2)
+    groups = minhash_lsh_groups(df, num_hashes=16, bands=2,
+                                sigs=_sig_table(spark, sf_dir))
     lab = (df.join(groups, "doc_id", "left")
            .withColumn("cluster_id",
                        F.coalesce(F.col("cluster_id"), F.col("doc_id"))))
@@ -4527,6 +4534,42 @@ def q_shuffle_order(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return deterministic_shuffle(df, "doc_id", salt="epoch0") \
         .select("doc_id").limit(20)
+
+
+# MinHash signature table (id, sig: array<bigint>) — the dominant shared
+# cost of the whole LSH family (pairs/groups/star-edges/components/
+# keep-best/leakage-split all rebuild the same md5-per-token signatures
+# of the same corpus). Sign once, content-addressed exactly like the ANN
+# indexes and the span/DSIR tables; every consumer passes sigs= and pays
+# a parquet read. (num_hashes, hash_fn) are value-changing, so they are
+# part of the fingerprint; DuckDB oracles recompute signatures from raw
+# text, so a stale cache fails the value gate loudly, cold AND warm.
+_SIG_TABLE_META: dict = {}
+
+
+def _sig_table(spark, sf_dir, num_hashes=16, hash_fn="md5"):
+    from .pipeline.index_cache import IndexCache
+    key = (id(spark), sf_dir, num_hashes, hash_fn)
+    got = _SIG_TABLE_META.get(key)
+    if got is None:
+        from .pipeline.dedup import minhash_signature_arrays
+        df = _t(spark, sf_dir, "documents")
+        rows = df.count()
+        cache = IndexCache("hsq_minhash_idx")
+        fp = (f"{_dataset_fingerprint(sf_dir, 'documents')}"
+              f"-{num_hashes}x{hash_fn}")
+        path = f"{cache.dir_for(rows, fp)}/sigs.parquet"
+        if not cache.is_committed(rows, fp):
+            (minhash_signature_arrays(df, num_hashes=num_hashes,
+                                      hash_fn=hash_fn)
+             .write.mode("overwrite").parquet(path))
+            cache.commit(rows, fp)
+        else:
+            cache.point_current(rows, fp)
+        cache.prune_siblings(rows, fp)
+        got = spark.read.parquet(path)
+        _SIG_TABLE_META[key] = got
+    return got
 
 
 # DSIR raw-corpus feature table (id, bucket, count) — target-independent,

@@ -2217,3 +2217,41 @@ def test_exact_switch_rerank_never_broadcasts_shortlist(spark):
     small = pq_topk(df, qs, k=3, rerank=10, books=books)
     plan_small = small._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan_small
+
+
+def test_lsh_family_precomputed_sigs_identical(spark, docs):
+    """The detect-once seam for the LSH family: every consumer fed a
+    precomputed minhash_signature_arrays table (sigs=) must return
+    EXACTLY the plain path's rows — same buckets, same pairs, same
+    cluster labels (signatures are deterministic md5 folds, so equality
+    is exact)."""
+    from handyspark_spark.pipeline.dedup import (dedup_keep_best,
+                                                 minhash_lsh_groups,
+                                                 minhash_lsh_pairs,
+                                                 minhash_lsh_star_edges,
+                                                 minhash_signature_arrays)
+    sigs = minhash_signature_arrays(docs, num_hashes=16)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(minhash_lsh_pairs(docs, num_hashes=16, bands=2,
+                                  max_bucket_size=500, sigs=sigs)) == \
+        rows(minhash_lsh_pairs(docs, num_hashes=16, bands=2,
+                               max_bucket_size=500))
+    assert rows(minhash_lsh_groups(docs, num_hashes=16, bands=2,
+                                   sigs=sigs)) == \
+        rows(minhash_lsh_groups(docs, num_hashes=16, bands=2))
+    assert rows(minhash_lsh_star_edges(docs, num_hashes=16, bands=2,
+                                       max_bucket_size=8,
+                                       recover_hot_buckets=True,
+                                       sigs=sigs)) == \
+        rows(minhash_lsh_star_edges(docs, num_hashes=16, bands=2,
+                                    max_bucket_size=8,
+                                    recover_hot_buckets=True))
+    assert rows(dedup_keep_best(docs, num_hashes=16, bands=2,
+                                max_bucket_size=None, sigs=sigs)
+                .select("doc_id", "cluster_id", "quality")) == \
+        rows(dedup_keep_best(docs, num_hashes=16, bands=2,
+                             max_bucket_size=None)
+             .select("doc_id", "cluster_id", "quality"))
