@@ -499,17 +499,17 @@ def exact_quantiles_distributed(
     ``percentile_distributed_plan`` for operators that need fence/cut
     CONSTANTS (Tukey fences, exact percentile summaries).
 
-    One ``percentile_distributed_plan`` per column (each branch scans
-    ONLY its own column — parquet column pruning makes N single-column
-    scans cheaper than one all-column pass), unioned and collected in
-    ONE job. Replaces the native fused ``percentile`` aggregate for the
-    unstratified exact path: that aggregate merges every (value, count)
-    pair into a single final buffer, and at sf10 (|distinct| in the
-    millions) the single-reducer merge made each exact-quantile query
-    ~13.7s where this plan's selection-by-rank runs ~4s (measured,
-    SCALE.md round-10). NaN is masked to NULL first (NaN sorts above
-    every double: unmasked it would poison q3 exactly like the fused
-    path's documented hazard)."""
+    One ``percentile_distributed_plan`` per column, unioned and
+    collected in ONE job: each branch's parquet scan reads ONLY its own
+    column, which measured FASTER at every SF than a fused
+    unpivot-and-grouped-cumsum single-scan variant (the explode doubles
+    the scanned rows; sf10 8.0s fused vs 5.3s per-column — A/B'd and
+    the fused form dropped, SCALE.md round-10). Replaces the native
+    fused ``percentile`` aggregate for the unstratified exact path:
+    that aggregate merges every (value, count) pair into a single final
+    buffer, and at sf10 the single-reducer merge made each
+    exact-quantile query ~13.7s where selection-by-rank runs 3-5s.
+    NaN is masked to NULL first (NaN sorts above every double)."""
     parts = []
     for c, qs in cols.items():
         p = percentile_distributed_plan(

@@ -80,10 +80,12 @@ FROM lineitem
 """)
 def q_percentiles_exact(spark, sf_dir):
     """Exact type-7 quantiles via the DISTRIBUTED selection-by-rank plan
-    (one branch per column, each scanning only its own parquet column) —
-    the native fused ``percentile`` aggregate merges every (value, count)
-    pair on one reducer and ran 13.7s at sf10 where this plan runs ~4s
-    (SCALE.md round-10); values are identical by construction."""
+    (one branch per column, each scanning only its own parquet column —
+    a fused unpivot single-scan variant was A/B'd and dropped: the
+    explode doubles scanned rows, sf10 8.0s vs 5.3s) — the native fused
+    ``percentile`` aggregate merges every (value, count) pair on one
+    reducer and ran 13.7s at sf10 (SCALE.md round-10); values are
+    identical by construction."""
     df = _t(spark, sf_dir, "lineitem")
     pp = A.percentile_distributed_plan(df.select("l_extendedprice"),
                                        "l_extendedprice",
