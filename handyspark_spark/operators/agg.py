@@ -491,25 +491,47 @@ def percentile_distributed_plan(df: DataFrame, colname: str,
                           (F.col("_vhi") - F.col("_vlo"))).alias("value")))
 
 
+# Below this many rows the native fused ``percentile`` aggregate beats
+# the distributed plan: its single merge buffer (|distinct| entries) is
+# cheap, while the distributed plan's range exchange + localCheckpoint
+# is a fixed ~1.5-2s regardless of size. Measured crossover (583k
+# distinct values): 600k rows native 2.3s vs distributed 3.7-4.1s; 6M
+# rows native 4.3-4.7s vs distributed 2.5-3.1s; 60M rows native 13.7s
+# vs distributed 3.3-5.3s. Same shape as the spearman broadcast-dim
+# gate: pick the plan from a metadata-cheap row count.
+EXACT_QUANTILE_DISTRIBUTED_MIN_ROWS = 2_000_000
+
+
 def exact_quantiles_distributed(
-        df: DataFrame, cols: dict[str, list[float]]
+        df: DataFrame, cols: dict[str, list[float]],
+        n_rows: int | None = None
 ) -> dict[str, dict[float, float]]:
     """Exact type-7 quantiles for several columns, collected to the
     driver as ``{col: {q: value}}`` — the scalar-fitting companion to
     ``percentile_distributed_plan`` for operators that need fence/cut
     CONSTANTS (Tukey fences, exact percentile summaries).
 
-    One ``percentile_distributed_plan`` per column, unioned and
-    collected in ONE job: each branch's parquet scan reads ONLY its own
-    column, which measured FASTER at every SF than a fused
+    Strategy is row-count-gated (``n_rows`` skips the count job when
+    the caller already knows it): below
+    ``EXACT_QUANTILE_DISTRIBUTED_MIN_ROWS`` the native fused
+    ``percentile`` aggregate runs in one pass per column set; above it,
+    one ``percentile_distributed_plan`` per column, unioned and
+    collected in ONE job — each branch's parquet scan reads ONLY its
+    own column, which measured FASTER at every SF than a fused
     unpivot-and-grouped-cumsum single-scan variant (the explode doubles
     the scanned rows; sf10 8.0s fused vs 5.3s per-column — A/B'd and
-    the fused form dropped, SCALE.md round-10). Replaces the native
-    fused ``percentile`` aggregate for the unstratified exact path:
-    that aggregate merges every (value, count) pair into a single final
-    buffer, and at sf10 the single-reducer merge made each
-    exact-quantile query ~13.7s where selection-by-rank runs 3-5s.
-    NaN is masked to NULL first (NaN sorts above every double)."""
+    dropped, SCALE.md round-10). The native aggregate merges every
+    (value, count) pair into a single final buffer — at sf10 that
+    single-reducer merge cost ~13.7s per query where selection-by-rank
+    runs 3-5s. NaN is masked to NULL first on both paths (NaN sorts
+    above every double)."""
+    if n_rows is None:
+        n_rows = df.count()   # parquet count pushdown: metadata-cheap
+    if n_rows < EXACT_QUANTILE_DISTRIBUTED_MIN_ROWS:
+        exprs = [percentile_expr(c, qs, exact=True).alias(c)
+                 for c, qs in cols.items()]
+        row = summary_plan(nan_to_null(df, list(cols)), exprs).collect()[0]
+        return {c: dict(zip(cols[c], row[c])) for c in cols}
     parts = []
     for c, qs in cols.items():
         p = percentile_distributed_plan(

@@ -79,14 +79,28 @@ SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
 FROM lineitem
 """)
 def q_percentiles_exact(spark, sf_dir):
-    """Exact type-7 quantiles via the DISTRIBUTED selection-by-rank plan
-    (one branch per column, each scanning only its own parquet column —
-    a fused unpivot single-scan variant was A/B'd and dropped: the
-    explode doubles scanned rows, sf10 8.0s vs 5.3s) — the native fused
-    ``percentile`` aggregate merges every (value, count) pair on one
-    reducer and ran 13.7s at sf10 (SCALE.md round-10); values are
-    identical by construction."""
+    """Exact type-7 quantiles, row-count-gated strategy (the spearman
+    broadcast-dim pattern): the native fused ``percentile`` aggregate
+    below EXACT_QUANTILE_DISTRIBUTED_MIN_ROWS (its one merge buffer is
+    cheap at small row counts and has no fixed exchange cost), the
+    DISTRIBUTED selection-by-rank plan above (one branch per column,
+    each scanning only its own parquet column — the single-reducer
+    (value, count) merge cost 13.7s at sf10 where this runs ~5s; a
+    fused unpivot single-scan variant was A/B'd and dropped, SCALE.md
+    round-10). Values identical by construction on both paths."""
     df = _t(spark, sf_dir, "lineitem")
+    if df.count() < A.EXACT_QUANTILE_DISTRIBUTED_MIN_ROWS:
+        qq = A.percentile_expr("l_extendedprice", [0.25, 0.50, 0.75],
+                               exact=True)
+        wide = A.summary_plan(df, [
+            qq.alias("_qq"),
+            A.percentile_expr("l_quantity", 0.50, exact=True)
+             .alias("_mq")])
+        return wide.select(
+            F.round(F.col("_qq")[0], 4).alias("q1_price"),
+            F.round(F.col("_qq")[1], 4).alias("med_price"),
+            F.round(F.col("_qq")[2], 4).alias("q3_price"),
+            F.round(F.col("_mq"), 4).alias("med_qty"))
     pp = A.percentile_distributed_plan(df.select("l_extendedprice"),
                                        "l_extendedprice",
                                        [0.25, 0.50, 0.75])

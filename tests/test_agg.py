@@ -394,3 +394,18 @@ def test_spearman_broadcast_dim_fast_path_equals_melted(spark):
     exp = full["x"].rank(method="average")
     for xv, g in got.items():
         assert abs(g - exp[full["x"] == xv].iloc[0]) < 1e-9
+
+
+def test_exact_quantile_gate_paths_identical(tables):
+    """The row-count gate picks a STRATEGY, never a value: the native
+    fused percentile aggregate and the distributed selection-by-rank
+    plan must return the same type-7 quantiles on the same data
+    (n_rows= forces each branch regardless of actual size)."""
+    from handyspark_spark.operators import agg as A
+    df = tables["lineitem"]
+    cols = {"l_extendedprice": [0.25, 0.5, 0.75], "l_quantity": [0.5]}
+    native = A.exact_quantiles_distributed(df, cols, n_rows=0)
+    dist = A.exact_quantiles_distributed(df, cols, n_rows=10**12)
+    for c in cols:
+        for q in cols[c]:
+            assert dist[c][q] == pytest.approx(native[c][q], rel=1e-12)
