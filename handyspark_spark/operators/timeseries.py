@@ -36,44 +36,50 @@ def resample(df: DataFrame, ts_col: str, key_col: str,
     previous bucket's value when ``fill='ffill'`` (one extra window over
     the same keyed exchange, ``last_value IGNORE NULLS``).
 
-    Plan: bucket each event (map-only), aggregate per (entity, bucket) —
-    ONE corpus shuffle; per-entity bucket spans come from a second agg
-    over the (entity, bucket) table (persisted — |grid-cells| rows, far
-    smaller than the corpus), so the events scan runs ONCE; the span
-    2-row agg explodes into the full grid map-side; grid left-joins the
-    aggregated buckets on the co-partitioned key. At 100 TB the event
-    aggregation dominates and is map-side combinable."""
+    Plan (run-length): bucket each event (map-only), aggregate per
+    (entity, bucket) — ONE corpus shuffle; then every OCCUPIED bucket
+    owns the grid run ``[b, next_occupied_b - 1]`` (``lead`` over one
+    small keyed window on the occupied-cell table), and the run is
+    exploded map-side with its value — ffill is free (the run carries
+    the last non-null value) and the dense grid NEVER crosses an
+    exchange. The naive shape (explode per-entity spans, left-join the
+    buckets, window the grid for ffill) shuffles the full |entities| ×
+    |buckets| grid twice — at 100 TB the grid dwarfs the corpus, so
+    shuffling only |occupied cells| rows is the scale win; the fan-out
+    happens after the last exchange."""
     iv = int(interval_seconds)
     ep = F.unix_micros(F.col(ts_col).cast("timestamp"))
     bucket = (ep / F.lit(iv * 1_000_000)).cast("long")
     aggfn = {"sum": F.sum, "count": F.count, "avg": F.avg,
              "min": F.min, "max": F.max}[agg]
-    # persist: the span branch and the grid join both consume the
-    # per-bucket table — without the cache the corpus scan+groupBy runs
-    # twice (the table itself is only |occupied grid cells| rows)
     per_bucket = (df
                   .select(F.col(key_col).alias("_k"),
                           bucket.alias("_b"),
                           F.col(value_col).alias("_v"))
+                  .filter(F.col("_b").isNotNull())  # null ts never grids
                   .groupBy("_k", "_b")
-                  .agg(F.round(aggfn("_v"), 6).alias("_val"))
-                  .persist())
-    spans = (per_bucket
-             .groupBy("_k")
-             .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi")))
-    grid = spans.select(
-        "_k", F.explode(F.sequence("_lo", "_hi")).alias("_b"))
-    out = grid.join(per_bucket, ["_k", "_b"], "left")
+                  .agg(F.round(aggfn("_v"), 6).alias("_val")))
+    w = Window.partitionBy("_k").orderBy("_b")
     if fill == "ffill":
-        w = (Window.partitionBy("_k").orderBy("_b")
-             .rowsBetween(Window.unboundedPreceding, 0))
-        out = out.withColumn(
-            "_val", F.last("_val", ignorenulls=True).over(w))
+        # an occupied bucket can aggregate to NULL (all-null values);
+        # ffill skips it, same as last_value IGNORE NULLS over the grid
+        carry = F.last("_val", ignorenulls=True).over(
+            Window.partitionBy("_k").orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        carry = F.col("_val")
+    runs = per_bucket.select(
+        "_k", "_b", carry.alias("_cv"), F.col("_val").alias("_ov"),
+        F.coalesce(F.lead("_b").over(w) - 1, F.col("_b")).alias("_end"))
+    gb = F.explode(F.sequence("_b", "_end")).alias("_gb")
+    out = runs.select("_k", "_b", "_cv", "_ov", gb)
+    val = (F.col("_cv") if fill == "ffill"
+           else F.when(F.col("_gb") == F.col("_b"), F.col("_ov")))
     return out.select(
         F.col("_k").alias(key_col),
-        F.timestamp_micros(F.col("_b") * iv * 1_000_000)
+        F.timestamp_micros(F.col("_gb") * iv * 1_000_000)
         .alias("bucket_ts"),
-        F.col("_val").alias(f"{agg}_{value_col}"))
+        val.alias(f"{agg}_{value_col}"))
 
 
 def scd2_history(df: DataFrame, key_col: str, ts_col: str,

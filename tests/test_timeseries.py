@@ -43,6 +43,53 @@ def test_resample_ffill_has_no_gaps(tsdf):
     assert not got["sum_value"].isna().any()
 
 
+def test_resample_matches_pandas_with_null_values(spark):
+    """Differential pin vs pandas resample+ffill, including the edge the
+    run-length plan must preserve: an occupied bucket whose aggregate is
+    NULL (all values null) is SKIPPED by ffill (carries the older
+    value), while the plain path shows NULL only at that bucket."""
+    from handyspark_spark.operators.timeseries import resample
+    rng = np.random.RandomState(42)
+    n = 500
+    pdf = pd.DataFrame({
+        "user_id": rng.randint(0, 5, n),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.randint(0, 30 * 86400, n), unit="s"),
+        "value": np.round(rng.uniform(0, 10, n), 3)})
+    # null out every value in a few (user, day) cells entirely
+    day = (pdf["ts"].astype("int64") // (86400 * 10**9))
+    kill = {(u, d) for u, d in zip(pdf["user_id"], day)
+            if (u * 31 + d) % 7 == 0}
+    mask = [(u, d) in kill for u, d in zip(pdf["user_id"], day)]
+    pdf.loc[mask, "value"] = np.nan
+    df = spark.createDataFrame(pdf)
+
+    for fill in (None, "ffill"):
+        got = (resample(df, "ts", "user_id", 86400, "value",
+                        agg="sum", fill=fill)
+               .toPandas()
+               .sort_values(["user_id", "bucket_ts"])
+               .reset_index(drop=True))
+        for uid, g in got.groupby("user_id"):
+            sub = pdf[pdf["user_id"] == uid].set_index("ts")
+            # min_count=1 -> all-null bucket sums to NaN (Spark SUM
+            # convention), not 0 (pandas default)
+            exp = (sub["value"].resample("1D", origin="epoch")
+                   .sum(min_count=1))
+            exp = exp.loc[exp.first_valid_index():exp.last_valid_index()]
+            # pandas keeps trailing/leading all-NaN days only inside the
+            # observed span; resample() grids first->last EVENT day
+            lo = sub.index.min().floor("1D")
+            hi = sub.index.max().floor("1D")
+            exp = exp.reindex(pd.date_range(lo, hi, freq="1D"))
+            if fill == "ffill":
+                exp = exp.ffill()
+            g = g.set_index("bucket_ts")["sum_value"].sort_index()
+            assert list(g.index) == list(exp.index)
+            assert np.allclose(g.fillna(-1).to_numpy(),
+                               exp.fillna(-1).to_numpy(), atol=1e-6)
+
+
 def test_scd2_intervals_cover_and_chain(tsdf):
     from handyspark_spark.operators.timeseries import scd2_history
     df, pdf = tsdf
