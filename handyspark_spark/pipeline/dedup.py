@@ -580,6 +580,23 @@ def minhash_lsh_star_edges(df: DataFrame, text_col: str = "text",
     return edges
 
 
+def _banded_arrays(df: DataFrame, text_col: str, id_col: str,
+                   num_hashes: int, bands: int, hash_fn: str = "md5",
+                   sigs: DataFrame | None = None) -> DataFrame:
+    """(id, _bhs: array of ALL band hashes) — the map-only array form of
+    ``_banded`` (identical per-band values: the same ``xxhash64(band,
+    joined-slice)`` with the same int band literal)."""
+    rows_per_band = num_hashes // bands
+    if sigs is None:
+        sigs = minhash_signature_arrays(df, text_col, id_col, num_hashes,
+                                        hash_fn)
+    bhs = F.array(*[
+        F.xxhash64(F.lit(i), F.concat_ws(",", F.slice(
+            F.col("sig"), i * rows_per_band + 1, rows_per_band)))
+        for i in range(bands)])
+    return sigs.select(F.col(id_col), bhs.alias("_bhs"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4,
@@ -595,7 +612,100 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     (boilerplate, empty docs) can dominate the whole job. Oversized
     buckets ARE near-duplicate clusters — enumerate them linearly with
     ``minhash_lsh_groups`` instead of quadratically here. At 100 TB you
-    always set this."""
+    always set this.
+
+    Emit-once dedup (same move as the jaccard prefix path): a pair that
+    collides in k bands would leave the bucket explode k times and then
+    pay a DISTINCT exchange of the whole quadratic pair stream —
+    measured sf10: 21.6M raw pairs for 21.0M distinct, with the distinct
+    costing more than the candidate generation itself. Instead each
+    bucket member carries its full band-hash array and a pair is emitted
+    ONLY from the first band where it collides in a SURVIVING bucket
+    (oversized buckets don't count: a pair whose first collision was
+    skipped must still emit from its first kept bucket, so the predicate
+    consults the collected oversized-bucket keys — a handful of plan
+    literals from a count-only pre-pass; if that set is implausibly
+    large the operator falls back to the DISTINCT formulation rather
+    than bloat the plan). The pair stream then never crosses an
+    exchange at all; measured sf10 warm 7.3 -> 4.1s with the pre-pass
+    included. Pair-set equality with the distinct form is pinned in
+    tests/test_pipeline.py."""
+    arr = _banded_arrays(df, text_col, id_col, num_hashes, bands,
+                         sigs=sigs)
+    # id-dedup at ROW level (one narrow exchange), NOT array_distinct on
+    # the collected member array: array_distinct/array_sort over structs
+    # with nested arrays fall back to O(k²) deep comparisons — measured
+    # 166s (vs 2.6s) at sf10, all of it in the oversized boilerplate
+    # buckets. Deduped input + least/greatest pair orientation below
+    # need neither.
+    arr = arr.dropDuplicates([id_col])
+    banded = (arr.select(F.col(id_col), F.col("_bhs"),
+                         F.posexplode("_bhs"))
+              .withColumnRenamed("pos", "band")
+              .withColumnRenamed("col", "band_hash"))
+    buckets = (banded.groupBy("band", "band_hash")
+               .agg(F.collect_list(
+                   F.struct(F.col(id_col).alias("_i"),
+                            F.col("_bhs").alias("_h"))).alias("_m")))
+    ov_by_band: list[list[int]] = [[] for _ in range(bands)]
+    if max_bucket_size is not None:
+        # oversized keys come from a COUNT-only agg (no member arrays,
+        # no persist): the banded frame re-derives from the signature
+        # table cheaply, and a cached copy of the member-array buckets
+        # would outlive the query and churn the block store across
+        # repeated invocations
+        ov = (banded.groupBy("band", "band_hash")
+              .agg(F.count(F.lit(1)).alias("_k"))
+              .filter(F.col("_k") > max_bucket_size)
+              .select("band", "band_hash").collect())
+        if len(ov) > 5000:
+            return _minhash_lsh_pairs_distinct(
+                df, text_col, id_col, num_hashes, bands,
+                max_bucket_size, sigs=sigs)
+        for r in ov:
+            ov_by_band[r["band"]].append(r["band_hash"])
+        buckets = buckets.filter(F.size("_m") <= max_bucket_size)
+    ov_lit = F.array(*[
+        F.array(*[F.lit(h) for h in hs]).cast("array<bigint>")
+        for hs in ov_by_band])
+
+    def seen_earlier(xh, yh):
+        # collided in a kept bucket of any band strictly before this one
+        return F.when(F.col("band") > 0, F.exists(
+            F.sequence(F.lit(1), F.col("band")),
+            lambda i: (F.element_at(xh, i) == F.element_at(yh, i))
+            & ~F.array_contains(F.element_at(ov_lit, i),
+                                F.element_at(xh, i)))
+        ).otherwise(F.lit(False))
+
+    m = F.col("_m")
+    n = F.size(m)
+    pair_arrays = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.filter(
+            F.transform(
+                F.slice(m, i + 1, F.greatest(n - i, F.lit(0))),
+                lambda y: F.struct(
+                    F.least(F.element_at(m, i)["_i"],
+                            y["_i"]).alias("id_a"),
+                    F.greatest(F.element_at(m, i)["_i"],
+                               y["_i"]).alias("id_b"),
+                    seen_earlier(F.element_at(m, i)["_h"],
+                                 y["_h"]).alias("_dup"))),
+            lambda s: ~s["_dup"])))
+    return (buckets.filter(n >= 2)
+            .select(F.explode(pair_arrays).alias("_p"))
+            .select(F.col("_p.id_a"), F.col("_p.id_b")))
+
+
+def _minhash_lsh_pairs_distinct(df: DataFrame, text_col: str,
+                                id_col: str, num_hashes: int, bands: int,
+                                max_bucket_size: int | None,
+                                sigs: DataFrame | None = None
+                                ) -> DataFrame:
+    """The DISTINCT-dedup formulation of ``minhash_lsh_pairs`` — the
+    fallback when the oversized-bucket key set is too large to inline as
+    plan literals for the emit-once predicate."""
     buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands,
                            max_bucket_size, sigs=sigs)
     ids = F.col("_ids")

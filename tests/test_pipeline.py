@@ -280,6 +280,40 @@ def test_lsh_pairs_no_self_pairs_on_duplicate_ids(spark):
     assert pairs == {(1, 2)}
 
 
+def test_lsh_pairs_emit_once_equals_distinct(spark):
+    """The emit-once pair stream must equal the DISTINCT formulation
+    exactly — including under a bucket cap, where a pair whose FIRST
+    collision bucket was dropped as oversized must still emit from its
+    first surviving bucket."""
+    import pandas as pd
+
+    from handyspark_spark.pipeline.dedup import (
+        _minhash_lsh_pairs_distinct, minhash_lsh_pairs)
+    rng = __import__("numpy").random.RandomState(3)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    # clusters of near-identical docs (high collision rate across bands)
+    # plus one boilerplate phrase shared by MANY docs to force an
+    # oversized bucket under a small cap
+    for i in range(120):
+        base = [words[j] for j in rng.choice(40, 8, replace=False)]
+        if i % 3 == 0:
+            base = ["common", "boiler", "plate", "phrase"] + base[:2]
+        rows.append((i, " ".join(base)))
+        if i % 5 == 0:  # near-duplicate twin
+            rows.append((i + 1000, " ".join(base + [f"x{i}"])))
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["doc_id", "text"]))
+    for cap in (None, 10, 3):
+        got = {(r.id_a, r.id_b) for r in
+               minhash_lsh_pairs(df, num_hashes=8, bands=4,
+                                 max_bucket_size=cap).collect()}
+        exp = {(r.id_a, r.id_b) for r in
+               _minhash_lsh_pairs_distinct(df, "text", "doc_id", 8, 4,
+                                           cap).collect()}
+        assert got == exp and (cap is None or exp)
+
+
 def test_connected_components_transitive_closure(spark):
     """Chain a-b-c-d plus an isolated pair must collapse to min-label
     components (exact transitive closure, which one-round LSH grouping
