@@ -501,3 +501,34 @@ def test_ordered_window_ops_fuzz_match_pandas(spark, data):
                            atol=1e-6), col
     assert np.allclose(out["rnk"].astype(float),
                        exp["rnk"].astype(float)), "rank"
+
+
+@given(data=st.data())
+@settings(**SETTINGS)
+def test_lsh_pairs_emit_once_equals_distinct_fuzz(spark, data):
+    """Emit-once LSH pair stream == DISTINCT formulation on random
+    corpora across random (num_hashes, bands, cap) — including caps
+    small enough that first-collision buckets get dropped and the
+    oversized-key predicate has to rescue pairs."""
+    from handyspark_spark.pipeline.dedup import (
+        _minhash_lsh_pairs_distinct, minhash_lsh_pairs)
+    bands = data.draw(st.sampled_from([2, 4, 8]), label="bands")
+    num_hashes = bands * data.draw(st.integers(1, 3), label="rpb")
+    cap = data.draw(st.sampled_from([None, 2, 5, 20]), label="cap")
+    n_docs = data.draw(st.integers(4, 25), label="n_docs")
+    vocab = [f"t{i}" for i in range(12)]
+    rows = []
+    for i in range(n_docs):
+        k = data.draw(st.integers(1, 6), label=f"len{i}")
+        toks = data.draw(st.lists(st.sampled_from(vocab), min_size=k,
+                                  max_size=k), label=f"doc{i}")
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["doc_id", "text"]))
+    got = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(df, num_hashes=num_hashes, bands=bands,
+                             max_bucket_size=cap).collect()}
+    exp = {(r.id_a, r.id_b) for r in
+           _minhash_lsh_pairs_distinct(df, "text", "doc_id", num_hashes,
+                                       bands, cap).collect()}
+    assert got == exp
