@@ -597,6 +597,20 @@ def _banded_arrays(df: DataFrame, text_col: str, id_col: str,
     return sigs.select(F.col(id_col), bhs.alias("_bhs"))
 
 
+def _canonical_sigs(df: DataFrame, text_col: str, id_col: str,
+                    num_hashes: int,
+                    sigs: DataFrame | None) -> DataFrame:
+    """One canonical signature row per id: the lexicographically-min
+    ``sig`` array (partial-agg min, one narrow exchange — the exchange
+    ``dropDuplicates([id])`` paid anyway, made deterministic). Ids are
+    expected to uniquely identify text; when they don't, every job
+    derived from this frame (emit-once pre-pass, pair emission, the
+    DISTINCT fallback) still agrees on WHICH row represents the id."""
+    if sigs is None:
+        sigs = minhash_signature_arrays(df, text_col, id_col, num_hashes)
+    return sigs.groupBy(id_col).agg(F.min("sig").alias("sig"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4,
@@ -629,16 +643,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     than bloat the plan). The pair stream then never crosses an
     exchange at all; measured sf10 warm 7.3 -> 4.1s with the pre-pass
     included. Pair-set equality with the distinct form is pinned in
-    tests/test_pipeline.py."""
+    tests/test_pipeline.py.
+
+    Duplicate ids: ids are expected to uniquely identify text. If an id
+    appears on rows with DIFFERENT texts, exactly one signature per id
+    is kept — deterministically the lexicographically smallest ``sig``
+    array — so the oversized-key pre-pass, the main pair job, and the
+    DISTINCT fallback all see the same canonical row (a plain
+    ``dropDuplicates`` would let independent jobs keep different rows).
+
+    NOTE (eager pre-pass): when ``max_bucket_size`` is set, building the
+    plan runs ONE eager Spark job at call time (the count-only
+    oversized-bucket key collect) — callers that need a pure lazy plan
+    builder, or that construct plans on a driver without cluster access,
+    should call ``_minhash_lsh_pairs_distinct`` directly (same pair set,
+    no pre-pass, pays the DISTINCT exchange at execution instead)."""
+    sigs = _canonical_sigs(df, text_col, id_col, num_hashes, sigs)
     arr = _banded_arrays(df, text_col, id_col, num_hashes, bands,
                          sigs=sigs)
-    # id-dedup at ROW level (one narrow exchange), NOT array_distinct on
-    # the collected member array: array_distinct/array_sort over structs
-    # with nested arrays fall back to O(k²) deep comparisons — measured
-    # 166s (vs 2.6s) at sf10, all of it in the oversized boilerplate
-    # buckets. Deduped input + least/greatest pair orientation below
-    # need neither.
-    arr = arr.dropDuplicates([id_col])
+    # id-dedup happened at the SIGNATURE level (one narrow exchange in
+    # _canonical_sigs), NOT array_distinct on the collected member
+    # array: array_distinct/array_sort over structs with nested arrays
+    # fall back to O(k²) deep comparisons — measured 166s (vs 2.6s) at
+    # sf10, all of it in the oversized boilerplate buckets. Deduped
+    # input + least/greatest pair orientation below need neither.
     banded = (arr.select(F.col(id_col), F.col("_bhs"),
                          F.posexplode("_bhs"))
               .withColumnRenamed("pos", "band")
@@ -705,7 +733,11 @@ def _minhash_lsh_pairs_distinct(df: DataFrame, text_col: str,
                                 ) -> DataFrame:
     """The DISTINCT-dedup formulation of ``minhash_lsh_pairs`` — the
     fallback when the oversized-bucket key set is too large to inline as
-    plan literals for the emit-once predicate."""
+    plan literals for the emit-once predicate. Pure lazy plan builder
+    (no eager pre-pass). Duplicate ids are canonicalized to the same
+    min-sig row as the emit-once path so the two formulations stay
+    pair-set-identical on any input."""
+    sigs = _canonical_sigs(df, text_col, id_col, num_hashes, sigs)
     buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands,
                            max_bucket_size, sigs=sigs)
     ids = F.col("_ids")

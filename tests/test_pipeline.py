@@ -280,6 +280,38 @@ def test_lsh_pairs_no_self_pairs_on_duplicate_ids(spark):
     assert pairs == {(1, 2)}
 
 
+def test_lsh_pairs_duplicate_id_different_text_deterministic(spark):
+    """A duplicate id carrying DIFFERENT texts is canonicalized to ONE
+    deterministic signature (min sig array) — the emit-once path, a
+    repeat invocation, and the DISTINCT fallback must all agree on the
+    resulting pair set (a plain dropDuplicates would let the pre-pass
+    and the pair job keep different arbitrary rows)."""
+    import pandas as pd
+
+    from handyspark_spark.pipeline.dedup import (
+        _minhash_lsh_pairs_distinct, minhash_lsh_pairs)
+    # id=1 appears twice with different texts; one variant collides
+    # with doc 2, the other with doc 3 — which pairs appear depends
+    # entirely on which row is kept, so determinism is observable.
+    pdf = pd.DataFrame({
+        "doc_id": [1, 1, 2, 3, 4],
+        "text": ["a b c d", "p q r s", "a b c d x",
+                 "p q r s y", "zz yy xx ww"]})
+    df = spark.createDataFrame(pdf)
+    runs = [
+        {(r.id_a, r.id_b) for r in
+         minhash_lsh_pairs(df, num_hashes=8, bands=4,
+                           max_bucket_size=cap).collect()}
+        for cap in (None, None, 50)]
+    fallback = {(r.id_a, r.id_b) for r in
+                _minhash_lsh_pairs_distinct(df, "text", "doc_id", 8, 4,
+                                            None).collect()}
+    assert runs[0] == runs[1] == runs[2] == fallback
+    # only ONE canonical text represents id 1, so it can never pair
+    # with both twins (that would require banding both variants)
+    assert not ((1, 2) in runs[0] and (1, 3) in runs[0])
+
+
 def test_lsh_pairs_emit_once_equals_distinct(spark):
     """The emit-once pair stream must equal the DISTINCT formulation
     exactly — including under a bucket cap, where a pair whose FIRST

@@ -6,7 +6,12 @@ a full-suite run.
 
 Usage:
     python tools/time_query.py SF_DIR query [query ...] [--runs N]
-        [--json OUT.json] [--force]
+        [--json OUT.json] [--force] [--sink collect|noop]
+
+``--sink noop`` terminates each query with the noop datasource write
+instead of a driver collect — isolates executor-side compute for
+queries whose output is grid/pair fan-out (the bench suite's
+"queries_noop" convention; time_noop.py is a shim for this mode).
 
 Refuses on an unsettled machine (load1 >= 1.0) unless --force, same as
 the bench protocol. $SPARK_GRAFT_CPUS / $SPARK_GRAFT_DRIVER_MEM size
@@ -25,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     args = [a for a in sys.argv[1:]]
-    runs, out_json, force = 3, None, False
+    runs, out_json, force, sink = 3, None, False, "collect"
     if "--force" in args:
         force = True
         args.remove("--force")
@@ -37,6 +42,12 @@ def main():
         i = args.index("--json")
         out_json = args[i + 1]
         del args[i:i + 2]
+    if "--sink" in args:
+        i = args.index("--sink")
+        sink = args[i + 1]
+        del args[i:i + 2]
+    if sink not in ("collect", "noop"):
+        sys.exit(f"unknown --sink {sink!r} (collect|noop)")
     if len(args) < 2:
         sys.exit(__doc__)
     sf_dir, names = args[0], args[1:]
@@ -65,7 +76,11 @@ def main():
         secs = []
         for r in range(runs):
             t0 = time.monotonic()
-            qs[name](spark, sf_dir).collect()
+            df = qs[name](spark, sf_dir)
+            if sink == "noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
             secs.append(round(time.monotonic() - t0, 3))
         result[name] = {"runs": secs, "min": min(secs),
                         "median": round(statistics.median(secs), 3)}
@@ -75,7 +90,7 @@ def main():
     if out_json:
         with open(out_json, "w") as f:
             json.dump({"sf_dir": sf_dir, "cpus": cpus, "runs": runs,
-                       "queries": result}, f, indent=1)
+                       "sink": sink, "queries": result}, f, indent=1)
         print(f"wrote {out_json}")
     spark.stop()
 
