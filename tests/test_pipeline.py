@@ -2102,6 +2102,27 @@ def test_index_cache_protocol_on_memory_fs():
     assert cache2.current(5) is None
 
 
+def test_cache_events_record_hit_and_build():
+    """Every is_committed probe appends a drainable event (the bench's
+    cold/warm attribution): miss -> hit=False, committed -> hit=True,
+    and drain clears the log."""
+    from handyspark_spark.pipeline.index_cache import (
+        IndexCache, drain_cache_events)
+    from handyspark_spark.streaming.fs import MemoryFS
+
+    drain_cache_events()
+    fs = MemoryFS()
+    cache = IndexCache("evt", root="mem://cache", fs=fs)
+    assert not cache.is_committed(3, "ffff")        # cold probe
+    fs.store[f"{cache.dir_for(3, 'ffff')}/a.parquet/part-0"] = "x"
+    cache.commit(3, "ffff")
+    assert cache.is_committed(3, "ffff")            # warm probe
+    evs = drain_cache_events()
+    assert [(e["family"], e["hit"]) for e in evs] == [
+        ("evt", False), ("evt", True)]
+    assert drain_cache_events() == []
+
+
 def test_dup_spans_hot_strategy_equals_grouped(docs, spark):
     """The round-8 single-projection 'hot' hybrid must be VALUE-
     IDENTICAL to the round-6 grouped form in every routing regime:

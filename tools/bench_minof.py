@@ -40,10 +40,20 @@ def main():
             runs.append(json.load(f))
         os.rename(full, full + f".minof_run{i}")
     queries = {}
+    cache_state = {}
     for q in runs[0]["queries"]:
-        vals = [r["queries"][q] for r in runs
-                if r["queries"].get(q) == r["queries"].get(q)]
-        queries[q] = min(vals) if vals else float("nan")
+        # prefer the min over WARM runs: a cold content-addressed
+        # rebuild (wiped /tmp) reads ~3x steady-state and is a
+        # measurement artifact, not a plan cost — gate the warm number
+        # (BASELINE.md invariant; round-10 ann_pq 39.1s false flag)
+        states = [r.get("cache_state", {}).get(q) for r in runs]
+        pairs = [(r["queries"][q], s) for r, s in zip(runs, states)
+                 if r["queries"].get(q) == r["queries"].get(q)]
+        warm = [v for v, s in pairs if s != "cold"]
+        queries[q] = (min(warm) if warm else
+                      min(v for v, _ in pairs) if pairs else float("nan"))
+        if any(states):
+            cache_state[q] = [s or "nocache" for s in states]
     out = {
         "metric": "operator_suite_wall_clock",
         "value": round(sum(v for v in queries.values() if v == v), 3),
@@ -53,10 +63,18 @@ def main():
         "sink": os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect"),
         "skipped": sorted(s for s in os.environ.get(
             "SPARK_GRAFT_BENCH_SKIP", "").split(",") if s),
-        "protocol": f"per_query_min_of_{n}_full_runs",
+        "protocol": f"per_query_min_of_{n}_full_runs_warm_preferred",
         "run_totals": [round(r["value"], 3) for r in runs],
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
+    if cache_state:
+        # per-run cold/warm per cached query; the recorded min above is
+        # the min over warm runs when one exists
+        out["cache_state"] = cache_state
+        all_cold = sorted(q for q, ss in cache_state.items()
+                          if all(s == "cold" for s in ss))
+        if all_cold:
+            out["cold_only"] = all_cold
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))

@@ -57,8 +57,26 @@ def main():
         print(f"  {q:34s} {oq[q]:8.2f} -> {nq[q]:8.2f}  "
               f"({ratios[q]:.2f}x, {nq[q] - oq[q]:+.2f}s)")
 
+    # cold-build reads are measurement artifacts, not plan regressions:
+    # a query whose NEW number only ever ran against a cold
+    # content-addressed rebuild (bench_minof "cold_only", or a single
+    # run marked "cold") is excluded from the gate and reported —
+    # re-measure warm instead of flagging (round-10 ann_pq precedent)
+    def cold_only(art, q):
+        st = art.get("cache_state", {}).get(q)
+        if st is None:
+            return False
+        states = st if isinstance(st, list) else [st]
+        return all(s == "cold" for s in states)
+
+    cold_skip = sorted(q for q in common
+                       if cold_only(new, q) and ratios[q] > 1.5)
     bad = [q for q in common
-           if max(oq[q], nq[q]) >= 2.0 and ratios[q] > 1.5]
+           if max(oq[q], nq[q]) >= 2.0 and ratios[q] > 1.5
+           and q not in cold_skip]
+    if cold_skip:
+        print(f"\ncold-build reads excluded from the gate (re-measure "
+              f"warm): {cold_skip}")
     if bad:
         print(f"\nREGRESSION GATE: {len(bad)} queries >=2s regressed "
               f">1.5x: {bad}")
