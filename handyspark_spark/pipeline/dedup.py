@@ -271,19 +271,26 @@ def _jaccard_prefix(ts: DataFrame, threshold: float,
     With ``max_token_df``: over-df tokens leave the index AND the
     intersection (same contract as the inverted path — sizes stay
     full-set, so scores only ever shrink)."""
-    sizes = ts.select("_id", F.size("_toks").alias("_n"))
-    inv = ts.select("_id", F.explode("_toks").alias("_tok"))
+    # full-set size rides each exploded row (8 bytes) and comes back out
+    # of the SAME groupBy as the token array — the previous separate
+    # sizes branch + join cost a third scan+tokenize pass of the corpus
+    # (Spark has no cross-branch common-subplan elimination; the
+    # round-10 funnel lesson) plus a keyed join: sf10 docs assembly
+    # 10.0 -> 6.9s
+    inv = ts.select("_id", F.size("_toks").alias("_n"),
+                    F.explode("_toks").alias("_tok"))
     dfc = inv.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     if max_token_df is not None:
         dfc = dfc.filter(F.col("_df") <= max_token_df)
     # per-doc kept tokens, globally ordered (df asc, token asc): the
     # struct sort gives every executor the same total order with no
-    # global rank window
+    # global rank window; _n is constant per doc so first() is
+    # deterministic
     docs = (inv.join(dfc, "_tok")
             .groupBy("_id")
             .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok")))
-                 .alias("_st"))
-            .join(sizes, "_id")
+                 .alias("_st"),
+                 F.first("_n").alias("_n"))
             .select("_id", "_n",
                     F.transform("_st", lambda s: s["_tok"]).alias("_kt")))
     p = F.greatest(

@@ -69,14 +69,24 @@ def main():
         states = st if isinstance(st, list) else [st]
         return all(s == "cold" for s in states)
 
+    def steal_only(art, q):
+        # co-tenant CPU steal >= 2% on every run that produced the
+        # number (bench.py host_steal; bench_minof keeps per-run lists)
+        st = art.get("host_steal", {}).get(q)
+        if st is None:
+            return False
+        flags = st if isinstance(st, list) else [st]
+        return all(f is not None for f in flags)
+
     cold_skip = sorted(q for q in common
-                       if cold_only(new, q) and ratios[q] > 1.5)
+                       if (cold_only(new, q) or steal_only(new, q))
+                       and ratios[q] > 1.5)
     bad = [q for q in common
            if max(oq[q], nq[q]) >= 2.0 and ratios[q] > 1.5
            and q not in cold_skip]
     if cold_skip:
-        print(f"\ncold-build reads excluded from the gate (re-measure "
-              f"warm): {cold_skip}")
+        print(f"\ncold-build / steal-polluted reads excluded from the "
+              f"gate (re-measure clean): {cold_skip}")
     if bad:
         print(f"\nREGRESSION GATE: {len(bad)} queries >=2s regressed "
               f">1.5x: {bad}")
