@@ -59,7 +59,7 @@ __all__ = [
 
 
 def pretrain_funnel(df, text_col="text", id_col="doc_id",
-                    bench=None, num_hashes=16, bands=4):
+                    bench=None, num_hashes=16, bands=4, sigs=None):
     """End-to-end pretraining data funnel — the composed pipeline a
     training run actually executes, returning per-stage survivor counts:
 
@@ -117,8 +117,24 @@ def pretrain_funnel(df, text_col="text", id_col="doc_id",
           .select(id_col, text_col, "_q", "_e"))
     exact = base.filter(F.col("_e")).select(id_col, text_col)
 
+    # sigs=: a precomputed full-corpus minhash_signature_arrays table
+    # (same (num_hashes, hash_fn) contract as every other sigs= seam).
+    # The LSH subtree then SUBSETS it to the exact-dedup survivors with
+    # a semi-join against the persisted base flags instead of re-signing
+    # the filtered text. Round-11 A/B at sf10 (alternating in one
+    # session, value-identical): settled tail re-sign 6.4s vs consume
+    # 5.8s, and consume is far more robust while the box churns (6.6s
+    # vs 19.0s mid-session) — the semi-join against already-signed rows
+    # beats md5-signing ~340k surviving documents, and the signing is
+    # already paid once per corpus by the LSH query family. This
+    # retires the SCALE.md §10 hypothesis that the semi-join would
+    # cost what it saves.
+    sub = (None if sigs is None else
+           sigs.join(base.filter(F.col("_e")).select(id_col), id_col,
+                     "left_semi"))
     groups = minhash_lsh_groups(exact, text_col=text_col, id_col=id_col,
-                                num_hashes=num_hashes, bands=bands)
+                                num_hashes=num_hashes, bands=bands,
+                                sigs=sub)
     keep = (groups.groupBy("cluster_id")
             .agg(F.min(id_col).alias(id_col))
             .select(id_col, F.lit(True).alias("_nd")))

