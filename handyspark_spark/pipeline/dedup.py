@@ -219,8 +219,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     if strategy == "prefix":
         return _jaccard_prefix(ts, threshold, max_token_df,
                                max_postings_per_token, max_candidate_pairs)
-    sizes = ts.select("_id", F.size("_toks").alias("_n"))
-    inv = ts.select("_id", F.explode("_toks").alias("_tok"))
+    # full-set size rides each posting row (8 bytes) and comes out of
+    # the pair aggregation via first() — the separate sizes branch cost
+    # a second scan+tokenize pass (no cross-branch common-subplan
+    # elimination) plus TWO keyed joins against the pair stream
+    inv = ts.select("_id", F.size("_toks").alias("_n"),
+                    F.explode("_toks").alias("_tok"))
     if max_token_df is not None:
         df_counts = (inv.groupBy("_tok")
                      .agg(F.count(F.lit(1)).alias("_df"))
@@ -235,16 +239,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         materialize=max_postings_per_token is not None)
     a = inv.alias("a")
     b = inv.alias("b")
-    inter = (a.join(b, (F.col("a._tok") == F.col("b._tok")) &
-                       (F.col("a._id") < F.col("b._id")))
-              .groupBy(F.col("a._id").alias("id_a"),
-                       F.col("b._id").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("_inter")))
-    out = (inter
-           .join(sizes.withColumnRenamed("_id", "id_a")
-                      .withColumnRenamed("_n", "_na"), "id_a")
-           .join(sizes.withColumnRenamed("_id", "id_b")
-                      .withColumnRenamed("_n", "_nb"), "id_b"))
+    out = (a.join(b, (F.col("a._tok") == F.col("b._tok")) &
+                     (F.col("a._id") < F.col("b._id")))
+           .groupBy(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+           .agg(F.count(F.lit(1)).alias("_inter"),
+                F.first(F.col("a._n")).alias("_na"),
+                F.first(F.col("b._n")).alias("_nb")))
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (out.select("id_a", "id_b", jac.alias("jaccard"))
                .filter(F.col("jaccard") >= threshold))
@@ -1531,8 +1532,10 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                 return _containment_bitmask(ts, threshold)
             except ValueError:
                 pass                       # true vocab > 63: fall through
-    sizes = ts.select("_id", F.size("_toks").alias("_n"))
-    inv = ts.select("_id", F.explode("_toks").alias("_tok"))
+    # same sizes-ride-the-postings fusion as the jaccard inverted path:
+    # one scan+tokenize instead of two, no pair-stream size joins
+    inv = ts.select("_id", F.size("_toks").alias("_n"),
+                    F.explode("_toks").alias("_tok"))
     if max_token_df is not None:
         df_counts = (inv.groupBy("_tok")
                      .agg(F.count(F.lit(1)).alias("_df"))
@@ -1546,16 +1549,13 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         "containment_pairs(inverted)",
         materialize=max_postings_per_token is not None)
     a, b = inv.alias("a"), inv.alias("b")
-    inter = (a.join(b, (F.col("a._tok") == F.col("b._tok")) &
-                       (F.col("a._id") < F.col("b._id")))
-             .groupBy(F.col("a._id").alias("id_a"),
-                      F.col("b._id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("_inter")))
-    out = (inter
-           .join(sizes.withColumnRenamed("_id", "id_a")
-                      .withColumnRenamed("_n", "_na"), "id_a")
-           .join(sizes.withColumnRenamed("_id", "id_b")
-                      .withColumnRenamed("_n", "_nb"), "id_b"))
+    out = (a.join(b, (F.col("a._tok") == F.col("b._tok")) &
+                     (F.col("a._id") < F.col("b._id")))
+           .groupBy(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+           .agg(F.count(F.lit(1)).alias("_inter"),
+                F.first(F.col("a._n")).alias("_na"),
+                F.first(F.col("b._n")).alias("_nb")))
     ca = F.round(F.col("_inter") / F.col("_na"), 6)
     cb = F.round(F.col("_inter") / F.col("_nb"), 6)
     return (out.select("id_a", "id_b",
