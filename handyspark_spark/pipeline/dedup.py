@@ -276,8 +276,19 @@ def _jaccard_prefix(ts: DataFrame, threshold: float,
     # of the SAME groupBy as the token array — the previous separate
     # sizes branch + join cost a third scan+tokenize pass of the corpus
     # (Spark has no cross-branch common-subplan elimination; the
-    # round-10 funnel lesson) plus a keyed join: sf10 docs assembly
-    # 10.0 -> 6.9s
+    # round-10 funnel lesson) plus a keyed join
+    if max_postings_per_token is not None:
+        # the capped form pays two more whole-plan evaluations than the
+        # emit-once form (the eager guard job, and verify joins in a
+        # separate action from candidate generation) — persist the two
+        # slim corpus-sized intermediates so tokenize and the docs
+        # groupBy each run ONCE per invocation (bounded core.cache
+        # registry; the funnel's base-persist contract). sf10, cold
+        # persists + warm session: 10.6-11.2s under 5-6% host steal
+        # (r10 committed: 16.2s); see BENCH_SF10_r11 for the settled
+        # in-suite number
+        from ..core.cache import managed_persist
+        ts = managed_persist(ts)
     inv = ts.select("_id", F.size("_toks").alias("_n"),
                     F.explode("_toks").alias("_tok"))
     dfc = inv.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
@@ -305,6 +316,11 @@ def _jaccard_prefix(ts: DataFrame, threshold: float,
         # emit-once predicate below reasons over full prefixes, which
         # capping invalidates (the minimal common token may have been
         # truncated from the index while a later one survived).
+        #
+        # see the ts persist above: the guard job, candidate
+        # generation, and the verify joins each consume docs from a
+        # different action, and exchange reuse does not cross actions
+        docs = managed_persist(docs)
         pref = docs.select("_id", F.explode(F.slice("_kt", 1, p))
                            .alias("_tok"))
         pref = _smallest_k_per_key(pref, ["_tok"], "_id",
