@@ -1,7 +1,11 @@
 """One-off profiler for jaccard_pairs_capped: times the pipeline's
 stages separately (docs assembly, truncated prefix postings, candidate
-join+distinct, full query) so round-11 optimization targets the real
-cost. Usage: python tools/profile_jaccard_capped.py SF_DIR
+join+distinct, full query) so optimization targets the real cost.
+The inline stage bodies are a SNAPSHOT of the round-11 fused shape in
+pipeline/dedup.py `_jaccard_prefix` (sizes ride the postings); if the
+library shape changes, re-sync before trusting stage-level numbers —
+the FULL-query timings always reflect the live library.
+Usage: python tools/profile_jaccard_capped.py SF_DIR
 """
 from __future__ import annotations
 
@@ -41,14 +45,14 @@ def main():
     threshold, cap = 0.95, 64
 
     ts = _token_sets(df, "text", "doc_id")
-    sizes = ts.select("_id", F.size("_toks").alias("_n"))
-    inv = ts.select("_id", F.explode("_toks").alias("_tok"))
+    inv = ts.select("_id", F.size("_toks").alias("_n"),
+                    F.explode("_toks").alias("_tok"))
     dfc = inv.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     docs = (inv.join(dfc, "_tok")
             .groupBy("_id")
             .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok")))
-                 .alias("_st"))
-            .join(sizes, "_id")
+                 .alias("_st"),
+                 F.first("_n").alias("_n"))
             .select("_id", "_n",
                     F.transform("_st", lambda s: s["_tok"]).alias("_kt")))
     p = F.greatest(
