@@ -4,18 +4,6 @@
 the handyspark_spark aggregation core) at sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2, registered in ``handyspark_spark.queries``.
-
-NOTE to the driver (sample-gate rotation proposal): the per-round
-correctness gate has sampled the same 50 of the 159 registered queries
-for three rounds (50/50 green each time). Rotating the sampled subset —
-e.g. seeding the sample with the round number, ``random.Random(round_no)
-.sample(sorted(queries()), 50)`` — would sweep the other 109 queries
-through the driver's independent harness over successive rounds at zero
-extra cost per round. Every registered query already carries an
-``oracle_sql()`` entry (or a documented rows-only exception), so any
-sampled subset is gateable; the builder's own full-suite gate
-(tools/verify_oracle.py, ORACLE_FULL_r*.json) stays the 159/159
-backstop either way.
 """
 
 from __future__ import annotations

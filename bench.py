@@ -29,10 +29,68 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _read_proc_stat():
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+    except OSError:  # pragma: no cover - non-Linux
+        return None
+
+
+def _steal_pct(s0, s1):
+    """CPU-steal percent over a /proc/stat delta; None when the kernel's
+    cpu line has no steal column (fewer than 8 fields)."""
+    if not s0 or not s1 or len(s0) <= 7 or len(s1) <= 7:
+        return None
+    ds = [y - x for x, y in zip(s0, s1)]
+    return 100 * ds[7] / (sum(ds) or 1)
+
+
+def settle_gate(threshold=1.0, window=5.0, max_wait=600.0):
+    """Pre-run host-settle gate: sample CPU steal in `window`-second
+    slices and hold the bench until a slice reads below `threshold`%.
+
+    Round-11's entire close-out ran on a co-tenant-interfered host and
+    every committed suite total came out 1.13-1.35x inflated; the
+    post-hoc host_steal flags correctly discounted readings but burned
+    hours measuring a box that a 60s pre-check would have rejected.
+    Returns a dict recorded in the artifact: {waited_sec, samples,
+    final_steal_pct, passed}. SPARK_GRAFT_SETTLE_SECS=0 disables.
+    """
+    import time as _t
+    waited, samples = 0.0, []
+    while True:
+        s0 = _read_proc_stat()
+        _t.sleep(window)
+        pct = _steal_pct(s0, _read_proc_stat())
+        if pct is None:  # no steal column — nothing to gate on
+            return {"waited_sec": round(waited, 1), "samples": [],
+                    "final_steal_pct": None, "passed": True}
+        samples.append(round(pct, 2))
+        waited += window
+        if pct < threshold:
+            return {"waited_sec": round(waited, 1),
+                    "samples": samples[-12:],
+                    "final_steal_pct": round(pct, 2), "passed": True}
+        if waited >= max_wait:
+            print(f"settle gate: steal still {pct:.1f}% after "
+                  f"{waited:.0f}s — proceeding, readings will carry "
+                  f"host_steal flags", file=sys.stderr)
+            return {"waited_sec": round(waited, 1),
+                    "samples": samples[-12:],
+                    "final_steal_pct": round(pct, 2), "passed": False}
+        print(f"settle gate: steal {pct:.1f}% >= {threshold}% — waiting "
+              f"({waited:.0f}/{max_wait:.0f}s)", file=sys.stderr)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    settle_secs = float(os.environ.get("SPARK_GRAFT_SETTLE_SECS", "600"))
+    settle = (settle_gate(max_wait=settle_secs) if settle_secs > 0
+              else None)
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder
@@ -109,12 +167,7 @@ def main():
     # 2.6-5.6% on a byte-identical plan (tools/bracket_host.py,
     # BRACKET_SF10_r11). A query whose run saw steal >= 2% is flagged so
     # min-of-N and the diff gate can discount the polluted reading.
-    def proc_stat():
-        try:
-            with open("/proc/stat") as f:
-                return list(map(int, f.readline().split()[1:]))
-        except OSError:  # pragma: no cover - non-Linux
-            return None
+    proc_stat = _read_proc_stat
 
     host_steal: dict[str, float] = {}
 
@@ -129,11 +182,9 @@ def main():
             print(f"bench error {name}: {e}", file=sys.stderr)
             dt = float("nan")
         s1 = proc_stat()
-        if s0 and s1:
-            ds = [y - x for x, y in zip(s0, s1)]
-            steal = 100 * ds[7] / (sum(ds) or 1)
-            if steal >= 2.0:
-                host_steal[name] = round(steal, 2)
+        steal = _steal_pct(s0, s1)
+        if steal is not None and steal >= 2.0:
+            host_steal[name] = round(steal, 2)
         evs = drain_cache_events()
         if evs:
             cache_state[name] = ("cold" if any(not e["hit"] for e in evs)
@@ -173,6 +224,8 @@ def main():
         payload["cache_state"] = cache_state
     if host_steal:
         payload["host_steal"] = host_steal
+    if settle is not None:
+        payload["settle_gate"] = settle
     if sink != "collect":
         payload["sink"] = sink
     if skip:

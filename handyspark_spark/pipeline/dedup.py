@@ -711,9 +711,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
               .filter(F.col("_k") > max_bucket_size)
               .select("band", "band_hash").collect())
         if len(ov) > 5000:
+            # sigs were canonicalized above — skip the idempotent-but-
+            # redundant second groupBy(id).min(sig) exchange, which
+            # would land on exactly the large inputs that trigger this
             return _minhash_lsh_pairs_distinct(
                 df, text_col, id_col, num_hashes, bands,
-                max_bucket_size, sigs=sigs)
+                max_bucket_size, sigs=sigs, sigs_canonical=True)
         for r in ov:
             ov_by_band[r["band"]].append(r["band_hash"])
         buckets = buckets.filter(F.size("_m") <= max_bucket_size)
@@ -753,15 +756,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def _minhash_lsh_pairs_distinct(df: DataFrame, text_col: str,
                                 id_col: str, num_hashes: int, bands: int,
                                 max_bucket_size: int | None,
-                                sigs: DataFrame | None = None
+                                sigs: DataFrame | None = None,
+                                sigs_canonical: bool = False
                                 ) -> DataFrame:
     """The DISTINCT-dedup formulation of ``minhash_lsh_pairs`` — the
     fallback when the oversized-bucket key set is too large to inline as
     plan literals for the emit-once predicate. Pure lazy plan builder
     (no eager pre-pass). Duplicate ids are canonicalized to the same
     min-sig row as the emit-once path so the two formulations stay
-    pair-set-identical on any input."""
-    sigs = _canonical_sigs(df, text_col, id_col, num_hashes, sigs)
+    pair-set-identical on any input. ``sigs_canonical=True`` asserts the
+    passed ``sigs`` already went through ``_canonical_sigs`` (the
+    oversized-key fallback path) and skips re-canonicalizing."""
+    if not sigs_canonical:
+        sigs = _canonical_sigs(df, text_col, id_col, num_hashes, sigs)
     buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands,
                            max_bucket_size, sigs=sigs)
     ids = F.col("_ids")

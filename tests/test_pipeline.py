@@ -346,6 +346,31 @@ def test_lsh_pairs_emit_once_equals_distinct(spark):
         assert got == exp and (cap is None or exp)
 
 
+def test_lsh_pairs_distinct_precanonical_sigs(spark):
+    """The oversized-key fallback passes already-canonicalized sigs with
+    ``sigs_canonical=True`` (skipping the redundant second min-sig
+    exchange) — the pair set must be identical to re-canonicalizing,
+    including on duplicate-id inputs where canonicalization matters."""
+    import pandas as pd
+
+    from handyspark_spark.pipeline.dedup import (
+        _canonical_sigs, _minhash_lsh_pairs_distinct)
+    pdf = pd.DataFrame({
+        "doc_id": [1, 1, 2, 3, 4],
+        "text": ["a b c d", "p q r s", "a b c d x",
+                 "p q r s y", "zz yy xx ww"]})
+    df = spark.createDataFrame(pdf)
+    canon = _canonical_sigs(df, "text", "doc_id", 8, None)
+    fast = {(r.id_a, r.id_b) for r in
+            _minhash_lsh_pairs_distinct(df, "text", "doc_id", 8, 4, None,
+                                        sigs=canon,
+                                        sigs_canonical=True).collect()}
+    ref = {(r.id_a, r.id_b) for r in
+           _minhash_lsh_pairs_distinct(df, "text", "doc_id", 8, 4,
+                                       None).collect()}
+    assert fast == ref
+
+
 def test_connected_components_transitive_closure(spark):
     """Chain a-b-c-d plus an isolated pair must collapse to min-label
     components (exact transitive closure, which one-round LSH grouping

@@ -83,6 +83,11 @@ def main():
                           if all(s == "cold" for s in ss))
         if all_cold:
             out["cold_only"] = all_cold
+    gates = [r.get("settle_gate") for r in runs]
+    if any(gates):
+        # per-run pre-run settle gate result (bench.py holds each run
+        # until a 5s steal sample reads <1%, up to SPARK_GRAFT_SETTLE_SECS)
+        out["settle_gate"] = gates
     if steal_flags:
         out["host_steal"] = steal_flags
         all_stolen = sorted(q for q, ss in steal_flags.items()

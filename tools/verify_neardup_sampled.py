@@ -77,6 +77,7 @@ def main():
         i = args.index("--expect-count")
         expect_count = int(args[i + 1])
         del args[i:i + 2]
+        full_count = True  # a gating count implies running the count
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
@@ -146,6 +147,22 @@ def main():
         count_ok = full_rows == expect_count
         print(f"full-count cross-check vs committed reference "
               f"{expect_count}: {'PASS' if count_ok else 'FAIL'}")
+    # a requested-but-unobtained count gate must not silently degrade
+    # to sampled-only: when --expect-count was given and the full count
+    # errored, the verdict is fail (the operator-change-round gate did
+    # not run), and the mode records what actually happened
+    count_requested = expect_count is not None or full_count
+    if count_requested and full_rows is None:
+        mode = "sampled_value_count_failed"
+        # gating count (expect_count) missing -> fail; supplementary
+        # count (bare --full-count) missing -> sampled verdict stands
+        ok = value_match if expect_count is None else False
+    elif count_requested:
+        mode = "sampled_value_plus_count"
+        ok = value_match and count_ok is not False
+    else:
+        mode = "sampled_value_only"
+        ok = value_match
     payload = {"sf_dir": sf_dir, "step": step, "threshold": THRESHOLD,
                "sampled_rows": int(len(s)),
                "value_match": bool(value_match),
@@ -153,15 +170,14 @@ def main():
                "full_count_error": full_err,
                "expect_count": expect_count,
                "count_match": count_ok,
-               "status": ("pass" if value_match and count_ok is not False
-                          else "fail"),
-               "mode": "sampled_value_plus_count"}
+               "status": "pass" if ok else "fail",
+               "mode": mode}
     if json_out:
         with open(json_out, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
-    print("PASS" if value_match else "FAIL")
+    print("PASS" if ok else "FAIL")
     spark.stop()
-    sys.exit(0 if value_match else 1)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -3,7 +3,7 @@ __spark_entry__.queries() entry on Spark and its oracle_sql() in DuckDB at
 the given SF, compare row count + column names + order-insensitive values.
 
 Usage: python tools/verify_oracle.py [--json OUT.json] [--skip a,b]
-       [--countonly a,b] [sf_dir] [query ...]
+       [--countonly a,b] [--sample N --seed S] [sf_dir] [query ...]
 
 ``--countonly``: compare Spark count vs DuckDB COUNT(*) only — for
 pair-enumeration queries whose output is too large to value-hash at big
@@ -56,8 +56,14 @@ def main():
     # --countonly a,b   Spark count vs DuckDB COUNT(*) — output too
     #                   large to value-hash at this SF (value-level
     #                   check runs at sf<=1)
+    # --sample N --seed S  run a deterministic N-query subset drawn
+    #   with random.Random(S) over sorted(queries()) — a round-seeded
+    #   rotation that sweeps the long tail of the registry through an
+    #   independently-shaped gate across rounds (CORRECTNESS-style
+    #   sample, ORACLE_FULL stays the full-registry backstop)
     args = sys.argv[1:]
     json_out = None
+    sample_n = sample_seed = None
     sets = {"--skip": set(), "--rowsonly": set(),
             "--expect-guard": set(), "--countonly": set()}
     rest: list[str] = []
@@ -66,6 +72,12 @@ def main():
         a = args[i]
         if a == "--json":
             json_out = args[i + 1]
+            i += 2
+        elif a == "--sample":
+            sample_n = int(args[i + 1])
+            i += 2
+        elif a == "--seed":
+            sample_seed = int(args[i + 1])
             i += 2
         elif a in sets:
             sets[a] = set(args[i + 1].split(","))
@@ -111,6 +123,16 @@ def main():
 
     import __spark_entry__ as E
     qs, oracles = E.queries(), E.oracle_sql()
+
+    sampled: list[str] | None = None
+    if sample_n is not None:
+        import random
+        names = sorted(qs)
+        rng = random.Random(sample_seed if sample_seed is not None else 0)
+        sampled = sorted(rng.sample(names, min(sample_n, len(names))))
+        qs = {n: qs[n] for n in sampled}
+        print(f"sample: {len(sampled)}/{len(names)} queries "
+              f"(seed={sample_seed})")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -237,11 +259,15 @@ def main():
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
     if json_out:
         import json
+        payload = {"sf_dir": sf_dir, "n_pass": n_pass,
+                   "n_fail": n_fail, "n_weak": n_weak,
+                   "n_queries": len(results),
+                   "queries": results}
+        if sampled is not None:
+            payload["sample"] = {"n": len(sampled), "seed": sample_seed,
+                                 "selected": sampled}
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
-                       "n_fail": n_fail, "n_weak": n_weak,
-                       "n_queries": len(results),
-                       "queries": results}, f, indent=1, sort_keys=True)
+            json.dump(payload, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
