@@ -383,6 +383,123 @@ def broadcast_dim_ranks(df: DataFrame, cols: list[str],
     return out
 
 
+def grouped_spearman_matrix(df: DataFrame, cols: list[str],
+                            joint_cap: int = 32_000_000,
+                            num_partitions: int | None = None
+                            ) -> DataFrame | None:
+    """Spearman correlation of TWO columns with NO per-row rank
+    attachment — the joint-frequency form of the rank-then-``F.corr``
+    pipeline.
+
+    Why: rank-based plans keep paying per-row random access into
+    value-sized hash structures. ``broadcast_dim_ranks`` + ``F.corr``
+    probes a ~600k-entry broadcast relation twice per row (measured
+    10.4s warm for the corr pass alone at sf10 vs 0.7s for the bare
+    scan+corr), and grouping the corpus by one column with 4 aggregate
+    buffers pays the same cache-miss tax inside the aggregation hash
+    map (8.5s). The cheapest corpus-sized shape measured is the plain
+    JOINT count — ``groupBy(x, y).count()`` with one buffer (4.8s at
+    60M rows / 600k groups) — and every rank moment Spearman needs is
+    computable from that joint table:
+
+    1. one map-side HLL probe gates on the joint cardinality;
+    2. ``g = groupBy(x, y).count()`` over rows with either side
+       non-null — the ONLY corpus-sized exchange (managed-persisted:
+       three downstream branches read it);
+    3. marginal dims by summing ``g`` (600k-row aggs), average ranks
+       via distributed exclusive prefix sums (``ranged_cumsum``) —
+       never a single-partition window, never a broadcast of a big
+       dim;
+    4. rank dims shuffle-join back onto ``g`` (600k-row joins) and a
+       scalar aggregation of count-weighted centered co-moments.
+
+    Rank semantics match the fused melted/broadcast paths exactly:
+    each column ranks over its OWN non-null rows (``g`` keeps
+    x-null/y-non-null groups and vice versa, so each marginal includes
+    the rows the other column would drop), and the corr runs over
+    pairwise-complete rows only. Ranks are centered by their exact
+    full-column mean ``(n+1)/2`` before the co-moment sums so they
+    don't cancel catastrophically at scale (raw rank products reach
+    ~1e22 at 60M rows).
+
+    Returns the 3-row long-form matrix ``(col_x, col_y, corr)`` in
+    ``[(x,x), (x,y), (y,y)]`` order (diagonals are 1.0 when the rank
+    variance is positive over >= 2 rows, NULL otherwise — the
+    zero-denominator convention), or ``None`` when the joint
+    cardinality exceeds ``joint_cap`` (both columns near-unique:
+    callers fall back to the melted window path, whose cost doesn't
+    depend on cardinality). EAGER: runs the one-pass HLL probe at
+    call time.
+    """
+    if len(cols) != 2 or cols[0] == cols[1]:
+        return None
+    cx, cy = cols
+    x, y = F.col(cx).cast("double"), F.col(cy).cast("double")
+    dxy = df.agg(F.approx_count_distinct(F.struct(x, y))
+                 .alias("dxy")).collect()[0]["dxy"]
+    if dxy > joint_cap:
+        return None
+
+    from ..core.cache import managed_persist
+    g = (df.filter(x.isNotNull() | y.isNotNull())
+         .groupBy(x.alias("_x"), y.alias("_y"))
+         .agg(F.count(F.lit(1)).alias("_c")))
+    # three branches (x-dim, y-dim, complete-pair join) read g; the
+    # persist materializes inside the first branch's checkpoint job
+    g = managed_persist(g)
+
+    def rank_dim(key: str, alias_v: str, alias_r: str, alias_n: str):
+        """(value, centered avg rank) over the column's own non-nulls,
+        plus a 1-row (n, d) stats frame — all from ``g``."""
+        dim = (g.filter(F.col(key).isNotNull())
+               .groupBy(key).agg(F.sum("_c").alias("_k")))
+        cum, ptot = ranged_cumsum(dim, [key], ["_k"],
+                                  num_partitions=num_partitions,
+                                  prefix="_cum_")
+        tot = ptot.agg(F.sum("_tot__k").alias("_n"))
+        # avg rank = exclusive prefix + (cnt+1)/2, centered by the
+        # exact full-column mean rank (n+1)/2 (exact even with ties)
+        r = (F.col("_cum__k") - (F.col("_k") - 1) / 2.0
+             - (F.col("_n") + 1) / 2.0)
+        ranked = (cum.crossJoin(F.broadcast(tot))
+                  .select(F.col(key).alias(alias_v), r.alias(alias_r)))
+        stats = (cum.crossJoin(F.broadcast(tot))
+                 .agg(F.first("_n").alias(alias_n),
+                      F.count(F.lit(1)).alias(f"{alias_n}_d")))
+        return ranked, stats
+
+    xr, xstats = rank_dim("_x", "_xv", "_rx", "nx")
+    yr, ystats = rank_dim("_y", "_yv", "_ry", "ny")
+
+    j = (g.filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+         .join(xr, F.col("_x") == F.col("_xv"))
+         .join(yr, F.col("_y") == F.col("_yv")))
+    c = F.col("_c")
+    res = j.agg(
+        F.sum(c).alias("n"),
+        F.sum(c * F.col("_rx")).alias("sx"),
+        F.sum(c * F.col("_rx") * F.col("_rx")).alias("sxx"),
+        F.sum(c * F.col("_ry")).alias("sy"),
+        F.sum(c * F.col("_ry") * F.col("_ry")).alias("syy"),
+        F.sum(c * F.col("_rx") * F.col("_ry")).alias("sxy"))
+    # ranks are centered by full-column means; the standard corr form
+    # then removes the residual means of the complete-pair subset, so
+    # misaligned nulls stay exact
+    n = F.col("n")
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    den2 = ((F.col("sxx") - F.col("sx") * F.col("sx") / n)
+            * (F.col("syy") - F.col("sy") * F.col("sy") / n))
+    corr_xy = F.when((n >= 2) & (den2 > 0), num / F.sqrt(den2))
+    diag_x = F.when((F.col("nx") >= 2) & (F.col("nx_d") >= 2), F.lit(1.0))
+    diag_y = F.when((F.col("ny") >= 2) & (F.col("ny_d") >= 2), F.lit(1.0))
+    both = res.crossJoin(F.broadcast(xstats)).crossJoin(F.broadcast(ystats))
+    return both.select(F.stack(
+        F.lit(3),
+        F.lit(cx), F.lit(cx), diag_x,
+        F.lit(cx), F.lit(cy), corr_xy,
+        F.lit(cy), F.lit(cy), diag_y).alias("col_x", "col_y", "corr"))
+
+
 def keyed_top_k(df: DataFrame, key_cols: list[str], order_by: list,
                 k: int, salt_col: str | Column | None = None,
                 n_salts: int = 32) -> DataFrame:

@@ -363,17 +363,22 @@ def test_spearman_broadcast_dim_fast_path_equals_melted(spark):
         return {(r.col_x, r.col_y): r.corr for r in df_out.collect()}
 
     fast = corr_of(corr_plan(sdf, ["x", "y"], method="spearman"))
-    # force the melted path by making the gate reject
+    # force the OTHER strategies by making each gate reject: grouped
+    # off -> broadcast-dim path; grouped+broadcast off -> melted
     import handyspark_spark.operators.rank as R
-    orig = R.broadcast_dim_ranks
-    R.broadcast_dim_ranks = lambda *a, **k: None
+    orig_b, orig_g = R.broadcast_dim_ranks, R.grouped_spearman_matrix
+    R.grouped_spearman_matrix = lambda *a, **k: None
     try:
+        bcast = corr_of(corr_plan(sdf, ["x", "y"], method="spearman"))
+        R.broadcast_dim_ranks = lambda *a, **k: None
         melted = corr_of(corr_plan(sdf, ["x", "y"], method="spearman"))
     finally:
-        R.broadcast_dim_ranks = orig
-    assert set(fast) == set(melted)
+        R.broadcast_dim_ranks = orig_b
+        R.grouped_spearman_matrix = orig_g
+    assert set(fast) == set(bcast) == set(melted)
     for k in fast:
         assert abs(fast[k] - melted[k]) < 1e-9, k
+        assert abs(bcast[k] - melted[k]) < 1e-9, k
     # pandas agreement (rank-then-pearson, scipy-free) on the
     # complete-pair subset — conventions coincide because y's NULLs
     # are the only nulls, so x's own-non-null ranks restricted to

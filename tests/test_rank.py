@@ -377,3 +377,46 @@ def test_keyed_top_k_equals_plain_window(spark):
     got = got.sort_values(["g", "id"]).reset_index(drop=True)
     want = want.sort_values(["g", "id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_spearman_matrix_vs_pandas_misaligned_nulls(spark):
+    """The grouped (no per-row rank join) spearman must reproduce the
+    fused-path semantics exactly: each column ranked over its OWN
+    non-nulls, corr over pairwise-complete rows — on data with ties,
+    NULLs on BOTH sides (misaligned), and in both orientations (small
+    side first / second)."""
+    import random
+
+    from handyspark_spark.operators.rank import grouped_spearman_matrix
+
+    rng = random.Random(11)
+    rows = [(rng.choice([None, float(rng.randint(0, 6))]),        # small
+             rng.choice([None, float(rng.randint(0, 4000)) / 7])) # big
+            for _ in range(3000)]
+    sdf = spark.createDataFrame(rows, "x double, y double")
+
+    def expected(pdf, cx, cy):
+        # fused convention: own-non-null ranks, pairwise-complete corr
+        rx = pdf[cx].rank(method="average")
+        ry = pdf[cy].rank(method="average")
+        m = pdf[cx].notna() & pdf[cy].notna()
+        return rx[m].corr(ry[m])
+
+    pdf = pd.DataFrame(rows, columns=["x", "y"])
+    for cols in (["x", "y"], ["y", "x"]):
+        out = {(r.col_x, r.col_y): r.corr
+               for r in grouped_spearman_matrix(sdf, cols).collect()}
+        a, b = cols
+        assert abs(out[(a, b)] - expected(pdf, a, b)) < 1e-9
+        assert abs(out[(a, a)] - 1.0) < 1e-12
+        assert abs(out[(b, b)] - 1.0) < 1e-12
+
+    # gate: joint cardinality over the cap -> None (callers fall back)
+    assert grouped_spearman_matrix(sdf, ["x", "y"], joint_cap=2) is None
+    # degenerate: constant column -> NULL corr and NULL diagonal
+    const = spark.createDataFrame([(1.0, float(i)) for i in range(50)],
+                                  "x double, y double")
+    out = {(r.col_x, r.col_y): r.corr
+           for r in grouped_spearman_matrix(const, ["x", "y"]).collect()}
+    assert out[("x", "y")] is None and out[("x", "x")] is None
+    assert abs(out[("y", "y")] - 1.0) < 1e-12

@@ -46,6 +46,16 @@ def main():
         i = args.index("--sink")
         sink = args[i + 1]
         del args[i:i + 2]
+    clear_cache = False
+    if "--clear-cache" in args:
+        # drop the library's managed persists + Spark's CacheManager
+        # between runs: queries that materialize shared intermediates
+        # (jaccard capped path, funnel) otherwise read ~5x fast from
+        # run 2 on via cross-invocation plan-cache reuse — the honest
+        # per-invocation estimator is warm-session/cold-persist (run 1
+        # still pays one-time JVM/codegen warmup; min over runs 2+)
+        clear_cache = True
+        args.remove("--clear-cache")
     if sink not in ("collect", "noop"):
         sys.exit(f"unknown --sink {sink!r} (collect|noop)")
     if len(args) < 2:
@@ -75,6 +85,10 @@ def main():
     for name in names:
         secs = []
         for r in range(runs):
+            if clear_cache:
+                from handyspark_spark.core.cache import release_all
+                release_all()
+                spark.catalog.clearCache()
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
             if sink == "noop":
@@ -84,13 +98,18 @@ def main():
             secs.append(round(time.monotonic() - t0, 3))
         result[name] = {"runs": secs, "min": min(secs),
                         "median": round(statistics.median(secs), 3)}
+        if clear_cache and len(secs) > 1:
+            # run 1 pays one-time session warmup; with persists cleared
+            # between runs, min over runs 2+ is the per-invocation cost
+            result[name]["min_warm_session"] = min(secs[1:])
         print(f"{name}: runs={secs} min={min(secs)} "
               f"median={result[name]['median']}", flush=True)
 
     if out_json:
         with open(out_json, "w") as f:
             json.dump({"sf_dir": sf_dir, "cpus": cpus, "runs": runs,
-                       "sink": sink, "queries": result}, f, indent=1)
+                       "sink": sink, "clear_cache": clear_cache,
+                       "queries": result}, f, indent=1)
         print(f"wrote {out_json}")
     spark.stop()
 
