@@ -1349,19 +1349,25 @@ def decontaminate_bloom(df: DataFrame, benchmark: DataFrame,
 def lsh_bucket_state(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", num_hashes: int = 16,
                      bands: int = 2,
-                     hash_fn: str = "md5") -> DataFrame:
+                     hash_fn: str = "md5",
+                     sigs: DataFrame | None = None) -> DataFrame:
     """The persistable LSH state for a growing corpus: one (id, band,
     band_hash) row per band per doc. Store it next to the corpus
     (bucketed by band_hash for exchange-free probe joins); a new crawl
-    batch only ever computes ITS OWN signatures."""
-    return _banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+    batch only ever computes ITS OWN signatures. ``sigs``: precomputed
+    signature arrays (the shared md5-minhash cache) to band instead of
+    re-signing."""
+    return _banded(df, text_col, id_col, num_hashes, bands, hash_fn,
+                   sigs=sigs)
 
 
 def lsh_incremental_matches(state: DataFrame, new_docs: DataFrame,
                             text_col: str = "text",
                             id_col: str = "doc_id",
                             num_hashes: int = 16, bands: int = 2,
-                            hash_fn: str = "md5") -> DataFrame:
+                            hash_fn: str = "md5",
+                            max_bucket_size: int | None = None
+                            ) -> DataFrame:
     """Incremental near-dup dedup — the daily-crawl pattern: band the
     NEW batch only (map-side), join it against the stored bucket state
     on (band, band_hash), and report (doc_id, match_id) pairs of new
@@ -1371,6 +1377,17 @@ def lsh_incremental_matches(state: DataFrame, new_docs: DataFrame,
     state. Typical use: drop matched new docs, then union the survivors'
     banded rows into the state (plain append — the state is just rows).
 
+    ``max_bucket_size``: the hot-bucket guard, counted in STATE docs
+    per bucket. A degenerate boilerplate bucket with k accepted docs
+    would emit k rows per colliding new doc (measured at sf10: the
+    unguarded join explodes past 1e9 rows); an oversized bucket IS a
+    near-duplicate cluster, so any new doc hitting one is reported
+    against the cluster's representative only — the MINIMUM accepted
+    id in the bucket — keeping output linear in |batch| regardless of
+    cluster size. The match VERDICT (which new docs collide) is
+    identical to the unguarded form; only the per-match fan-out is
+    collapsed. At 100 TB you always set this.
+
     Returns distinct (new id, existing id) collision pairs; a new doc
     absent from the output has no bucket collision with the old corpus.
     """
@@ -1378,9 +1395,23 @@ def lsh_incremental_matches(state: DataFrame, new_docs: DataFrame,
                          hash_fn)
     old = state.select(F.col(id_col).alias("_old_id"), "band",
                        "band_hash")
-    return (new_banded.join(old, ["band", "band_hash"])
-            .select(id_col, F.col("_old_id").alias("match_id"))
-            .distinct())
+    if max_bucket_size is None:
+        return (new_banded.join(old, ["band", "band_hash"])
+                .select(id_col, F.col("_old_id").alias("match_id"))
+                .distinct())
+    stats = (old.groupBy("band", "band_hash")
+             .agg(F.count(F.lit(1)).alias("_k"),
+                  F.min("_old_id").alias("_rep")))
+    small = old.join(stats.filter(F.col("_k") <= max_bucket_size)
+                     .select("band", "band_hash"),
+                     ["band", "band_hash"])
+    pairs_small = (new_banded.join(small, ["band", "band_hash"])
+                   .select(id_col, F.col("_old_id").alias("match_id")))
+    pairs_big = (new_banded.join(
+        stats.filter(F.col("_k") > max_bucket_size)
+        .select("band", "band_hash", "_rep"), ["band", "band_hash"])
+        .select(id_col, F.col("_rep").alias("match_id")))
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 # ---------------------------------------------------------------------------

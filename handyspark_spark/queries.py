@@ -1050,6 +1050,51 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                              sigs=_sig_table(spark, sf_dir))
 
 
+@query("lsh_incremental_dedup", f"""
+WITH {_LSH_BANDED_SQL},
+newb AS (SELECT * FROM banded WHERE doc_id % 7 = 0),
+oldb AS (SELECT * FROM banded WHERE doc_id % 7 != 0),
+st AS (
+  SELECT band, bv, COUNT(*) AS k, MIN(doc_id) AS rep
+  FROM oldb GROUP BY band, bv
+)
+SELECT DISTINCT doc_id, match_id FROM (
+  SELECT n.doc_id, o.doc_id AS match_id
+  FROM newb n
+  JOIN st ON n.band = st.band AND n.bv = st.bv AND st.k <= 500
+  JOIN oldb o ON o.band = st.band AND o.bv = st.bv
+  UNION ALL
+  SELECT n.doc_id, st.rep AS match_id
+  FROM newb n
+  JOIN st ON n.band = st.band AND n.bv = st.bv AND st.k > 500
+)
+""")
+def q_lsh_incremental_dedup(spark, sf_dir):
+    """Incremental MinHash-LSH index maintenance — the daily-crawl
+    batch contract (streaming form: streaming/ann_dedup.py
+    ``maintain_lsh_state``, stream==batch equality pinned in
+    tests/test_streaming.py): the corpus is split into an accepted
+    base (6/7 of docs) whose slim ``(doc_id, band, band_hash)`` state
+    table is the ONLY thing the old corpus contributes, and a new
+    batch (doc_id % 7 == 0) that is signed in isolation and probed
+    against the state for bucket collisions. Per-batch cost is
+    |batch| signatures + one state join — the accepted corpus is never
+    re-signed, so the cost is independent of corpus age. The base
+    state rides the shared signature cache (the same md5-minhash table
+    every LSH-family query consumes)."""
+    from .pipeline.dedup import (lsh_bucket_state,
+                                 lsh_incremental_matches)
+    df = _t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 7 == 0
+    sigs = _sig_table(spark, sf_dir)
+    state = lsh_bucket_state(
+        df.filter(~is_new), num_hashes=16, bands=2,
+        sigs=sigs.filter(F.col("doc_id") % 7 != 0))
+    return lsh_incremental_matches(state, df.filter(is_new),
+                                   num_hashes=16, bands=2,
+                                   max_bucket_size=500)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: similarity search (pipeline/similarity.py)
 # ---------------------------------------------------------------------------

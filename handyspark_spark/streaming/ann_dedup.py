@@ -118,3 +118,70 @@ def maintain_deduped_corpus(stream: DataFrame, index_path: str,
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def maintain_lsh_state(stream: DataFrame, state_path: str,
+                       checkpoint_path: str,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 16, bands: int = 2,
+                       hash_fn: str = "md5",
+                       trigger_available_now: bool = True,
+                       committer: DirCommitter | None = None):
+    """Streaming MinHash-LSH dedup gate — the text-corpus sibling of
+    ``maintain_deduped_corpus``: documents arrive as a stream; each
+    micro-batch is signed (|batch| signatures only — the accepted
+    corpus is NEVER re-signed or re-read beyond its slim band-state
+    rows), probed against the accumulated ``(doc_id, band, band_hash)``
+    state for bucket collisions, and the survivors' banded rows are
+    appended as their own ``batch=<id>/band=<b>`` partition. Per-batch
+    signing cost is independent of corpus age; the probe join's build
+    side is the state table (3 slim columns — at warehouse scale lay it
+    out bucketed by ``band_hash`` so the collision join is
+    exchange-free and file-pruned; the batch-partition parquet layout
+    here keeps the same plan shape).
+
+    Semantics match ``pipeline.dedup.lsh_incremental_matches`` exactly
+    (pinned in tests): a new doc is dropped iff it shares any LSH
+    bucket with an accepted doc, or re-uses an accepted id (exact
+    re-ingest — dropped FIRST, for the same reason the ANN gate does).
+    Intra-batch near-duplicates both pass — the boundary-vs-batch scope
+    contract of the module docstring.
+
+    Exactly-once: identical committer protocol to the ANN gate —
+    all-or-none ``batch=<id>`` publication, replayed batch ids skip,
+    state always read from the committer's published list (a crash
+    between stage and commit must not let a half-written batch mask
+    its own retry). Returns the StreamingQuery.
+    """
+    from ..pipeline.dedup import lsh_bucket_state
+
+    committer = committer or PosixRenameCommitter()
+
+    def _fold(batch: DataFrame, batch_id: int):
+        final = os.path.join(state_path, f"batch={batch_id}")
+        if committer.is_published(final):
+            return                      # replayed batch: already appended
+        spark = batch.sparkSession
+        banded = lsh_bucket_state(batch, text_col, id_col,
+                                  num_hashes=num_hashes, bands=bands,
+                                  hash_fn=hash_fn)
+        accepted = _accepted_batch_paths(state_path, committer)
+        if accepted:
+            state = (spark.read.option("basePath", state_path)
+                     .parquet(*accepted))
+            seen = state.select(id_col).distinct()
+            fresh = banded.join(seen, id_col, "left_anti")
+            hits = (fresh.join(state.select("band", "band_hash")
+                               .distinct(), ["band", "band_hash"])
+                    .select(id_col).distinct())
+            banded = fresh.join(hits, id_col, "left_anti")
+        committer.publish(
+            lambda p: (banded.write.mode("overwrite")
+                       .partitionBy("band").parquet(p)),
+            final)
+
+    w = (stream.writeStream.foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_path))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

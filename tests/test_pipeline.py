@@ -2367,3 +2367,35 @@ def test_lsh_family_precomputed_sigs_identical(spark, docs):
         rows(dedup_keep_best(docs, num_hashes=16, bands=2,
                              max_bucket_size=None)
              .select("doc_id", "cluster_id", "quality"))
+
+
+def test_lsh_incremental_matches_hot_bucket_guard(spark, tables):
+    """The max_bucket_size guard collapses oversized-bucket matches to
+    the cluster representative (min accepted id) without changing the
+    match VERDICT: the set of colliding new docs is identical to the
+    unguarded form, and every guarded pair is either an unguarded pair
+    (small bucket) or the min old id of a shared oversized bucket."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.dedup import (lsh_bucket_state,
+                                                 lsh_incremental_matches)
+    docs = tables["documents"]
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    state = lsh_bucket_state(old, num_hashes=16, bands=2)
+    # cap=1 forces EVERY multi-doc bucket through the representative
+    # path — maximally different fan-out from the unguarded form
+    unguarded = {(r["doc_id"], r["match_id"]) for r in
+                 lsh_incremental_matches(state, new, num_hashes=16,
+                                         bands=2).collect()}
+    for cap in (1, 3, 10**9):
+        guarded = {(r["doc_id"], r["match_id"]) for r in
+                   lsh_incremental_matches(
+                       state, new, num_hashes=16, bands=2,
+                       max_bucket_size=cap).collect()}
+        # same verdict: identical set of colliding new docs
+        assert {g for g, _ in guarded} == {g for g, _ in unguarded}
+        # guarded pairs point at real accepted docs the new doc shares
+        # a bucket with (representatives are bucket members)
+        assert guarded <= unguarded
+        if cap == 10**9:  # no bucket oversized -> identical pair sets
+            assert guarded == unguarded

@@ -1314,3 +1314,68 @@ def test_fsspec_adapter_importerror_names_package():
     from handyspark_spark.streaming.fs import FsspecFS
     with pytest.raises(ImportError, match="fsspec"):
         FsspecFS(protocol="memory")
+
+
+def test_streaming_lsh_state_gate_replay_and_batch_equality(
+        spark, tables, tmp_path):
+    """Streaming MinHash-LSH dedup gate (maintain_lsh_state): batch 0
+    seeds the band state; batch 1 carries fresh docs, EXACT re-ingests
+    of accepted ids, and near-dup copies of accepted texts under new
+    ids — re-ingests and bucket collisions must be dropped, true fresh
+    docs appended. The survivor set must equal the BATCH contract
+    (lsh_incremental_matches over the same split), and a full replay
+    (fresh checkpoint) must leave the state byte-identical."""
+    import os
+
+    from handyspark_spark.pipeline.dedup import (lsh_bucket_state,
+                                                 lsh_incremental_matches)
+    from handyspark_spark.streaming.ann_dedup import maintain_lsh_state
+
+    docs = tables["documents"].select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") < 200)
+    fresh = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 260))
+    reingest = seed.filter(F.col("doc_id") < 10)           # same ids
+    copies = (seed.filter(F.col("doc_id") < 15)            # same text,
+              .withColumn("doc_id", F.col("doc_id") + 50_000))  # new ids
+    batch1 = fresh.unionByName(reingest).unionByName(copies)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    state = str(tmp_path / "state")
+
+    def drain(ckpt):
+        stream = (spark.readStream.schema(seed.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = maintain_lsh_state(stream, state,
+                               checkpoint_path=str(tmp_path / ckpt),
+                               num_hashes=16, bands=2)
+        q.awaitTermination(120)
+
+    seed.coalesce(1).write.mode("append").parquet(src)
+    drain("ck1")
+    got0 = spark.read.parquet(state)
+    assert got0.count() == 200 * 2                          # bands=2
+    assert {"doc_id", "band", "band_hash"} <= set(got0.columns)
+
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    drain("ck1")                       # same checkpoint: only new file
+    ids = {r["doc_id"] for r in spark.read.parquet(state)
+           .select("doc_id").distinct().collect()}
+    assert not any(i >= 50_000 for i in ids), "near-dup copies let in"
+    assert ids >= {r["doc_id"] for r in seed.select("doc_id").collect()}
+
+    # batch contract: survivors == batch1 fresh-ids minus
+    # lsh_incremental_matches collision ids (boundary scope only)
+    st = lsh_bucket_state(seed, num_hashes=16, bands=2)
+    newdocs = batch1.join(seed.select("doc_id"), "doc_id", "left_anti")
+    hits = {r["doc_id"] for r in
+            lsh_incremental_matches(st, newdocs, num_hashes=16,
+                                    bands=2).collect()}
+    want = ({r["doc_id"] for r in newdocs.select("doc_id").collect()}
+            - hits)
+    assert ids - {r["doc_id"] for r in seed.select("doc_id").collect()} \
+        == want
+
+    before = sorted(os.listdir(state))
+    drain("ck_replay")                 # fresh checkpoint: full replay
+    assert sorted(os.listdir(state)) == before
