@@ -363,9 +363,14 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
             # relation measured 10.4s warm at sf10 vs 0.7s for the
             # bare scan+corr; the joint count agg is 4.8s). Applies
             # even when one column's cardinality is unbounded, where
-            # the combined-dims gate below must reject. Returns the
-            # finished long-form matrix; None -> older gates.
-            out = grouped_spearman_matrix(df, list(colnames))
+            # the combined-dims gate below must reject. Row-gated:
+            # below GROUPED_SPEARMAN_MIN_ROWS the plan's ~7-stage
+            # fixed overhead loses to the one-pass broadcast path
+            # (sf0.1 measured 6.8s vs 3.2s). Returns the finished
+            # long-form matrix; None -> older gates.
+            from .rank import GROUPED_SPEARMAN_MIN_ROWS
+            out = grouped_spearman_matrix(
+                df, list(colnames), min_rows=GROUPED_SPEARMAN_MIN_ROWS)
             if out is not None:
                 return out
         ranked = None

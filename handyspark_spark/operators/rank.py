@@ -383,9 +383,19 @@ def broadcast_dim_ranks(df: DataFrame, cols: list[str],
     return out
 
 
+#: Row count below which the joint-frequency plan's fixed overhead
+#: (joint agg + persist + two ranged_cumsums + rank-dim joins, ~7
+#: stages) loses to the single-pass broadcast-dim path: measured sf0.1
+#: (600k rows) broadcast 3.2s vs grouped 6.8s settled, while sf10 (60M
+#: rows) grouped 8.4s vs broadcast 10.3s. Crossover is between 6M and
+#: 60M; gate at 30M so sf1-sized inputs keep the cheap plan.
+GROUPED_SPEARMAN_MIN_ROWS = 30_000_000
+
+
 def grouped_spearman_matrix(df: DataFrame, cols: list[str],
                             joint_cap: int = 32_000_000,
-                            num_partitions: int | None = None
+                            num_partitions: int | None = None,
+                            min_rows: int = 0
                             ) -> DataFrame | None:
     """Spearman correlation of TWO columns with NO per-row rank
     attachment — the joint-frequency form of the rank-then-``F.corr``
@@ -428,16 +438,20 @@ def grouped_spearman_matrix(df: DataFrame, cols: list[str],
     zero-denominator convention), or ``None`` when the joint
     cardinality exceeds ``joint_cap`` (both columns near-unique:
     callers fall back to the melted window path, whose cost doesn't
-    depend on cardinality). EAGER: runs the one-pass HLL probe at
+    depend on cardinality) or the corpus has fewer than ``min_rows``
+    rows (the multi-stage fixed overhead loses to the one-pass
+    broadcast-dim plan on small inputs — dispatchers pass
+    ``GROUPED_SPEARMAN_MIN_ROWS``; the row count rides the same probe
+    agg, no extra job). EAGER: runs the one-pass HLL+count probe at
     call time.
     """
     if len(cols) != 2 or cols[0] == cols[1]:
         return None
     cx, cy = cols
     x, y = F.col(cx).cast("double"), F.col(cy).cast("double")
-    dxy = df.agg(F.approx_count_distinct(F.struct(x, y))
-                 .alias("dxy")).collect()[0]["dxy"]
-    if dxy > joint_cap:
+    probe = df.agg(F.approx_count_distinct(F.struct(x, y)).alias("dxy"),
+                   F.count(F.lit(1)).alias("nrows")).collect()[0]
+    if probe["dxy"] > joint_cap or probe["nrows"] < min_rows:
         return None
 
     from ..core.cache import managed_persist

@@ -413,6 +413,10 @@ def test_grouped_spearman_matrix_vs_pandas_misaligned_nulls(spark):
 
     # gate: joint cardinality over the cap -> None (callers fall back)
     assert grouped_spearman_matrix(sdf, ["x", "y"], joint_cap=2) is None
+    # gate: corpus smaller than min_rows -> None (small inputs keep
+    # the one-pass broadcast-dim plan; threshold measured in rank.py)
+    assert grouped_spearman_matrix(sdf, ["x", "y"],
+                                   min_rows=10**9) is None
     # degenerate: constant column -> NULL corr and NULL diagonal
     const = spark.createDataFrame([(1.0, float(i)) for i in range(50)],
                                   "x double, y double")
