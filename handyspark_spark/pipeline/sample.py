@@ -358,3 +358,4 @@ def temperature_mix_rates(df: DataFrame, source_col: str,
                              / F.col("_ta"))
                             / (F.col("mass") / F.col("_t")), 6)
                     .alias("boost")))
+

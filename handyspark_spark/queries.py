@@ -5112,3 +5112,56 @@ def q_exact_substr_strip(spark, sf_dir):
     return strip_duplicate_spans(
         df, n=16, min_count=2,
         spans=_span_table(spark, sf_dir, n=16, min_count=2))
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline round 12: sequence packing + snapshot diffing
+# ---------------------------------------------------------------------------
+
+@query("dataset_diff", """
+WITH ha AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#snapA'), 1, 8))::BIGINT
+           / 4294967296.0 AS ua,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#snapB'), 1, 8))::BIGINT
+           / 4294967296.0 AS ub,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#rev'), 1, 8))::BIGINT
+           / 4294967296.0 AS um
+  FROM documents
+), a AS (
+  SELECT doc_id, md5(text) AS fp FROM ha WHERE ua >= 0.05
+), b AS (
+  SELECT doc_id,
+         md5(CASE WHEN um < 0.10 THEN text || ' [rev2]' ELSE text END)
+           AS fp
+  FROM ha WHERE ub >= 0.05
+), d AS (
+  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.fp <> b.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT status, COUNT(*) AS n_docs FROM d GROUP BY status ORDER BY status
+""")
+def q_dataset_diff(spark, sf_dir):
+    """Corpus-refresh audit: diff snapshot B against snapshot A by
+    content fingerprint — one co-partitioned full-outer join over two
+    slim (key, md5) projections, then a <=4-row status rollup. The two
+    snapshots are carved deterministically from `documents` (A drops
+    ~5% of ids, B drops a different ~5% and revises ~10% of texts) so
+    every status bucket is exercised."""
+    from .pipeline.sample import hash_unit
+    from .pipeline.snapshot import diff_summary, snapshot_diff
+    docs = _t(spark, sf_dir, "documents")
+    ua = hash_unit(F.col("doc_id"), "snapA")
+    ub = hash_unit(F.col("doc_id"), "snapB")
+    um = hash_unit(F.col("doc_id"), "rev")
+    a = docs.filter(ua >= 0.05).select("doc_id", "text")
+    b = (docs.filter(ub >= 0.05)
+         .select("doc_id",
+                 F.when(um < 0.10,
+                        F.concat(F.col("text"), F.lit(" [rev2]")))
+                 .otherwise(F.col("text")).alias("text")))
+    return diff_summary(
+        snapshot_diff(a, b, "doc_id", fingerprint_cols=["text"]))

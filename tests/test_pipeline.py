@@ -2399,3 +2399,44 @@ def test_lsh_incremental_matches_hot_bucket_guard(spark, tables):
         assert guarded <= unguarded
         if cap == 10**9:  # no bucket oversized -> identical pair sets
             assert guarded == unguarded
+
+
+def test_snapshot_diff_statuses_and_fp_col_parity(spark):
+    from handyspark_spark.pipeline.snapshot import (
+        content_fingerprint, diff_summary, snapshot_diff)
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], ["id", "body"])
+    b = spark.createDataFrame(
+        [(2, "y"), (3, "z2"), (4, "w")], ["id", "body"])
+    got = {r["id"]: r["status"]
+           for r in snapshot_diff(a, b, "id",
+                                  fingerprint_cols=["body"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "added"}
+    # precomputed-fingerprint path (manifest diff) gives the same verdicts
+    af = a.withColumn("fp", content_fingerprint(["body"]))
+    bf = b.withColumn("fp", content_fingerprint(["body"]))
+    got_fp = {r["id"]: r["status"]
+              for r in snapshot_diff(af, bf, "id", fp_col="fp").collect()}
+    assert got_fp == got
+    summ = {r["status"]: r["n_docs"]
+            for r in diff_summary(
+                snapshot_diff(a, b, "id",
+                              fingerprint_cols=["body"])).collect()}
+    assert summ == {"added": 1, "removed": 1, "changed": 1,
+                    "unchanged": 1}
+    with pytest.raises(ValueError):
+        snapshot_diff(a, b, "id")
+    with pytest.raises(ValueError):
+        snapshot_diff(af, bf, "id", fingerprint_cols=["body"],
+                      fp_col="fp")
+
+
+def test_snapshot_diff_fingerprint_separator_distinguishes_shifts(spark):
+    # ("ab","c") vs ("a","bc") must not collide in a multi-column fp
+    from handyspark_spark.pipeline.snapshot import snapshot_diff
+    a = spark.createDataFrame([(1, "ab", "c")], ["id", "u", "v"])
+    b = spark.createDataFrame([(1, "a", "bc")], ["id", "u", "v"])
+    st = snapshot_diff(a, b, "id",
+                       fingerprint_cols=["u", "v"]).collect()[0]["status"]
+    assert st == "changed"
