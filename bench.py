@@ -128,6 +128,17 @@ def main():
     percentile_distributed_plan(
         spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v"),
         "v", [0.5]).collect()
+    # r12: percentile_distributed_plan now takes a compact single-window
+    # cumsum below 1M distinct values, so the call above no longer
+    # exercises the ranged machinery — warm it directly so the first
+    # ranged_cumsum consumer in suite order (KS/ROC family) still times
+    # its operator, not the one-time JIT
+    from handyspark_spark.operators.rank import ranged_cumsum
+    _rc, _ = ranged_cumsum(
+        spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v",
+                                     "CAST(1 AS LONG) AS c"),
+        ["v"], ["c"])
+    _rc.count()
 
     sink = os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect")
     skip = {s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP",

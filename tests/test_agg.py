@@ -414,3 +414,23 @@ def test_exact_quantile_gate_paths_identical(tables):
     for c in cols:
         for q in cols[c]:
             assert dist[c][q] == pytest.approx(native[c][q], rel=1e-12)
+
+
+def test_percentile_cumsum_gate_paths_identical(tables, monkeypatch):
+    """The r12 compact-vs-ranged cumsum gate inside
+    percentile_distributed_plan picks a STRATEGY, never a value: the
+    single-window compact path (|distinct| <= gate) and the ranged
+    path (gate forced to -1) must return identical type-7 quantiles,
+    including endpoints and the heavy-ties column."""
+    from handyspark_spark.operators import agg as A
+    li = tables["lineitem"]
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    for col in ["l_extendedprice", "l_quantity"]:
+        compact = {r.q: r.value for r in
+                   A.percentile_distributed_plan(li, col, qs).collect()}
+        monkeypatch.setattr(A, "COMPACT_CUMSUM_MAX_DISTINCT", -1)
+        ranged = {r.q: r.value for r in
+                  A.percentile_distributed_plan(li, col, qs).collect()}
+        monkeypatch.undo()
+        for q in qs:
+            assert ranged[q] == compact[q], (col, q)
