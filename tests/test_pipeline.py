@@ -1027,6 +1027,53 @@ def test_image_stats_matches_numpy(spark, tables):
         assert abs(g["brightness"] - means.mean()) < 1e-9
 
 
+def test_attach_bmp_media_vectorized_byte_identical(spark):
+    """The r12 vectorized BMP assembly in attach_bmp_media must emit
+    blobs byte-identical to encode_bmp row-by-row — including a width
+    that needs row padding (5*3=15 bytes -> pad 1) and an empty
+    payload."""
+    import numpy as np
+    from handyspark_spark.pipeline.multimodal import (attach_bmp_media,
+                                                      encode_bmp)
+    rows = [(1, "hello world"), (2, ""), (3, "x"), (4, "abc" * 100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for w, h in [(8, 8), (5, 3)]:
+        got = {r["media_id"]: bytes(r["data"]) for r in
+               attach_bmp_media(df, "doc_id", "text", width=w,
+                                height=h).collect()}
+        n = w * h * 3
+        for i, s in rows:
+            raw = s.encode() or b"\x00"   # empty payload -> zero bytes
+            tiled = (raw * (n // len(raw) + 1))[:n]
+            px = np.frombuffer(tiled, dtype=np.uint8).reshape(h, w, 3)
+            assert got[i] == encode_bmp(px), (w, h, i)
+
+
+def test_image_stats_mixed_shapes_vectorized_equals_per_row(spark):
+    """The r12 vectorized group decode in image_stats must agree with
+    decode_bmp row-by-row when one batch mixes image shapes (different
+    byte lengths and row padding — 5x3 rows need pad, 8x8 none), so
+    both the grouped fast path and the per-shape grouping are hit."""
+    import numpy as np
+    from handyspark_spark.pipeline.multimodal import (encode_bmp,
+                                                      image_stats)
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, shape, dtype=np.uint8)
+            for shape in [(8, 8, 3), (5, 3, 3), (8, 8, 3), (2, 7, 3),
+                          (5, 3, 3), (1, 1, 3)]]
+    rows = [(i, bytearray(encode_bmp(px))) for i, px in enumerate(imgs)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r["media_id"]: r for r in image_stats(df).collect()}
+    assert len(got) == len(imgs)
+    for i, px in enumerate(imgs):
+        g = got[i]
+        assert (g["height"], g["width"]) == px.shape[:2]
+        means = px.reshape(-1, 3).mean(axis=0)
+        assert g["mean_r"] == means[0] and g["mean_g"] == means[1]
+        assert g["mean_b"] == means[2]
+        assert g["brightness"] == means.mean()
+
+
 def test_media_decode_real_formats_no_fake_needed(spark):
     import numpy as np
     from handyspark_spark.pipeline.multimodal import (
