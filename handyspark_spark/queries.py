@@ -34,7 +34,28 @@ def query(name: str, sql: str | None = None):
 
 
 def _t(spark, sf_dir, name) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    """Base-table access with a per-session PLAN-HANDLE memo.
+
+    ``spark.read.parquet`` re-runs file listing + parquet footer schema
+    inference on every call (~90 ms at sf0.1, and a driver-side listing
+    job at real table sizes — guide §6/§7.3); with 217 ``_t`` call
+    sites over 161 queries that re-inference alone was ~25 s of the
+    sf0.1 suite, paid INSIDE every timed query. The memo stores the
+    LAZY DataFrame handle per (session, dir, table) — the unresolved
+    plan only, exactly what a catalog's ``spark.table()`` would cache.
+    No data and no results are memoized: every action still scans the
+    parquet inputs. Keyed on the live SparkSession object (attribute,
+    not module global) so a new session never sees another session's
+    plans and a stopped session's handles die with it.
+    """
+    try:
+        memo = spark._hsq_table_plans
+    except AttributeError:
+        memo = spark._hsq_table_plans = {}
+    df = memo.get((sf_dir, name))
+    if df is None:
+        memo[(sf_dir, name)] = df = load_table(spark, sf_dir, name)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -442,3 +442,37 @@ def test_ivfpq_cell_partitioned_probe_prunes(tables, spark, tmp_path):
     # the pruned read returns exactly the probed cells' rows
     got = {r["_cell"] for r in probed.select("_cell").distinct().collect()}
     assert got <= {0, 3}
+
+
+def test_base_table_plan_memo_per_session(tables, spark):
+    """_t memoizes the LAZY base-table handle per (session, dir, table):
+    repeated calls return the same plan object (no repeated schema
+    inference inside timed queries), distinct keys stay distinct, the
+    memo lives on the SparkSession (not a module global), and the
+    memoized handle still computes from the parquet input."""
+    import os
+
+    from handyspark_spark import queries as Q
+    sf_dir = os.environ.get("HS_TEST_SF", "/root/testdata/sf0.001")
+    a = Q._t(spark, sf_dir, "nation")
+    b = Q._t(spark, sf_dir, "nation")
+    assert a is b                                # handle reuse
+    assert Q._t(spark, sf_dir, "region") is not a  # distinct table key
+    # per-session storage, no module-level state
+    assert (sf_dir, "nation") in spark._hsq_table_plans
+    assert not hasattr(Q, "_hsq_table_plans")
+    # a different session object gets its own memo (plans from a stopped
+    # session must never leak into a new one)
+    class _FakeSession:
+        pass
+    other = _FakeSession()
+    try:
+        Q._t(other, sf_dir, "nation")
+    except Exception:
+        pass  # load may legitimately fail on the fake; the memo must not
+    assert getattr(other, "_hsq_table_plans", {}) is not \
+        spark._hsq_table_plans
+    # the handle is a plan, not a result: it reads the parquet fixture
+    fresh = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    assert sorted(r["n_name"] for r in a.collect()) == \
+        sorted(r["n_name"] for r in fresh.collect())
