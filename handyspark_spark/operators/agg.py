@@ -368,11 +368,25 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
             # fixed overhead loses to the one-pass broadcast path
             # (sf0.1 measured 6.8s vs 3.2s). Returns the finished
             # long-form matrix; None -> older gates.
+            #
+            # Row-count PRE-gate (r12): the joint-cardinality HLL probe
+            # is a full corpus pass (0.45s at sf0.1, ~rows-linear — the
+            # per-row struct+HLL eval), but below
+            # GROUPED_SPEARMAN_MIN_ROWS its answer cannot change the
+            # strategy: the grouped plan is rejected on rows alone. So
+            # gate on a zero-column count() first (empty ReadSchema
+            # scan, near-metadata cost: 0.17s at sf0.1, and at scale
+            # still cheap relative to the probe it replaces) and run
+            # the HLL probe only when the row gate passes; the counted
+            # rows ride into the probe so it never re-counts.
             from .rank import GROUPED_SPEARMAN_MIN_ROWS
-            out = grouped_spearman_matrix(
-                df, list(colnames), min_rows=GROUPED_SPEARMAN_MIN_ROWS)
-            if out is not None:
-                return out
+            if (colnames[0] != colnames[1]
+                    and df.count() >= GROUPED_SPEARMAN_MIN_ROWS):
+                out = grouped_spearman_matrix(
+                    df, list(colnames),
+                    min_rows=GROUPED_SPEARMAN_MIN_ROWS)
+                if out is not None:
+                    return out
         ranked = None
         if not strata and max_dim_rows > 0:
             # Zero-exchange fast path (round 8): when the ranked
