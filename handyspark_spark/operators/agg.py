@@ -379,12 +379,29 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
             # still cheap relative to the probe it replaces) and run
             # the HLL probe only when the row gate passes; the counted
             # rows ride into the probe so it never re-counts.
-            from .rank import GROUPED_SPEARMAN_MIN_ROWS
-            if (colnames[0] != colnames[1]
-                    and df.count() >= GROUPED_SPEARMAN_MIN_ROWS):
-                out = grouped_spearman_matrix(
-                    df, list(colnames),
-                    min_rows=GROUPED_SPEARMAN_MIN_ROWS)
+            from .rank import (GROUPED_SPEARMAN_MIN_ROWS,
+                               grouped_spearman_small)
+            if colnames[0] != colnames[1]:
+                # NOTE the count() is near-free only for base parquet
+                # scans (empty ReadSchema); a computed df re-executes
+                # its plan here — acceptable because every branch below
+                # is itself at least one corpus pass over the same plan.
+                nrows = df.count()
+                if nrows >= GROUPED_SPEARMAN_MIN_ROWS:
+                    # big-corpus path: HLL joint-cardinality probe
+                    # (its own count rides that probe agg) gates the
+                    # joint plan against near-unique pairs
+                    out = grouped_spearman_matrix(
+                        df, list(colnames),
+                        min_rows=GROUPED_SPEARMAN_MIN_ROWS)
+                else:
+                    # sub-row-gate path (round 13): |joint| <= rows <
+                    # joint_cap by construction, so NO probe — one
+                    # joint agg is the only corpus-sized job, vs the
+                    # broadcast-dim path's two corpus passes + 2
+                    # per-row hash probes (sf0.1 settled 3.3s -> ~1.8s)
+                    out = grouped_spearman_small(df, list(colnames),
+                                                 nrows=nrows)
                 if out is not None:
                     return out
         ranked = None

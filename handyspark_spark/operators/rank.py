@@ -514,6 +514,153 @@ def grouped_spearman_matrix(df: DataFrame, cols: list[str],
         F.lit(cy), F.lit(cy), diag_y).alias("col_x", "col_y", "corr"))
 
 
+#: Joint-table row count at or below which ``grouped_spearman_small``
+#: uses the compact dim machinery (melt + 2-partition window cumsum +
+#: broadcast rank dims) instead of the grouped ranged cumsum — the same
+#: measured-row-count gate pattern as ``COMPACT_CUMSUM_MAX_DISTINCT``
+#: in the exact-quantile family: the input was just MEASURED small and
+#: is the aggregated joint table, never raw rows.
+COMPACT_SPEARMAN_MAX_JOINT = 1_000_000
+
+
+def grouped_spearman_small(df: DataFrame, cols: list[str],
+                           nrows: int | None = None,
+                           compact_max: int = COMPACT_SPEARMAN_MAX_JOINT,
+                           num_partitions: int | None = None
+                           ) -> DataFrame | None:
+    """Joint-frequency Spearman for corpora BELOW
+    ``GROUPED_SPEARMAN_MIN_ROWS`` — the downward extension of
+    ``grouped_spearman_matrix`` (round 13).
+
+    Same math (one ``groupBy(x, y).count()``, every rank moment derived
+    from the joint table, identical centered co-moment algebra), tuned
+    for the regime where the dispatcher's row count already bounds the
+    joint cardinality, so NO cardinality probe is needed
+    (``|joint| <= rows < min_rows <= joint_cap`` by construction) and
+    the joint agg is the ONLY corpus-sized job. The old broadcast-dim
+    path paid TWO corpus passes (dim-probe agg + per-row
+    broadcast-probe corr) plus two hash probes per row.
+
+    Compact form (``|joint| <= compact_max``): both columns' average
+    ranks are attached DIRECTLY to the joint rows with range-frame
+    windows over the measured-tiny table — no melt, no dim joins, no
+    broadcast builds, one linear plan:
+
+        rank(v) = S - (E - 1)/2,  centered by (N + 1)/2
+
+    where per column S = running count-weighted prefix INCLUSIVE of the
+    whole tie group (range frame to ``currentRow``: range bounds pull
+    every tied row in), E = the tie group's count (range frame
+    ``currentRow..currentRow``), N = the column's non-null total (the
+    unbounded frame). All three ride ONE window sort; the second
+    column re-sorts the same single partition. When the dispatcher's
+    ``nrows`` is itself <= ``compact_max`` the plan stays FULLY LAZY
+    (|joint| <= rows needs no measuring); otherwise the joint table is
+    eagerly ``localCheckpoint``'d once and its MEASURED count picks
+    compact vs the scale-safe ranged form (melted dims +
+    ``grouped_ranged_cumsum`` + shuffle rank joins — a near-unique
+    joint table never funnels into one task), exactly the
+    exact-quantile compact/ranged gate pattern (guide §2.4).
+
+    Rank/NULL/NaN semantics match ``grouped_spearman_matrix``: each
+    column ranks over its own non-null rows (NULLs sort first and are
+    excluded by the conditional count; Spark's NaN total order — NaN =
+    NaN, NaN last — gives NaN one terminal tie group, as groupBy
+    normalization does on the big path), ranks center by the exact
+    (n+1)/2 before the sums, corr runs over pairwise-complete rows.
+    Diagonals are 1.0 exactly when the column has >= 2 non-null rows
+    and >= 2 distinct values, tested as ``sum(c * r^2) > 0`` over the
+    column's rows: with centered ranks the sum is EXACTLY zero for one
+    distinct value (every rank exactly 0) and a sum of non-negative
+    terms with at least one >= 0.25 otherwise — float addition of
+    non-negatives cannot cancel, so the test is exact, equivalent to
+    the big path's ``n_distinct >= 2``.
+
+    Returns the 3-row long-form matrix, or ``None`` for non-pair
+    inputs. EAGER only on the measured branch (``nrows`` absent or >
+    ``compact_max``)."""
+    if len(cols) != 2 or cols[0] == cols[1]:
+        return None
+    cx, cy = cols
+    x, y = F.col(cx).cast("double"), F.col(cy).cast("double")
+    g = (df.filter(x.isNotNull() | y.isNotNull())
+         .groupBy(x.alias("_x"), y.alias("_y"))
+         .agg(F.count(F.lit(1)).alias("_c")))
+    if nrows is not None and nrows <= compact_max:
+        compact = True       # |joint| <= rows: provably tiny, stay lazy
+    else:
+        g = g.localCheckpoint(eager=True)
+        compact = g.count() <= compact_max  # cached count, no data pass
+
+    if compact:
+        def rank_over(frame: DataFrame, key: str, alias: str) -> DataFrame:
+            w = Window.orderBy(key)
+            cnt = F.when(F.col(key).isNotNull(), F.col("_c"))
+            s = F.sum(cnt).over(w.rangeBetween(Window.unboundedPreceding,
+                                               Window.currentRow))
+            e = F.sum(cnt).over(w.rangeBetween(Window.currentRow,
+                                               Window.currentRow))
+            n_ = F.sum(cnt).over(w.rangeBetween(Window.unboundedPreceding,
+                                                Window.unboundedFollowing))
+            r = F.when(F.col(key).isNotNull(),
+                       s - (e - 1) / 2.0 - (n_ + 1) / 2.0)
+            return frame.select("*", r.alias(alias))
+
+        ranked = rank_over(rank_over(g, "_x", "_rx"), "_y", "_ry")
+    else:
+        # ranged form: ONE melted dim subtree for both columns (the big
+        # path's two per-column rank_dim branches fuse into a single
+        # groupBy over 2|joint| melted rows; posexplode keeps each
+        # non-null side, so each marginal still includes rows the other
+        # column would drop), distributed cumsum, shuffle joins back
+        melted = (g.select(F.posexplode(F.array("_x", "_y"))
+                           .alias("_cid", "_v"), "_c")
+                  .filter(F.col("_v").isNotNull()))
+        dims = melted.groupBy("_cid", "_v").agg(F.sum("_c").alias("_k"))
+        cum = grouped_ranged_cumsum(dims, ["_cid"], ["_v"], ["_k"],
+                                    num_partitions=num_partitions)
+        tot = dims.groupBy("_cid").agg(F.sum("_k").alias("_n"))
+        r = (F.col("_cum__k") - (F.col("_k") - 1) / 2.0
+             - (F.col("_n") + 1) / 2.0)
+        rdim = (cum.join(F.broadcast(tot), "_cid")
+                .select("_cid", "_v", r.alias("_r")))
+        xr = (rdim.filter(F.col("_cid") == 0)
+              .select(F.col("_v").alias("_xv"), F.col("_r").alias("_rx")))
+        yr = (rdim.filter(F.col("_cid") == 1)
+              .select(F.col("_v").alias("_yv"), F.col("_r").alias("_ry")))
+        ranked = (g.join(xr, F.col("_x").eqNullSafe(F.col("_xv")), "left")
+                  .join(yr, F.col("_y").eqNullSafe(F.col("_yv")), "left")
+                  .select("_x", "_y", "_c", "_rx", "_ry"))
+
+    c = F.col("_c")
+    cx_ = F.when(F.col("_x").isNotNull(), c)
+    cy_ = F.when(F.col("_y").isNotNull(), c)
+    cb = F.when(F.col("_x").isNotNull() & F.col("_y").isNotNull(), c)
+    res = ranked.agg(
+        F.sum(cb).alias("n"),
+        F.sum(cb * F.col("_rx")).alias("sx"),
+        F.sum(cb * F.col("_rx") * F.col("_rx")).alias("sxx"),
+        F.sum(cb * F.col("_ry")).alias("sy"),
+        F.sum(cb * F.col("_ry") * F.col("_ry")).alias("syy"),
+        F.sum(cb * F.col("_rx") * F.col("_ry")).alias("sxy"),
+        F.sum(cx_).alias("nx"),
+        F.sum(cx_ * F.col("_rx") * F.col("_rx")).alias("dx"),
+        F.sum(cy_).alias("ny"),
+        F.sum(cy_ * F.col("_ry") * F.col("_ry")).alias("dy"))
+    n = F.col("n")
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    den2 = ((F.col("sxx") - F.col("sx") * F.col("sx") / n)
+            * (F.col("syy") - F.col("sy") * F.col("sy") / n))
+    corr_xy = F.when((n >= 2) & (den2 > 0), num / F.sqrt(den2))
+    diag_x = F.when((F.col("nx") >= 2) & (F.col("dx") > 0), F.lit(1.0))
+    diag_y = F.when((F.col("ny") >= 2) & (F.col("dy") > 0), F.lit(1.0))
+    return res.select(F.stack(
+        F.lit(3),
+        F.lit(cx), F.lit(cx), diag_x,
+        F.lit(cx), F.lit(cy), corr_xy,
+        F.lit(cy), F.lit(cy), diag_y).alias("col_x", "col_y", "corr"))
+
+
 def keyed_top_k(df: DataFrame, key_cols: list[str], order_by: list,
                 k: int, salt_col: str | Column | None = None,
                 n_salts: int = 32) -> DataFrame:

@@ -424,3 +424,96 @@ def test_grouped_spearman_matrix_vs_pandas_misaligned_nulls(spark):
            for r in grouped_spearman_matrix(const, ["x", "y"]).collect()}
     assert out[("x", "y")] is None and out[("x", "x")] is None
     assert abs(out[("y", "y")] - 1.0) < 1e-12
+
+
+def test_grouped_spearman_small_equals_big_and_pandas(spark):
+    """``grouped_spearman_small`` (the sub-row-gate joint-frequency
+    plan, round 13) must reproduce ``grouped_spearman_matrix`` and the
+    fused-path semantics exactly — on ties, misaligned NULLs, both
+    column orientations, and on BOTH its internal branches (compact
+    2-partition window vs grouped ranged cumsum, forced via
+    ``compact_max``)."""
+    import random
+
+    from handyspark_spark.operators.rank import (grouped_spearman_matrix,
+                                                 grouped_spearman_small)
+
+    rng = random.Random(13)
+    rows = [(rng.choice([None, float(rng.randint(0, 6))]),
+             rng.choice([None, float(rng.randint(0, 4000)) / 7]))
+            for _ in range(3000)]
+    sdf = spark.createDataFrame(rows, "x double, y double")
+    pdf = pd.DataFrame(rows, columns=["x", "y"])
+
+    def expected(pdf, cx, cy):
+        rx = pdf[cx].rank(method="average")
+        ry = pdf[cy].rank(method="average")
+        m = pdf[cx].notna() & pdf[cy].notna()
+        return rx[m].corr(ry[m])
+
+    for cols in (["x", "y"], ["y", "x"]):
+        big = {(r.col_x, r.col_y): r.corr
+               for r in grouped_spearman_matrix(sdf, cols).collect()}
+        for cmax in (10**6, 0):   # compact branch / ranged branch
+            out = {(r.col_x, r.col_y): r.corr
+                   for r in grouped_spearman_small(
+                       sdf, cols, compact_max=cmax).collect()}
+            a, b = cols
+            assert abs(out[(a, b)] - expected(pdf, a, b)) < 1e-9
+            assert abs(out[(a, b)] - big[(a, b)]) < 1e-12
+            assert abs(out[(a, a)] - 1.0) < 1e-12
+            assert abs(out[(b, b)] - 1.0) < 1e-12
+
+    # non-pair inputs -> None (dispatcher falls through)
+    assert grouped_spearman_small(sdf, ["x"]) is None
+    assert grouped_spearman_small(sdf, ["x", "x"]) is None
+
+    # degenerate shapes: constant column / all-null column / empty —
+    # NULL corr + NULL diagonal conventions identical to the big path
+    const = spark.createDataFrame([(1.0, float(i)) for i in range(50)],
+                                  "x double, y double")
+    out = {(r.col_x, r.col_y): r.corr
+           for r in grouped_spearman_small(const, ["x", "y"]).collect()}
+    assert out[("x", "y")] is None and out[("x", "x")] is None
+    assert abs(out[("y", "y")] - 1.0) < 1e-12
+
+    allnull = spark.createDataFrame(
+        [(None, float(i)) for i in range(50)], "x double, y double")
+    out = {(r.col_x, r.col_y): r.corr
+           for r in grouped_spearman_small(allnull, ["x", "y"]).collect()}
+    assert out[("x", "y")] is None and out[("x", "x")] is None
+    assert abs(out[("y", "y")] - 1.0) < 1e-12
+
+    empty = spark.createDataFrame([], "x double, y double")
+    out = {(r.col_x, r.col_y): r.corr
+           for r in grouped_spearman_small(empty, ["x", "y"]).collect()}
+    assert set(out) == {("x", "y"), ("x", "x"), ("y", "y")}
+    assert all(v is None for v in out.values())
+
+
+def test_grouped_spearman_small_nan_matches_big_path(spark):
+    """NaN gets one terminal tie group under the compact window form
+    (Spark total order: NaN = NaN, NaN sorts last) exactly as groupBy
+    normalization gives it one group on the big/ranged paths."""
+    import random
+
+    from handyspark_spark.operators.rank import (grouped_spearman_matrix,
+                                                 grouped_spearman_small)
+
+    rng = random.Random(7)
+    nan = float("nan")
+    rows = [(rng.choice([None, nan, float(rng.randint(0, 5))]),
+             rng.choice([None, nan, float(rng.randint(0, 300)) / 7]))
+            for _ in range(2000)]
+    sdf = spark.createDataFrame(rows, "x double, y double")
+    big = {(r.col_x, r.col_y): r.corr
+           for r in grouped_spearman_matrix(sdf, ["x", "y"]).collect()}
+    for cmax in (10**6, 0):
+        out = {(r.col_x, r.col_y): r.corr
+               for r in grouped_spearman_small(
+                   sdf, ["x", "y"], compact_max=cmax).collect()}
+        for k in big:
+            if big[k] is None:
+                assert out[k] is None
+            else:
+                assert abs(out[k] - big[k]) < 1e-12
