@@ -377,8 +377,10 @@ def corr_plan(df: DataFrame, colnames: list[str], method: str = "pearson",
             # gate on a zero-column count() first (empty ReadSchema
             # scan, near-metadata cost: 0.17s at sf0.1, and at scale
             # still cheap relative to the probe it replaces) and run
-            # the HLL probe only when the row gate passes; the counted
-            # rows ride into the probe so it never re-counts.
+            # the HLL probe only when the row gate passes. The probe
+            # then recomputes its own row count as one more aggregate
+            # riding its existing corpus agg job (no separate count
+            # job) — the value counted here is only the gate.
             from .rank import (GROUPED_SPEARMAN_MIN_ROWS,
                                grouped_spearman_small)
             if colnames[0] != colnames[1]:
@@ -476,10 +478,31 @@ def profile_plan(df: DataFrame, colnames: list[str] | None = None,
         # multi-DISTINCT plans an Expand that regenerates the input once
         # per distinct column; keeping the 40-odd plain aggregates OUT of
         # that plan (separate agg + 1-row × 1-row join) halves the
-        # expanded-row width and the measured wall time
-        dst = df.agg(*[F.countDistinct(F.col(c)).alias(f"dst__{c}")
-                       for c in cols])
-        wide = wide.crossJoin(F.broadcast(dst))
+        # expanded-row width and the measured wall time.
+        #
+        # Round-13 size gate (guide §2.3 — regenerate fewer bytes):
+        # above ``PROFILE_SPLIT_DISTINCT_MIN_BYTES`` of estimated
+        # input, the single Expand agg (|cols| x input rows regenerated
+        # through one wide hash aggregate) loses to |cols| INDEPENDENT
+        # one-column distinct aggs — each a column-pruned scan +
+        # two-phase partial distinct, no Expand node, subtrees
+        # scheduled concurrently under the one action. Measured noop,
+        # lineitem x7 cols, steal-tagged clean rounds, both run orders:
+        # sf10 (1.8 GB) Expand 9.17 vs split 5.39 s; sf0.1 (10.8 MB)
+        # 2.53 vs 1.11 s; sf0.01 (1 MB) 1.8 vs 3.0 s — the split's
+        # extra cost is ~7 fixed stages, so it loses only when the
+        # input is tiny. The gate reads the optimizer's own size
+        # ESTIMATE (the statistic the broadcast threshold uses) — no
+        # data pass, deterministic for a fixed input.
+        if _plan_size_bytes(df) >= PROFILE_SPLIT_DISTINCT_MIN_BYTES:
+            for c in cols:
+                d = (df.select(c)
+                     .agg(F.countDistinct(F.col(c)).alias(f"dst__{c}")))
+                wide = wide.crossJoin(F.broadcast(d))
+        else:
+            dst = df.agg(*[F.countDistinct(F.col(c)).alias(f"dst__{c}")
+                           for c in cols])
+            wide = wide.crossJoin(F.broadcast(dst))
     parts = ", ".join(
         f"'{c}', cnt__{c}, nul__{c}, dst__{c}, "
         f"min__{c}, max__{c}, mean__{c}, std__{c}" for c in cols)
@@ -577,6 +600,28 @@ def percentile_distributed_plan(df: DataFrame, colname: str,
 # count, so a 100 TB column whose |distinct| ~ |rows| always takes the
 # ranged path.
 COMPACT_CUMSUM_MAX_DISTINCT = 1_000_000
+
+
+# Expand-vs-split gate for ``profile_plan(exact=True)``: at or above
+# this much ESTIMATED input (the optimizer's sizeInBytes statistic —
+# on-disk bytes for a file scan, no data pass) the multi-column exact
+# distinct is planned as per-column independent aggs instead of one
+# Expand agg. A/B on lineitem (7 profiled cols, noop sink, clean
+# steal<1% rounds, both run orders): sf10 (1.84 GB) Expand 9.17 s vs
+# split 5.39 s; sf0.1 (10.8 MB) 2.53 vs 1.11 s; sf0.01 (1 MB) ~1.8 vs
+# ~3.0 s. The Expand's |cols| x rows regeneration grows linearly with
+# input while the split costs a fixed ~|cols| extra stages, so the
+# measured crossover sits between 1 and 10 MB; 4 MB flips everything
+# but genuinely tiny inputs to the split plan.
+PROFILE_SPLIT_DISTINCT_MIN_BYTES = 4 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """The optimizer's estimated size of ``df`` in bytes (the statistic
+    the autoBroadcastJoinThreshold decision reads). Driver-side plan
+    analysis only — never runs a job."""
+    return int(df._jdf.queryExecution().optimizedPlan()
+               .stats().sizeInBytes())
 
 
 # Below this many rows the native fused ``percentile`` aggregate beats

@@ -47,6 +47,13 @@ def _t(spark, sf_dir, name) -> DataFrame:
     parquet inputs. Keyed on the live SparkSession object (attribute,
     not module global) so a new session never sees another session's
     plans and a stopped session's handles die with it.
+
+    ASSUMPTION: table directories under ``sf_dir`` are immutable for
+    the session's lifetime (true for this engine — nothing writes into
+    ``sf_dir``). The memoized handle pins the file listing and schema
+    captured at first load; a directory rewritten or appended mid-
+    session would be served stale. Call ``_t_invalidate(spark)`` after
+    any external mutation to drop the memo.
     """
     try:
         memo = spark._hsq_table_plans
@@ -56,6 +63,16 @@ def _t(spark, sf_dir, name) -> DataFrame:
     if df is None:
         memo[(sf_dir, name)] = df = load_table(spark, sf_dir, name)
     return df
+
+
+def _t_invalidate(spark) -> None:
+    """Drop ``_t``'s plan memo (all dirs/tables) for this session. Only
+    needed if a table directory was rewritten mid-session — see the
+    immutability assumption in ``_t``."""
+    try:
+        spark._hsq_table_plans.clear()
+    except AttributeError:
+        pass
 
 
 # ---------------------------------------------------------------------------

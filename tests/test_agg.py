@@ -192,6 +192,34 @@ def test_profile_matches_pandas(tables, pdf_tables):
             <= max(3, 0.1 * pdf[c].nunique())
 
 
+def test_profile_exact_split_branch_identical(tables, monkeypatch):
+    """profile_plan(exact=True)'s size-gated per-column distinct plan
+    (the at-scale branch, r13) returns exactly the Expand plan's rows,
+    and really plans without an Expand node."""
+    import handyspark_spark.operators.agg as A
+    df = tables["lineitem"]
+    cols = df.columns
+    monkeypatch.setattr(A, "PROFILE_SPLIT_DISTINCT_MIN_BYTES", 1 << 60)
+    expand_rows = A.profile_plan(df, cols, exact=True).collect()
+    monkeypatch.setattr(A, "PROFILE_SPLIT_DISTINCT_MIN_BYTES", 0)
+    split_df = A.profile_plan(df, cols, exact=True)
+    split_rows = split_df.collect()
+
+    def norm(rows):
+        # NaN-aware cell compare (std of a constant column is NaN on
+        # both plans; NaN != NaN under plain equality)
+        return [tuple("NaN" if (isinstance(x, float) and x != x) else x
+                      for x in r) for r in rows]
+    assert norm(split_rows) == norm(expand_rows)
+
+    plan = split_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    monkeypatch.setattr(A, "PROFILE_SPLIT_DISTINCT_MIN_BYTES", 1 << 60)
+    plan_e = (A.profile_plan(df, cols, exact=True)
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" in plan_e
+
+
 def test_percentile_distributed_matches_numpy(tables, pdf_tables):
     """Distributed selection-by-rank percentiles == numpy type-7,
     including endpoints and a heavy-ties column."""

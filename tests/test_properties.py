@@ -422,8 +422,13 @@ def test_bucket_strata_fuzz_matches_closed_form(spark, data):
         keys = {"solo": [ids], "cat_first": ["g", ids],
                 "cat_last": [ids, "g"]}[shape]
         want = pdf.groupby(keys)["v"].mean()
-        assert sorted(np.round(got.dropna().values, 6)) == pytest.approx(
-            sorted(np.round(want.dropna().values, 6)), abs=1e-6)
+        # compare RAW means (same doubles, both engines sum/divide —
+        # agreement is machine-precision). The old form rounded both
+        # sides to 6dp first, so raw values straddling a rounding
+        # boundary compared exactly 1e-6 apart and flaked against the
+        # abs=1e-6 gate.
+        assert sorted(got.dropna().values) == pytest.approx(
+            sorted(want.dropna().values), rel=1e-9, abs=1e-9)
 
 
 @given(data=st.data())

@@ -21,8 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     args = [a for a in sys.argv[1:]]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
-    names = args[1:] if args and os.path.isdir(args[0]) else args
+    if args and (os.sep in args[0] or args[0].startswith(".")) \
+            and not os.path.isdir(args[0]):
+        sys.exit(f"error: sf_dir {args[0]!r} is not a directory")
+    if args and os.path.isdir(args[0]):
+        sf_dir, names = args[0], args[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.1", args
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
@@ -41,6 +46,10 @@ def main():
     import __spark_entry__ as E
     qs = E.queries()
     if names:
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            sys.exit(f"error: unknown queries {unknown} "
+                     f"(registry has {len(qs)})")
         qs = {n: qs[n] for n in names}
 
     # warmup (mirror bench.py)
