@@ -116,13 +116,14 @@ def quality_score(col, stopwords: list[str] | None = None) -> Column:
     return score
 
 
-def lang_id(col, profiles: dict[str, list[str]] | None = None) -> Column:
-    """Heuristic language ID: argmax of per-language stopword hit counts,
-    'und' when nothing matches. One projection, deterministic tie-break by
-    language code order."""
-    profiles = profiles or LANG_PROFILES
-    toks = tokens(col)
-    codes = sorted(profiles)
+#: Per-language hit counters pack 4-per-long as 16-bit lanes inside
+#: ``lang_id``'s single-pass aggregate; a doc with more tokens than one
+#: lane can count falls back to the per-language filter scan so the
+#: scores stay exact at any document size.
+LANG_PACK_LANE_MAX = 0xFFFF
+
+
+def _lang_argmax(scores: list[Column], codes: list[str]) -> Column:
     # argmax over an array of (score, -position) structs: each language's
     # score expression appears ONCE. The old chained-when formulation
     # re-embedded every prior score inside each comparison, so the
@@ -131,16 +132,90 @@ def lang_id(col, profiles: dict[str, list[str]] | None = None) -> Column:
     # profiles got richer). struct comparison is lexicographic, so on
     # score ties the LARGEST -position = smallest index = alphabetically
     # first code wins — the same tie-break as before.
-    entries = []
-    for i, code in enumerate(codes):
-        words = F.array(*[F.lit(w) for w in profiles[code]])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
-        entries.append(F.struct(score.alias("s"),
-                                F.lit(-i).alias("ni")))
+    entries = [F.struct(s.alias("s"), F.lit(-i).alias("ni"))
+               for i, s in enumerate(scores)]
     best = F.array_max(F.array(*entries))
     code_arr = F.array(*[F.lit(c) for c in codes])
     return F.when(best["s"] > 0, F.element_at(code_arr, -best["ni"] + 1)) \
             .otherwise(F.lit("und"))
+
+
+def _lang_filter_scores(tk: Column,
+                        profiles: dict[str, list[str]]) -> list[Column]:
+    """Per-language hit counts as one ``filter`` scan per language — the
+    exact-at-any-size fallback (and pre-r13 formulation)."""
+    out = []
+    for code in sorted(profiles):
+        words = F.array(*[F.lit(w) for w in profiles[code]])
+        out.append(F.size(F.filter(tk, lambda t: F.array_contains(words, t)))
+                   .cast("int"))
+    return out
+
+
+def _lang_packed_accs(tk: Column,
+                      profiles: dict[str, list[str]]) -> list[Column]:
+    """ONE traversal of the token array per 4 languages: profile words
+    map to a packed bitmask long (lane i = 1 << 16i for each language i
+    containing the word — shared words count for every owner), and the
+    per-token masks just ADD into a single long accumulator. Replaces
+    |languages| separate filter-scans (each |tokens| x |profile| string
+    compares plus a filtered-array allocation per language per row) with
+    one length-gated map lookup per token. Exact while every lane stays
+    <= LANG_PACK_LANE_MAX (caller guards on token count); two's-
+    complement addition keeps lane bit patterns exact even when the top
+    lane sets the sign bit, and every lane extraction re-masks to 16
+    bits. Measured sf1 documents: 3.70 -> 1.02 s noop (values equal)."""
+    codes = sorted(profiles)
+    zero = F.lit(0).cast("long")
+    accs = []
+    for g0 in range(0, len(codes), 4):
+        wm: dict[str, int] = {}
+        for i, code in enumerate(codes[g0:g0 + 4]):
+            for w in profiles[code]:
+                wm[w] = wm.get(w, 0) | (1 << (16 * i))
+        maxlen = max(len(w) for w in wm)
+        m = F.create_map(*[F.lit(x) for w, msk in sorted(wm.items())
+                           for x in (w, msk)])
+        accs.append(F.aggregate(
+            tk, zero,
+            # length gate first: profile words are short, so most tokens
+            # skip the (linear over |vocab|) literal-map probe entirely
+            lambda a, t: a + F.when(F.length(t) <= maxlen,
+                                    F.coalesce(F.element_at(m, t), zero))
+                              .otherwise(zero)))
+    return accs
+
+
+def lang_id(col, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    'und' when nothing matches. One projection, deterministic tie-break by
+    language code order.
+
+    Round-13 plan: the hit counts come from ``_lang_packed_accs`` — one
+    token-array traversal per 4 languages instead of one filter scan per
+    language — behind a per-row token-count guard that falls back to the
+    filter scans on (pathological) docs whose counts could overflow a
+    16-bit lane. Both the token array and the packed accumulators are
+    ``let_bound`` so they evaluate once per row (no CSE inside
+    higher-order lambdas)."""
+    profiles = profiles or LANG_PROFILES
+    codes = sorted(profiles)
+
+    def top(tk):
+        def scored(accarr):
+            scores = []
+            for gi, g0 in enumerate(range(0, len(codes), 4)):
+                for i in range(len(codes[g0:g0 + 4])):
+                    scores.append(
+                        F.shiftright(accarr[gi], 16 * i)
+                         .bitwiseAND(F.lit(LANG_PACK_LANE_MAX)).cast("int"))
+            return _lang_argmax(scores, codes)
+        fast = let_bound(F.array(*_lang_packed_accs(tk, profiles)), scored)
+        return F.when(F.size(tk) <= LANG_PACK_LANE_MAX, fast) \
+                .otherwise(_lang_argmax(_lang_filter_scores(tk, profiles),
+                                        codes))
+
+    return let_bound(tokens(col), top)
 
 
 def repetition_ratio(col, k: int = 3) -> Column:
@@ -370,11 +445,12 @@ def source_report(df: DataFrame, text_col: str = "text",
             F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(
                 F.transform(tk, F.lower))))).alias("fp"),
         ]
-        for code in codes:
-            words = F.array(*[F.lit(w) for w in LANG_PROFILES[code]])
-            fields.append(
-                F.size(F.filter(tk, lambda t: F.array_contains(words, t)))
-                 .alias(f"s_{code}"))
+        # r13: the 4 per-language filter scans pack into ONE aggregate
+        # traversal (see _lang_packed_accs) — correct while the doc has
+        # <= LANG_PACK_LANE_MAX tokens; the extraction below falls back
+        # to filter scans past that
+        fields.append(F.array(*_lang_packed_accs(tk, LANG_PROFILES))
+                      .alias("pk"))
         return F.struct(*fields)
 
     c = F.col(text_col)
@@ -393,15 +469,20 @@ def source_report(df: DataFrame, text_col: str = "text",
          + ((swr >= 0.05) & (swr <= 0.6)).cast("double") * 0.25
          + (pr <= 0.2).cast("double") * 0.25
          + ((mwl >= 2.0) & (mwl <= 12.0)).cast("double") * 0.25)
-    # lang_id's argmax over (score, -index) structs, scores from _st
-    entries = [F.struct(F.col(f"_st.s_{code}").alias("s"),
-                        F.lit(-i).alias("ni"))
-               for i, code in enumerate(codes)]
-    best = F.array_max(F.array(*entries))
-    code_arr = F.array(*[F.lit(cd) for cd in codes])
-    lang_expr = (F.when(best["s"] > 0,
-                        F.element_at(code_arr, -best["ni"] + 1))
-                 .otherwise(F.lit("und")))
+    # lang_id's argmax over (score, -index) structs, scores unpacked
+    # from the bound packed accumulators (_st is a materialized struct
+    # column, so the lane extractions are cheap field reads); docs past
+    # the lane guard rare-path through the exact filter scans on a
+    # re-split of the text
+    packed = [F.shiftright(F.col("_st.pk")[gi], 16 * i)
+               .bitwiseAND(F.lit(LANG_PACK_LANE_MAX)).cast("int")
+              for gi, g0 in enumerate(range(0, len(codes), 4))
+              for i in range(len(codes[g0:g0 + 4]))]
+    lang_expr = (F.when(F.col("_st.nt") <= LANG_PACK_LANE_MAX,
+                        _lang_argmax(packed, codes))
+                 .otherwise(_lang_argmax(
+                     _lang_filter_scores(tokens("_t"), LANG_PROFILES),
+                     codes)))
     lang = (F.col(lang_col) if lang_col else lang_expr).alias("_lang")
     base = stats.select(
         "source",

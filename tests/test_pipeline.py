@@ -124,6 +124,48 @@ def test_lang_id_runs_and_is_deterministic(docs):
     assert all(r.l in ("de", "en", "es", "fr", "und") for r in a)
 
 
+def test_lang_id_packed_equals_filter_scan(spark, docs):
+    """The r13 packed-lane single-pass scorer must equal the per-language
+    filter scans on the corpus AND on crafted edge rows (ties resolved
+    by code order, all-zero -> 'und', shared words — 'la'/'de'/'en' —
+    counted for every owning profile)."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline import text as TX
+
+    def filter_path(c):
+        tk = TX.tokens(c)
+        return TX._lang_argmax(TX._lang_filter_scores(tk, TX.LANG_PROFILES),
+                               sorted(TX.LANG_PROFILES))
+
+    edge = spark.createDataFrame(
+        [(1, "the la de en und zz"),          # cross-profile shared words
+         (2, "xyzzy qqq www"),                # zero hits -> und
+         (3, "the el le der"),                # 4-way tie -> code order
+         (4, ""),                             # empty text
+         (5, "de de de la la en en que und")],
+        "doc_id long, text string")
+    for frame in (docs, edge):
+        got = frame.select(TX.lang_id("text").alias("l")).collect()
+        want = frame.select(filter_path("text").alias("l")).collect()
+        assert got == want
+
+
+def test_lang_id_lane_overflow_fallback(spark, monkeypatch):
+    """Past LANG_PACK_LANE_MAX tokens the guard must route to the exact
+    filter scans; shrinking the lane cap forces the fallback and both
+    branches must agree (a lane counter that silently wrapped would
+    not)."""
+    from handyspark_spark.pipeline import text as TX
+    big = spark.createDataFrame(
+        [(1, "the and " * 40), (2, "el la que " * 40)],
+        "doc_id long, text string")
+    want = big.select("doc_id", TX.lang_id("text").alias("l")).collect()
+    monkeypatch.setattr(TX, "LANG_PACK_LANE_MAX", 16)   # force fallback
+    got = big.select("doc_id", TX.lang_id("text").alias("l")).collect()
+    assert got == want
+    assert [r.l for r in got] == ["en", "es"]
+
+
 def test_minhash_lsh_groups_cover_exact_dups(docs):
     """Docs with identical token sets must land in the same cluster."""
     from handyspark_spark.pipeline.dedup import (fingerprint_duplicates,
