@@ -287,13 +287,29 @@ def rolling_hashes(col, k: int = 5, hash_fn: str = "xxhash64") -> Column:
     fraction or ~dozens of over-dropped docs among billions; the
     tested-SF oracles (which join RAW gram strings) bound it at zero in
     practice. Pass ``'md5'`` for the 128-bit hex form when exact
-    cross-engine hash reproducibility matters more than speed."""
+    cross-engine hash reproducibility matters more than speed.
+
+    r13 (guide §1.2 per-task work): the xxhash64 form hashes each TOKEN
+    once and combines k fixed-width token-hash longs per gram —
+    replacing the per-gram ``concat_ws`` string build + variable-length
+    hash (each token's bytes were copied and hashed k times). Gram
+    equality is preserved: tokens are single-space-split so they contain
+    no spaces, making gram-string <-> token-sequence a bijection, and
+    the sub-k tail gram's null-skip (``F.get`` past the end -> NULL,
+    which both ``concat_ws`` and ``xxhash64`` ignore) is identical on
+    every side of every join — consumers only ever equate hashes
+    produced by this same function. Measured sf10 documents (distinct-
+    shingle count per doc, noop): 7.7 -> 4.1 s; ngram_contamination
+    end-to-end 12.0 -> ~8.5 s."""
     def body(tk):
         n = F.size(tk)
         idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
         if hash_fn == "xxhash64":
-            return F.transform(
-                idx, lambda i: F.xxhash64(gram_at(tk, i + 1, k)))
+            return let_bound(
+                F.transform(tk, lambda t: F.xxhash64(t)),
+                lambda h: F.transform(
+                    idx, lambda i: F.xxhash64(
+                        *[F.get(h, i + j) for j in range(k)])))
         return F.transform(
             idx, lambda i: F.md5(gram_at(tk, i + 1, k)))
     return let_bound(tokens(col), body)

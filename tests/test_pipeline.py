@@ -1602,6 +1602,40 @@ def test_ngram_contamination_bounds(spark):
     assert out[1]["n_grams"] == 5           # 7 tokens -> 5 trigrams
 
 
+def test_rolling_hashes_token_combine_match_structure(spark):
+    """The r13 token-hash-combining xxhash64 grams must induce the SAME
+    match structure as hashing the gram STRING (the pre-r13 form):
+    equal token sequences collide, different ones do not — including
+    sub-k tail grams (null-skip side), empty tokens from doubled
+    spaces, and docs shorter than k."""
+    from pyspark.sql import functions as F
+    from handyspark_spark.pipeline.text import (gram_at, let_bound,
+                                                rolling_hashes, tokens)
+
+    def string_form(col, k):   # pre-r13 formulation, inline
+        def body(tk):
+            n = F.size(tk)
+            idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+            return F.transform(
+                idx, lambda i: F.xxhash64(gram_at(tk, i + 1, k)))
+        return let_bound(tokens(col), body)
+
+    rows = [(1, "a b c d e f"), (2, "c d e f g"), (3, "a b"),
+            (4, "a b c"), (5, "a  b c"), (6, ""), (7, "a b c d e f")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for k in (3, 5):
+        def slots(form):
+            out = df.select("doc_id", F.posexplode(form("text", k))
+                            .alias("pos", "h")).collect()
+            by_hash = {}
+            for r in out:
+                by_hash.setdefault(r.h, []).append((r.doc_id, r.pos))
+            # the partition of (doc, pos) slots into equal-hash groups
+            return sorted(sorted(v) for v in by_hash.values())
+        assert slots(string_form) == slots(
+            lambda c, kk: rolling_hashes(c, kk))
+
+
 def test_semdedup_drops_higher_id_and_respects_quality(spark):
     from handyspark_spark.pipeline.similarity import (semdedup_drops,
                                                       semdedup_pairs)
