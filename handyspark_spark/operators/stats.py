@@ -161,6 +161,72 @@ def make_cdf(dist: str, params: tuple):
     return KS_DISTRIBUTIONS[key](*params)
 
 
+# CDFs whose scalar python form above is a fixed sequence of IEEE-double
+# ops that Spark expressions replay op-for-op: same subtractions,
+# divisions and clamps in the same order, so the in-plan value is
+# bit-identical to the KS_DISTRIBUTIONS callable on non-NaN input (the
+# ECDF's v is NaN-free — ``DataFrame.dropna`` treats NaN as missing for
+# doubles; python's max(0.0, nan) and Spark's greatest diverge only on
+# NaN). exp() is java.lang.Math.exp vs libm — both ≤1 ulp, so the
+# exponential statistic can differ in the last bit; equality after the
+# queries' 6-dp rounding is pinned by test + oracle. Evaluating the CDF
+# in-plan removes the ArrowEvalPython round-trip over |distinct| rows
+# (guide §4.1: built-ins over UDFs), and lets an auto-fitted parameter
+# agg ride the SAME action as a broadcast 1-row crossJoin instead of a
+# separate collect-to-driver corpus pass (guide §2.4).
+_NATIVE_CDF = {
+    "uniform": lambda x, lo, hi: F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), (x - lo) / (hi - lo))),
+    "exponential": lambda x, mean: F.lit(1.0) - F.exp(
+        -F.greatest(F.lit(0.0), x) / mean),
+}
+
+
+def _ks_plan(df: DataFrame, colname: str, dist: str = "normal",
+             params: tuple | None = None, cdf=None) -> DataFrame:
+    """The pre-collect aggregation plan behind ``ks_test`` — exposed so
+    plan dumps / tests can inspect it. One row, columns (d, n)."""
+    key = dist.lower().strip() if cdf is None else None
+    fit_df = None
+    if cdf is None and params is None:
+        if dist == "normal":
+            fit_exprs = [F.mean(colname), F.stddev(colname)]
+        elif dist == "uniform":
+            fit_exprs = [F.min(colname), F.max(colname)]
+        else:
+            raise ValueError(
+                f"dist {dist!r} needs explicit params= "
+                "(only normal/uniform auto-fit)")
+        if key in _NATIVE_CDF:
+            # the fit rides the main action: 1-row agg, broadcast
+            # crossJoined below — no separate collect-to-driver pass
+            fit_df = df.agg(*[e.cast("double").alias(f"_p{i}")
+                              for i, e in enumerate(fit_exprs)])
+        else:
+            r = df.agg(*fit_exprs).collect()[0]
+            params = (float(r[0]), float(r[1]))
+
+    ecdf = _ecdf_plan(df, colname)
+    if key in _NATIVE_CDF:
+        if fit_df is not None:
+            ecdf = ecdf.crossJoin(F.broadcast(fit_df))
+            pargs = [F.col(f"_p{i}") for i in range(2)]
+        else:
+            pargs = [F.lit(float(p)) for p in params]
+        ecdf = ecdf.withColumn("_cdf",
+                               _NATIVE_CDF[key](F.col("v"), *pargs))
+    else:
+        if cdf is None:
+            cdf = make_cdf(dist, params)
+        cdf_udf = F.pandas_udf(
+            lambda s: s.map(cdf).astype("float64"), "double")
+        ecdf = ecdf.withColumn("_cdf", cdf_udf(F.col("v")))
+    gap = F.greatest(
+        F.abs(F.col("cum") / F.col("total") - F.col("_cdf")),
+        F.abs((F.col("cum") - F.col("c")) / F.col("total") - F.col("_cdf")))
+    return ecdf.agg(F.max(gap).alias("d"), F.max("total").alias("n"))
+
+
 def ks_test(df: DataFrame, colname: str, dist: str = "normal",
             params: tuple | None = None, cdf=None) -> dict:
     """One-sample KS: D = sup_x |ECDF(x) - CDF(x)| (both one-sided gaps
@@ -168,33 +234,16 @@ def ks_test(df: DataFrame, colname: str, dist: str = "normal",
     {statistic, reject_at_05} with the standard asymptotic critical value
     1.358/sqrt(n) (alpha=.05).
 
-    Fully distributed: the ECDF never leaves the cluster — the CDF runs
-    as an Arrow-batched pandas UDF over distinct values and D is one
-    max-aggregation; only 2 scalars come back to the driver. normal and
-    uniform auto-fit their params from the data when ``params`` is None
-    (one extra tiny agg), matching the round-1 behavior."""
-    if cdf is None:
-        if params is None:
-            if dist == "normal":
-                r = df.agg(F.mean(colname), F.stddev(colname)).collect()[0]
-                params = (float(r[0]), float(r[1]))
-            elif dist == "uniform":
-                r = df.agg(F.min(colname), F.max(colname)).collect()[0]
-                params = (float(r[0]), float(r[1]))
-            else:
-                raise ValueError(
-                    f"dist {dist!r} needs explicit params= "
-                    "(only normal/uniform auto-fit)")
-        cdf = make_cdf(dist, params)
-
-    cdf_udf = F.pandas_udf(
-        lambda s: s.map(cdf).astype("float64"), "double")
-    ecdf = _ecdf_plan(df, colname).withColumn("_cdf", cdf_udf(F.col("v")))
-    gap = F.greatest(
-        F.abs(F.col("cum") / F.col("total") - F.col("_cdf")),
-        F.abs((F.col("cum") - F.col("c")) / F.col("total") - F.col("_cdf")))
-    row = ecdf.agg(F.max(gap).alias("d"),
-                   F.max("total").alias("n")).collect()[0]
+    Fully distributed: the ECDF never leaves the cluster and D is one
+    max-aggregation; only 2 scalars come back to the driver. For the
+    distributions in ``_NATIVE_CDF`` (uniform, exponential) the CDF is
+    a JVM expression inside the same plan and an auto-fitted parameter
+    agg rides the same single action (broadcast 1-row crossJoin); for
+    every other named distribution the CDF runs as an Arrow-batched
+    pandas UDF over distinct values, with normal/uniform auto-fitting
+    params via one extra tiny agg when ``params`` is None, matching the
+    round-1 behavior."""
+    row = _ks_plan(df, colname, dist, params, cdf).collect()[0]
     n = int(row["n"]) if row["n"] is not None else 0
     d = float(row["d"]) if row["d"] is not None else 0.0
     crit = 1.358 / math.sqrt(n) if n else float("nan")

@@ -132,6 +132,53 @@ def test_ks_statistic_vs_numpy(tables, pdf_tables):
     npt.assert_almost_equal(res["statistic"], d, decimal=9)
 
 
+def test_ks_native_cdf_equals_udf_path(tables):
+    """The in-plan JVM CDF (r13: _NATIVE_CDF fused plan — no
+    ArrowEvalPython, auto-fit rides the same action) must reproduce the
+    pandas-UDF path exactly. cdf= forces the UDF path on the SAME
+    fitted params, so this pins old-vs-new value identity on corpus
+    data; plan shape pinned below."""
+    from handyspark_spark.operators.stats import _ks_plan, ks_test, make_cdf
+
+    ev, li = tables["events"], tables["lineitem"]
+    # uniform auto-fit (the ks_uniform query path): fit params the old
+    # way, force the UDF path with cdf=, compare against the fused plan
+    r = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    old = ks_test(ev, "value", cdf=make_cdf("uniform",
+                                            (float(r[0]), float(r[1]))))
+    new = ks_test(ev, "value", dist="uniform")
+    # same IEEE ops in the same order -> bit-identical
+    assert new["statistic"] == old["statistic"]
+    assert new["n"] == old["n"]
+
+    # exponential with explicit params (the ks_exponential query path):
+    # JVM Math.exp vs libm exp may differ in the last ulp, so pin to
+    # 1e-12 relative plus exact equality after the query's 6-dp rounding
+    old = ks_test(li, "l_quantity", cdf=make_cdf("exponential", (25.0,)))
+    new = ks_test(li, "l_quantity", dist="exponential", params=(25.0,))
+    assert abs(new["statistic"] - old["statistic"]) <= 1e-12 * max(
+        1.0, abs(old["statistic"]))
+    assert round(new["statistic"], 6) == round(old["statistic"], 6)
+    assert new["n"] == old["n"]
+
+    # plan shape: no python evaluation node in either native plan; the
+    # uniform fit is a broadcast exchange inside the one plan
+    uni = _ks_plan(ev, "value", dist="uniform")._jdf.queryExecution() \
+        .executedPlan().toString()
+    exp = _ks_plan(li, "l_quantity", dist="exponential",
+                   params=(25.0,))._jdf.queryExecution() \
+        .executedPlan().toString()
+    for plan in (uni, exp):
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in uni or "BroadcastExchange" in uni
+    # the normal path (no native expression) still uses the UDF
+    norm = _ks_plan(ev, "value", dist="normal",
+                    params=(0.0, 1.0))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" in norm or "BatchEvalPython" in norm
+
+
 def test_ks_2samp_same_vs_shifted(spark):
     """Same-distribution cohorts accept; a shifted cohort rejects.
     p-value pinned against the asymptotic Kolmogorov series."""
